@@ -1,44 +1,358 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke, queries() vs oracle_sql() correctness gate.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The telemetry-pipeline queries synthesize a Common-Crawl-style pages table
+from the driver's ``documents`` parquet via pure doc_id arithmetic
+(sources/synth.embed_docs_batch), then run the REAL Ray Data pipeline
+(parse -> enrich -> route/aggregate). Because the embedding is arithmetic,
+a DuckDB oracle reproduces the expected events exactly — including the
+byte-identical raw extracted lines — so the driver's hash compare exercises
+the full pipeline, not a reimplementation.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import dataclasses
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from otelcol_con_spaneventtolog_ray.config import AttributeMappings, PipelineConfig
+from otelcol_con_spaneventtolog_ray.rayenv import remote_kwargs
+from otelcol_con_spaneventtolog_ray.sevmap import SEVERITY_TO_TEXT
+from otelcol_con_spaneventtolog_ray.sources.synth import (
+    EMBED_SEV_TEXTS,
+    SPAN_KINDS,
+    embed_docs_batch,
+)
+from otelcol_con_spaneventtolog_ray.stages.aggregate import counts_table
+from otelcol_con_spaneventtolog_ray.pipelines.telemetry import build_log_records
+
+OBS_NS = 1_755_000_000_000_000_000  # fixed observed_timestamp for determinism
+
+DEFAULT_CFG = dataclasses.replace(
+    PipelineConfig.default(), observed_timestamp_ns=OBS_NS
+)
+MAPPED_CFG = dataclasses.replace(
+    PipelineConfig(
+        include_span_context=True,
+        log_attributes_from=("event.attributes", "resource.attributes"),
+        severity_by_event_name={"exception": "error"},
+        attribute_mappings=AttributeMappings(
+            body="event.body",
+            severity_number="event.severity_number",
+            severity_text="event.severity_text",
+        ),
+    ),
+    observed_timestamp_ns=OBS_NS,
+)
+LEVEL_CFG = dataclasses.replace(
+    PipelineConfig(
+        log_attributes_from=("event.attributes",),
+        severity_by_event_name={"exception": "error", "retry": "warn2"},
+        add_level=True,
+    ),
+    observed_timestamp_ns=OBS_NS,
+)
+
+
+def _pages_ds(sf_dir: str):
+    import ray.data
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    return docs.map_batches(embed_docs_batch, batch_format="pyarrow", **remote_kwargs())
+
+
+def _records(sf_dir: str, cfg: PipelineConfig):
+    return build_log_records(_pages_ds(sf_dir), cfg)
+
+
+def _i64(col: str):
+    def _cast(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(col)
+        return t.set_column(i, col, pc.cast(t.column(col), pa.int64()))
+
+    return _cast
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_sink_counts(sf_dir: str):
+    return counts_table(_records(sf_dir, DEFAULT_CFG), ["sink"])
+
+
+def _q_routed_rows(sf_dir: str):
+    ds = _records(sf_dir, DEFAULT_CFG).select_columns(
+        ["url", "event_name", "severity_number", "severity_text", "body", "sink"]
+    )
+    return ds.map_batches(_i64("severity_number"), batch_format="pyarrow")
+
+
+def _q_raw_lines(sf_dir: str):
+    from otelcol_con_spaneventtolog_ray.stages.parse import make_parse_fn
+
+    return (
+        _pages_ds(sf_dir)
+        .map_batches(make_parse_fn(), batch_format="pyarrow", **remote_kwargs())
+        .select_columns(["url", "raw"])
+        .map_batches(
+            lambda t: t.set_column(1, "raw", pc.cast(t.column("raw"), pa.string())),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _q_mapped_severity_counts(sf_dir: str):
+    tbl = counts_table(
+        _records(sf_dir, MAPPED_CFG), ["severity_number", "severity_text", "sink"]
+    )
+    return _i64("severity_number")(tbl)
+
+
+def _q_body_mapping(sf_dir: str):
+    return _records(sf_dir, MAPPED_CFG).select_columns(["url", "event_name", "body"])
+
+
+def _q_filtered_sink_counts(sf_dir: str):
+    cfg = dataclasses.replace(
+        DEFAULT_CFG, include_event_names=("exception", "custom")
+    )
+    return counts_table(_records(sf_dir, cfg), ["sink"])
+
+
+def _q_level_attr(sf_dir: str):
+    def project(t: pa.Table) -> pa.Table:
+        lvl = pc.map_lookup(
+            t.column("attributes").combine_chunks(), query_key="level",
+            occurrence="first",
+        )
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "event_name": t.column("event_name"),
+                "level": pc.utf8_slice_codeunits(lvl, start=2, stop=1 << 30),
+            }
+        )
+
+    return _records(sf_dir, LEVEL_CFG).map_batches(
+        project, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+EVENT_TYPE_RULES = {
+    "error": "error", "up": "debug", "signup": "warn",
+    "chase": "info2", "click": "trace2",
+}
+
+
+def _q_events_severity_route(sf_dir: str):
+    import ray.data
+
+    from otelcol_con_spaneventtolog_ray.sevmap import map_severity
+
+    cfg = PipelineConfig(severity_by_event_name=EVENT_TYPE_RULES)
+    rules = cfg.sorted_event_name_rules()
+
+    def classify(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        names = t.column("event_type").combine_chunks()
+        lower = pc.utf8_lower(names)
+        n = len(names)
+        txt = np.full(n, "info", dtype=object)
+        assigned = np.zeros(n, dtype=bool)
+        for key, _num, canon in rules:
+            m = pc.match_substring(lower, key).to_numpy(zero_copy_only=False)
+            m = np.nan_to_num(m, nan=False).astype(bool) & ~assigned
+            txt[m] = canon
+            assigned |= m
+        return pa.table(
+            {"event_type": names, "severity_text": pa.array(txt, pa.string())}
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type"]
+    ).map_batches(classify, batch_format="pyarrow", **remote_kwargs())
+    return counts_table(ds, ["event_type", "severity_text"])
+
+
+def _q_events_hourly_counts(sf_dir: str):
+    import ray.data
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.strftime(t.column("ts"), format="%Y-%m-%d %H"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    ).map_batches(project, batch_format="pyarrow")
+    return counts_table(ds, ["hour", "event_type"])
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: full parse->enrich over embedded pages,
+    returning the per-sink routed counts (small, stable schema)."""
+    return _q_sink_counts("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    q = {
+        "pipeline_sink_counts": _q_sink_counts,
+        "pipeline_routed_rows": _q_routed_rows,
+        "pipeline_raw_lines": _q_raw_lines,
+        "pipeline_mapped_severity_counts": _q_mapped_severity_counts,
+        "pipeline_body_mapping": _q_body_mapping,
+        "pipeline_filtered_sink_counts": _q_filtered_sink_counts,
+        "pipeline_level_attr": _q_level_attr,
+        "events_severity_route": _q_events_severity_route,
+        "events_hourly_counts": _q_events_hourly_counts,
+    }
+    from otelcol_con_spaneventtolog_ray.functions import entry_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q.update(entry_queries.QUERIES)
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL — mirrors of the doc_id arithmetic in sources/synth.py
+# ---------------------------------------------------------------------------
+
+_EV_CTE = """
+WITH ev AS (
+  SELECT d.doc_id AS doc_id, t.j AS j, (d.doc_id + t.j) % 5 AS k
+  FROM documents d, LATERAL (SELECT unnest(range(d.doc_id % 4)) AS j) t
+)
+"""
+
+_EVENT_NAME_SQL = (
+    "CASE k WHEN 0 THEN 'exception' WHEN 1 THEN 'custom'"
+    " WHEN 2 THEN 'backend.db.write_item.success'"
+    " WHEN 3 THEN 'request.retry' ELSE 'cache.miss' END"
+)
+_URL_SQL = "'https://docs.example/' || printf('%08d', doc_id)"
+_SEVTXT_SQL = (
+    "CASE doc_id % 8 "
+    + " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(EMBED_SEV_TEXTS[:-1])
+    )
+    + f" ELSE '{EMBED_SEV_TEXTS[-1]}' END"
+)
+# severity_number_to_text with 'info' default (connector.go:446-453)
+_NUM2TEXT_SQL = (
+    "CASE sn "
+    + " ".join(f"WHEN {n} THEN '{t}'" for n, t in sorted(SEVERITY_TO_TEXT.items()))
+    + " ELSE 'info' END"
+)
+_SINK_SQL = (
+    "CASE WHEN sn BETWEEN 1 AND 24 THEN"
+    " (['trace','debug','info','warn','error','fatal'])[CAST((sn-1)//4 AS INT)+1]"
+    " ELSE 'unspecified' END"
+)
+_KIND_SQL = (
+    "CASE doc_id % 5 "
+    + " ".join(f"WHEN {i} THEN '{k}'" for i, k in enumerate(SPAN_KINDS[:-1]))
+    + f" ELSE '{SPAN_KINDS[-1]}' END"
+)
+_ATTRS_SQL = (
+    "CASE k"
+    " WHEN 0 THEN 'exception.type=s:Err' || (doc_id % 7) ||"
+    " ';exception.message=s:msg_' || (doc_id % 13)"
+    " WHEN 1 THEN 'custom.key=s:val_' || (doc_id % 11) ||"
+    " ';custom.count=i:' || (doc_id % 100)"
+    " WHEN 2 THEN 'event.body=s:wrote_item_' || doc_id ||"
+    " ';event.severity_number=i:' || (doc_id % 30) ||"
+    " ';event.severity_text=s:' || (" + _SEVTXT_SQL + ")"
+    " WHEN 3 THEN 'retry.count=i:' || j || ';retry.reason=s:timeout_' || (doc_id % 3)"
+    " ELSE '' END"
+)
+_RAW_SQL = (
+    "'OTEL1 trace=' || printf('%032x', doc_id)"
+    " || ' span=' || printf('%016x', doc_id * 8 + j)"
+    " || ' span_name=span-' || (doc_id % 10)"
+    " || ' span_kind=' || (" + _KIND_SQL + ")"
+    " || ' ts=' || (1750000000000000000 + doc_id * 1000000 + j * 1000)"
+    " || ' state=' || (CASE WHEN doc_id % 10 = 0 THEN 'congo%3Dt61rcWkgMzE' ELSE '' END)"
+    " || ' name=' || (" + _EVENT_NAME_SQL + ")"
+    " || ' attrs=' || (" + _ATTRS_SQL + ")"
+    " || ' sattrs=http.method=s:' ||"
+    " (CASE doc_id % 3 WHEN 0 THEN 'GET' WHEN 1 THEN 'POST' ELSE 'PUT' END)"
+    " || ';http.status_code=i:' || (200 + (doc_id % 5) * 100)"
+    " || ' rattrs=service.name=s:svc-' || (doc_id % 4)"
+)
+# default config severity: exception->error(17), else info(9)
+_DEFAULT_SN_SQL = "CASE WHEN k = 0 THEN 17 ELSE 9 END"
+# mapped config severity: E1 int attr on backend (k=2), E4 exception, default
+_MAPPED_SN_SQL = "CASE k WHEN 0 THEN 17 WHEN 2 THEN doc_id % 30 ELSE 9 END"
+_MAPPED_ST_SQL = (
+    "CASE k WHEN 0 THEN 'error' WHEN 2 THEN (" + _SEVTXT_SQL + ") ELSE 'info' END"
+)
+
+_EVENTS_ROUTE_CASE = (
+    "CASE"
+    " WHEN contains(lower(event_type), 'signup') THEN 'warn'"
+    " WHEN contains(lower(event_type), 'chase') THEN 'info2'"
+    " WHEN contains(lower(event_type), 'click') THEN 'trace2'"
+    " WHEN contains(lower(event_type), 'error') THEN 'error'"
+    " WHEN contains(lower(event_type), 'up') THEN 'debug'"
+    " ELSE 'info' END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql = {
+        "pipeline_sink_counts": _EV_CTE
+        + f"SELECT CASE WHEN k = 0 THEN 'error' ELSE 'info' END AS sink,"
+        f" count(*) AS n FROM ev GROUP BY 1 ORDER BY 1",
+        "pipeline_routed_rows": _EV_CTE
+        + f"SELECT {_URL_SQL} AS url, {_EVENT_NAME_SQL} AS event_name,"
+        f" CAST({_DEFAULT_SN_SQL} AS BIGINT) AS severity_number,"
+        f" CASE WHEN k = 0 THEN 'error' ELSE 'info' END AS severity_text,"
+        f" {_EVENT_NAME_SQL} AS body,"
+        f" CASE WHEN k = 0 THEN 'error' ELSE 'info' END AS sink FROM ev",
+        "pipeline_raw_lines": _EV_CTE
+        + f"SELECT {_URL_SQL} AS url, {_RAW_SQL} AS raw FROM ev",
+        "pipeline_mapped_severity_counts": _EV_CTE
+        + f", sev AS (SELECT CAST({_MAPPED_SN_SQL} AS BIGINT) AS sn,"
+        f" {_MAPPED_ST_SQL} AS severity_text FROM ev)"
+        f" SELECT sn AS severity_number, severity_text, {_SINK_SQL} AS sink,"
+        f" count(*) AS n FROM sev GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+        "pipeline_body_mapping": _EV_CTE
+        + f"SELECT {_URL_SQL} AS url, {_EVENT_NAME_SQL} AS event_name,"
+        f" CASE WHEN k = 2 THEN 'wrote_item_' || doc_id"
+        f" ELSE {_EVENT_NAME_SQL} END AS body FROM ev",
+        "pipeline_filtered_sink_counts": _EV_CTE
+        + f"SELECT CASE WHEN k = 0 THEN 'error' ELSE 'info' END AS sink,"
+        f" count(*) AS n FROM ev WHERE k IN (0, 1) GROUP BY 1 ORDER BY 1",
+        "pipeline_level_attr": _EV_CTE
+        + f"SELECT {_URL_SQL} AS url, {_EVENT_NAME_SQL} AS event_name,"
+        f" CASE WHEN k = 0 THEN 'error' WHEN k = 3 THEN 'warn2'"
+        f" ELSE 'info' END AS level FROM ev",
+        "events_severity_route": "SELECT event_type,"
+        f" {_EVENTS_ROUTE_CASE} AS severity_text, count(*) AS n FROM events"
+        " GROUP BY 1, 2 ORDER BY 1, 2",
+        "events_hourly_counts": "SELECT strftime(ts, '%Y-%m-%d %H') AS hour,"
+        " event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+    }
+    from otelcol_con_spaneventtolog_ray.functions import entry_queries
+
+    sql.update(entry_queries.ORACLE_SQL)
+    return sql

@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Benchmark harness: flagship parse->enrich->route->aggregate over pages
+derived from $GRAFT_SF_DIR documents (replicated deterministically to bench
+scale), plus component timings. Prints ONE JSON line.
+
+Modes:
+  python bench.py                 # single run, num_cpus=$RAY_GRAFT_CPUS (32)
+  python bench.py --scaling       # N vs 4N cpus in fresh processes on the
+                                  # SAME input; reports both throughputs and
+                                  # scaling efficiency (BASELINE.md criterion)
+
+Input generation (replication + event-line embedding) is cached under
+/tmp/graft_bench and excluded from all timed sections.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + (
+    ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else ""
+)
+
+DOC_STRIDE = 10_000_000
+CACHE_ROOT = "/tmp/graft_bench"
+
+
+def prepare_input(sf_dir: str, rep: int) -> str:
+    """Replicate sf documents x rep with shifted doc_ids and embed event
+    lines -> cached pages parquet dir. Deterministic; untimed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from otelcol_con_spaneventtolog_ray.rayenv import remote_kwargs
+    from otelcol_con_spaneventtolog_ray.sources.synth import embed_docs_batch
+
+    key = f"{os.path.basename(os.path.normpath(sf_dir))}_rep{rep}"
+    out = os.path.join(CACHE_ROOT, key)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "lang"]
+    )
+    docs_ref = ray.put(docs)  # broadcast once, read zero-copy per task
+
+    def gen(batch: pa.Table) -> pa.Table:
+        base = ray.get(docs_ref)
+        outs = []
+        for r in batch.column("id").to_pylist():
+            shifted = base.set_column(
+                0,
+                "doc_id",
+                pa.compute.add(base.column("doc_id"), r * DOC_STRIDE),
+            )
+            outs.append(embed_docs_batch(shifted))
+        return pa.concat_tables(outs)
+
+    (
+        ray.data.range(rep)
+        .map_batches(gen, batch_size=1, batch_format="pyarrow", **remote_kwargs())
+        .write_parquet(out)
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def run_single(sf_dir: str, num_cpus: int, rep: int) -> dict:
+    import dataclasses
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        from otelcol_con_spaneventtolog_ray.config import PipelineConfig
+        from otelcol_con_spaneventtolog_ray.pipelines.telemetry import (
+            build_log_records,
+            read_pages,
+            run_pipeline,
+            sink_counts,
+        )
+        from otelcol_con_spaneventtolog_ray.stages.parse import make_parse_fn
+        from otelcol_con_spaneventtolog_ray.rayenv import remote_kwargs
+
+        pages_dir = prepare_input(sf_dir, rep)
+        cfg = dataclasses.replace(
+            PipelineConfig.default(), observed_timestamp_ns=1_755_000_000_000_000_000
+        )
+        queries: dict[str, float] = {}
+
+        # untimed warmup: spin up worker processes / import libs once, so the
+        # timed sections measure pipeline throughput, not interpreter startup
+        first_file = sorted(
+            f for f in os.listdir(pages_dir) if f.endswith(".parquet")
+        )[0]
+        build_log_records(
+            read_pages(os.path.join(pages_dir, first_file)), cfg
+        ).count()
+
+        # q1: full DAG — read -> parse -> enrich -> routed write -> counts
+        out_dir = "/tmp/graft_bench_out"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        counts = run_pipeline(pages_dir, out_dir, cfg)
+        queries["pipeline_full"] = round(time.perf_counter() - t0, 3)
+        events = int(sum(counts.values()))
+
+        # q2: parse+enrich -> salted two-phase aggregate (no write)
+        t0 = time.perf_counter()
+        sink_counts(build_log_records(read_pages(pages_dir), cfg))
+        queries["sink_counts_agg"] = round(time.perf_counter() - t0, 3)
+
+        # q3: parse-only scan throughput
+        t0 = time.perf_counter()
+        read_pages(pages_dir).map_batches(
+            make_parse_fn(), batch_format="pyarrow", **remote_kwargs()
+        ).count()
+        queries["parse_only"] = round(time.perf_counter() - t0, 3)
+
+        total = queries["pipeline_full"]
+        return {
+            "metric": "flagship parse->enrich->route->aggregate wall sec",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": os.path.basename(os.path.normpath(sf_dir)),
+            "num_cpus": num_cpus,
+            "events": events,
+            "events_per_sec": int(events / total) if total else 0,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str, rep: int, n_low: int, n_high: int) -> dict:
+    """Same job + same input at two parallelism levels in FRESH processes
+    (sandbox stand-in for N- vs 4N-node clusters)."""
+    results = {}
+    for n in (n_low, n_high):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
+                   RAY_GRAFT_BENCH_REP=str(rep))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--json-only"],
+            env=env, capture_output=True, text=True, timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[n] = json.loads(line)
+    tput_low = results[n_low]["events_per_sec"]
+    tput_high = results[n_high]["events_per_sec"]
+    factor = n_high / n_low
+    eff = (tput_high / tput_low) / factor if tput_low else 0.0
+    return {
+        "metric": f"scaling efficiency {n_low}->{n_high} cpus (events/sec ratio / {factor:g})",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"pipeline_full_cpus{n_low}": results[n_low]["queries"]["pipeline_full"],
+            f"pipeline_full_cpus{n_high}": results[n_high]["queries"]["pipeline_full"],
+        },
+        "sf": results[n_low]["sf"],
+        "num_cpus": n_high,
+        "events": results[n_low]["events"],
+        "events_per_sec_low": tput_low,
+        "events_per_sec_high": tput_high,
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--json-only", action="store_true", help=argparse.SUPPRESS)
+    ap.add_argument("--rep", type=int, default=None)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    args = ap.parse_args()
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if args.rep is None:
+        # scaling runs need compute to dominate fixed per-run overhead
+        default_rep = "1600" if args.scaling else "400"
+        args.rep = int(os.environ.get("RAY_GRAFT_BENCH_REP", default_rep))
+    if args.scaling:
+        result = run_scaling(sf_dir, args.rep, args.low, args.high)
+    else:
+        result = run_single(sf_dir, num_cpus, args.rep)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Percent-escaping for the OTEL1 event-line grammar (FIXTURES.md §2).
+
+The grammar separates fields with spaces, attrs with ';' and k/v with '=',
+so exactly these characters (plus '%' itself and newline) are percent-encoded
+in names and values. The escape set is closed, so vectorized unescaping is a
+fixed sequence of ``pc.replace_substring`` passes ('%25' decoded last).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# escape '%' first so its encoding is unambiguous; decode it last
+_ESCAPES: list[tuple[str, str]] = [
+    ("%", "%25"),
+    (" ", "%20"),
+    ("=", "%3D"),
+    (";", "%3B"),
+    ("\n", "%0A"),
+]
+
+
+def escape(s: str) -> str:
+    for raw, enc in _ESCAPES:
+        s = s.replace(raw, enc)
+    return s
+
+
+def unescape(s: str) -> str:
+    for raw, enc in reversed(_ESCAPES):
+        s = s.replace(enc, raw)
+    return s
+
+
+def unescape_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Vectorized unescape over an Arrow string array.
+
+    Every escape sequence starts with '%', so when the array contains no '%'
+    at all (the common case for keys and most values) the five replace passes
+    are skipped after a single scan.
+    """
+    if len(arr) == 0 or not pc.any(pc.match_substring(arr, "%")).as_py():
+        return arr
+    for raw, enc in reversed(_ESCAPES):
+        arr = pc.replace_substring(arr, pattern=enc, replacement=raw)
+    return arr

@@ -1,0 +1,361 @@
+"""Vectorized enrich stage (SURVEY.md §2 ops D/E/F/G) — actor-pool stage.
+
+Implements populateLogRecord (`connector.go:261-404`) as column expressions
+over the events table: the 4-level severity precedence chain (§2.1), body
+mapping, and the ordered attribute-map build (event attrs -> event_name ->
+level -> span attrs -> trace.state/span.name/span.kind) with the reference's
+collision semantics (first-insertion position, last-writer value).
+
+``Enricher`` is a callable class for ``ds.map_batches(Enricher, fn_constructor_args=...,
+concurrency=N)``: config rules (include set, sorted substring rules, severity
+vocab) are compiled once per actor in ``__init__``; ``__call__`` is pure
+vectorized work per batch.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import PipelineConfig
+from ..sevmap import map_severity_batch, severity_number_to_text_batch
+
+LOG_RECORDS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("timestamp", pa.timestamp("ns")),
+        ("observed_timestamp", pa.timestamp("ns")),
+        ("severity_number", pa.int32()),
+        ("severity_text", pa.string()),
+        ("body", pa.large_string()),
+        ("attributes", pa.map_(pa.string(), pa.string())),
+        ("trace_id", pa.binary(16)),
+        ("span_id", pa.binary(8)),
+        ("resource_attrs", pa.map_(pa.string(), pa.string())),
+        ("sink", pa.string()),
+        ("event_name", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_SINK_CLASSES = np.array(
+    ["trace", "debug", "info", "warn", "error", "fatal"], dtype=object
+)
+
+
+def severity_class_batch(numbers: np.ndarray) -> np.ndarray:
+    """Routing key per row: base class of severity_number, else 'unspecified'."""
+    out = np.full(len(numbers), "unspecified", dtype=object)
+    in_range = (numbers >= 1) & (numbers <= 24)
+    idx = np.clip((numbers - 1) // 4, 0, 5).astype(np.int64)
+    out[in_range] = _SINK_CLASSES[idx[in_range]]
+    return out
+
+
+def _as_single(arr) -> pa.Array:
+    if isinstance(arr, pa.ChunkedArray):
+        return arr.combine_chunks()
+    return arr
+
+
+def _np_str(arr) -> np.ndarray:
+    """Arrow string array -> numpy object array (nulls -> None)."""
+    return _as_single(arr).to_numpy(zero_copy_only=False)
+
+
+def map_first_lookup(ma: pa.MapArray, key: str) -> tuple[np.ndarray, np.ndarray]:
+    """First-occurrence Map.Get semantics: (tags, values) object arrays,
+    None where the key is absent. Values are the untagged payload strings."""
+    got = pc.map_lookup(ma, query_key=key, occurrence="first")
+    tagged = _np_str(got)
+    tags = np.full(len(tagged), None, dtype=object)
+    vals = np.full(len(tagged), None, dtype=object)
+    present = np.array([t is not None for t in tagged], dtype=bool)
+    if present.any():
+        tv = tagged[present]
+        tags[present] = [t[0] if len(t) >= 2 else "" for t in tv]
+        vals[present] = [t[2:] for t in tv]
+    return tags, vals
+
+
+def _flatten_map(ma: pa.MapArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(rows, keys, tagged_values) flattened numpy views of a map column."""
+    ma = _as_single(ma)
+    offsets = np.frombuffer(ma.buffers()[1], dtype=np.int32)[
+        ma.offset : ma.offset + len(ma) + 1
+    ].astype(np.int64)
+    counts = np.diff(offsets)
+    rows = np.repeat(np.arange(len(ma), dtype=np.int64), counts)
+    # .keys/.items are the raw children (offset-unaware) -> slice explicitly
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    keys = ma.keys.slice(lo, hi - lo).to_numpy(zero_copy_only=False)
+    vals = ma.items.slice(lo, hi - lo).to_numpy(zero_copy_only=False)
+    return rows, keys, vals
+
+
+def _dedup_source(
+    rows: np.ndarray, keys: np.ndarray, vals: np.ndarray, keep: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Within-source duplicate-key handling: position of first, value per `keep`."""
+    if len(rows) == 0:
+        return rows, keys, vals
+    df = pd.DataFrame({"r": rows, "k": keys})
+    dup_any = df.duplicated(subset=["r", "k"], keep=False).any()
+    if not dup_any:
+        return rows, keys, vals
+    if keep == "first":
+        m = ~df.duplicated(subset=["r", "k"], keep="first").to_numpy()
+        return rows[m], keys[m], vals[m]
+    # keep last value at first position
+    first_m = ~df.duplicated(subset=["r", "k"], keep="first").to_numpy()
+    last_idx = df[::-1].drop_duplicates(subset=["r", "k"]).index.to_numpy()[::-1]
+    # map (r,k) -> last value
+    last_vals = pd.Series(vals[last_idx], index=pd.MultiIndex.from_arrays(
+        [rows[last_idx], keys[last_idx]]))
+    out_vals = last_vals.loc[
+        pd.MultiIndex.from_arrays([rows[first_m], keys[first_m]])
+    ].to_numpy()
+    return rows[first_m], keys[first_m], out_vals
+
+
+def merge_attr_sources(
+    n: int, sources: list[tuple[np.ndarray, np.ndarray, np.ndarray]]
+) -> pa.MapArray:
+    """Merge ordered (rows, keys, tagged_vals) sources into one map column with
+    reference collision semantics: first-source insertion position, last-source
+    value. Sources must each be sorted by row."""
+    if not sources:
+        return empty_maps(n)
+    rows = np.concatenate([s[0] for s in sources])
+    keys = np.concatenate([s[1] for s in sources]).astype(object)
+    vals = np.concatenate([s[2] for s in sources]).astype(object)
+    if len(rows) == 0:
+        return empty_maps(n)
+    seq = np.arange(len(rows), dtype=np.int64)
+    df = pd.DataFrame({"r": rows, "k": keys})
+    if df.duplicated(subset=["r", "k"], keep=False).any():
+        df["seq"] = seq
+        g = df.groupby(["r", "k"], sort=False)["seq"]
+        first_seq = g.transform("min").to_numpy()
+        last_seq = g.transform("max").to_numpy()
+        keep = seq == last_seq
+        rows, keys, vals, pos = rows[keep], keys[keep], vals[keep], first_seq[keep]
+        order = np.lexsort((pos, rows))
+    else:
+        # no collisions: per-row order is (source, local) which equals global
+        # seq order within each row because sources are concatenated in order
+        order = np.lexsort((seq, rows))
+    rows, keys, vals = rows[order], keys[order], vals[order]
+    counts = np.bincount(rows, minlength=n).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return pa.MapArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.array(keys, pa.string()),
+        pa.array(vals, pa.string()),
+    )
+
+
+def empty_maps(n: int) -> pa.MapArray:
+    return pa.MapArray.from_arrays(
+        pa.array(np.zeros(n + 1, dtype=np.int32), pa.int32()),
+        pa.array([], pa.string()),
+        pa.array([], pa.string()),
+    )
+
+
+def _const_source(
+    mask: np.ndarray, key: str, tagged_vals: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    rows = np.nonzero(mask)[0].astype(np.int64)
+    return rows, np.full(len(rows), key, dtype=object), tagged_vals[mask]
+
+
+def enrich_events_batch(events: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """events table (EVENTS_SCHEMA) -> log-records table (LOG_RECORDS_SCHEMA)."""
+    n = events.num_rows
+    am = cfg.attribute_mappings
+    event_attrs = _as_single(events.column("event_attrs"))
+    event_name = _as_single(events.column("event_name"))
+    event_name_np = _np_str(event_name)
+
+    # --- severity precedence chain (connector.go:266-335) ---
+    sev_num = np.full(n, 9, dtype=np.int64)
+    sev_text = np.full(n, "info", dtype=object)
+    found = np.zeros(n, dtype=bool)
+
+    if am.severity_number or am.severity_text:
+        if am.severity_number:
+            tags, vals = map_first_lookup(event_attrs, am.severity_number)
+            m = np.array([t == "i" for t in tags], dtype=bool)
+            if m.any():
+                ints = pd.to_numeric(pd.Series(vals[m]), errors="coerce")
+                ok_int = ints.notna().to_numpy()
+                m2 = m.copy()
+                m2[np.nonzero(m)[0][~ok_int]] = False
+                if m2.any():
+                    iv = ints[ok_int].astype(np.int64).to_numpy()
+                    sev_num[m2] = iv
+                    sev_text[m2] = severity_number_to_text_batch(iv)
+                    found |= m2
+        if am.severity_text:
+            tags, vals = map_first_lookup(event_attrs, am.severity_text)
+            m = np.array([t == "s" for t in tags], dtype=bool)
+            if m.any():
+                sev_text[m] = vals[m]  # raw text kept (connector.go:285)
+                parse_m = m & ~found  # number from text only if E1 didn't fire
+                if parse_m.any():
+                    nums, canon, valid = map_severity_batch(
+                        pa.array([v if v is not None else "" for v in vals], pa.string())
+                    )
+                    ok = parse_m & valid
+                    sev_num[ok] = nums[ok]
+                    sev_text[ok] = canon[ok]  # canonicalized
+                found |= m  # fires even when unparseable (blocks E3/E4)
+    if cfg.severity_attribute:
+        rem = ~found
+        if rem.any():
+            tags, vals = map_first_lookup(event_attrs, cfg.severity_attribute)
+            m = np.array([t == "s" for t in tags], dtype=bool) & rem
+            if m.any():
+                nums, canon, valid = map_severity_batch(
+                    pa.array([v if v is not None else "" for v in vals], pa.string())
+                )
+                ok = m & valid
+                sev_num[ok] = nums[ok]
+                sev_text[ok] = canon[ok]
+                found |= ok
+    rules = cfg.sorted_event_name_rules()
+    if rules and (~found).any():
+        lower_names = pc.utf8_lower(event_name)
+        assigned = found.copy()
+        for key, num, txt in rules:
+            mm = pc.match_substring(lower_names, key).to_numpy(zero_copy_only=False)
+            mm = np.nan_to_num(mm, nan=False).astype(bool) & ~assigned
+            if mm.any():
+                sev_num[mm] = num
+                sev_text[mm] = txt
+                assigned |= mm
+
+    # --- body (connector.go:348-358) ---
+    body = event_name
+    if am.body:
+        tags, vals = map_first_lookup(event_attrs, am.body)
+        m = np.array([t == "s" for t in tags], dtype=bool)
+        if m.any():
+            body_np = event_name_np.copy()
+            body_np[m] = vals[m]
+            body = pa.array(body_np, pa.string())
+
+    # --- attributes map build (connector.go:361-403) ---
+    sev_text_tagged = np.array([f"s:{t}" for t in sev_text], dtype=object)
+    sources: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    has_level = np.zeros(n, dtype=bool)
+    if cfg.should_copy_attributes("event.attributes"):
+        r, k, v = _dedup_source(*_flatten_map(event_attrs), keep="first")
+        sources.append((r, k, v))
+        if cfg.add_level:
+            lvl = k == "level"
+            has_level[np.unique(r[lvl])] = True
+    if am.event_name:
+        tagged = np.array([f"s:{t}" for t in event_name_np], dtype=object)
+        sources.append(_const_source(np.ones(n, dtype=bool), am.event_name, tagged))
+        if am.event_name == "level":
+            has_level[:] = True
+    if cfg.add_level:
+        sources.append(_const_source(~has_level, "level", sev_text_tagged))
+    if cfg.should_copy_attributes("span.attributes"):
+        r, k, v = _dedup_source(
+            *_flatten_map(events.column("span_attrs")), keep="last"
+        )
+        sources.append((r, k, v))
+    if cfg.include_span_context:
+        state_np = _np_str(events.column("trace_state"))
+        state_m = np.array([s is not None and s != "" for s in state_np], dtype=bool)
+        sources.append(
+            _const_source(
+                state_m,
+                "trace.state",
+                np.array(
+                    [f"s:{s}" if s else None for s in state_np], dtype=object
+                ),
+            )
+        )
+        span_name_np = _np_str(events.column("span_name"))
+        sources.append(
+            _const_source(
+                np.ones(n, dtype=bool),
+                "span.name",
+                np.array([f"s:{s}" for s in span_name_np], dtype=object),
+            )
+        )
+        kind_np = _np_str(events.column("span_kind"))
+        sources.append(
+            _const_source(
+                np.ones(n, dtype=bool),
+                "span.kind",
+                np.array([f"s:{s}" for s in kind_np], dtype=object),
+            )
+        )
+    attributes = merge_attr_sources(n, sources)
+
+    if cfg.should_copy_attributes("resource.attributes"):
+        r, k, v = _dedup_source(
+            *_flatten_map(events.column("resource_attrs")), keep="first"
+        )
+        resource_attrs = merge_attr_sources(n, [(r, k, v)])
+    else:
+        resource_attrs = empty_maps(n)
+
+    if cfg.include_span_context:
+        trace_id = _as_single(events.column("trace_id"))
+        span_id = _as_single(events.column("span_id"))
+    else:
+        trace_id = pa.nulls(n, pa.binary(16))
+        span_id = pa.nulls(n, pa.binary(8))
+
+    obs_ns = (
+        cfg.observed_timestamp_ns
+        if cfg.observed_timestamp_ns is not None
+        else time.time_ns()
+    )
+    sink = severity_class_batch(sev_num)
+
+    arrays = [
+        _as_single(events.column("url")),
+        _as_single(events.column("event_ts")),
+        pa.array(np.full(n, obs_ns, dtype=np.int64), pa.timestamp("ns")),
+        pa.array(sev_num.astype(np.int32), pa.int32()),
+        pa.array(sev_text, pa.string()),
+        pc.cast(_as_single(body), pa.large_string()),
+        attributes,
+        trace_id,
+        span_id,
+        resource_attrs,
+        pa.array(sink, pa.string()),
+        event_name,
+        _as_single(events.column("lang")),
+    ]
+    arrays = [
+        pc.cast(a, f.type) if a.type != f.type else a
+        for a, f in zip(arrays, LOG_RECORDS_SCHEMA)
+    ]
+    return pa.Table.from_arrays(arrays, schema=LOG_RECORDS_SCHEMA)
+
+
+class Enricher:
+    """Actor-pool callable: config compiled once per actor (connector.go:95-112
+    analog — eventNameSet / severity dicts / sorted substring rules)."""
+
+    def __init__(self, cfg: PipelineConfig | dict):
+        if isinstance(cfg, dict):
+            cfg = PipelineConfig.from_dict(cfg)
+        cfg.validate()
+        self.cfg = cfg
+        self._rules = cfg.sorted_event_name_rules()  # precompiled
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return enrich_events_batch(batch, self.cfg)

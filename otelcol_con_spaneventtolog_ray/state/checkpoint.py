@@ -1,0 +1,149 @@
+"""Manifest-driven checkpoint/resume with per-partition lineage + metrics.
+
+North-star requirement (BASELINE.json / SURVEY.md §4): deterministic input
+partitioning at file granularity; after each shard's sinks commit, a manifest
+row `{shard_id, input_files, pages_in, records_out, counts_by_sink,
+duration_sec}` is written ATOMICALLY (tmp + rename). Resume diffs the
+manifest dir against the input listing and reprocesses only missing shards;
+final counts are re-aggregated from manifests without touching data.
+
+Output layout (resumable, never one giant file):
+
+    out_root/
+      shard=0/ sink=error/ *.parquet ...
+      shard=1/ ...
+      _manifests/ shard-0.json ...
+
+Commit protocol per shard: write to `out_root/_tmp/shard=K`, rename the dir
+into place, then write the manifest. A shard is committed iff its manifest
+exists, so a crash between rename and manifest write only re-does one shard
+(the stale dir is removed on retry).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from collections import defaultdict
+from typing import Any
+
+import ray.data
+
+from ..config import PipelineConfig
+from ..pipelines.telemetry import build_log_records, read_pages
+from ..stages.route import routed_counts_from_footers, write_routed
+
+
+def list_input_files(input_dir: str | list[str]) -> list[str]:
+    if isinstance(input_dir, list):
+        return sorted(input_dir)
+    if os.path.isfile(input_dir):
+        return [input_dir]
+    out = []
+    for root, _d, files in os.walk(input_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
+
+
+def plan_shards(files: list[str], shard_size: int) -> list[list[str]]:
+    """Deterministic file-granularity sharding (lexicographic order)."""
+    return [files[i : i + shard_size] for i in range(0, len(files), shard_size)]
+
+
+def _manifest_path(out_root: str, shard_id: int) -> str:
+    return os.path.join(out_root, "_manifests", f"shard-{shard_id}.json")
+
+
+def _write_manifest_atomic(path: str, payload: dict[str, Any]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+    os.rename(tmp, path)
+
+
+def committed_shards(out_root: str) -> dict[int, dict[str, Any]]:
+    mdir = os.path.join(out_root, "_manifests")
+    out: dict[int, dict[str, Any]] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for f in os.listdir(mdir):
+        if f.startswith("shard-") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                m = json.load(fh)
+            out[int(m["shard_id"])] = m
+    return out
+
+
+def run_resumable(
+    input_dir: str | list[str],
+    out_root: str,
+    cfg: PipelineConfig | None = None,
+    *,
+    shard_size: int = 16,
+    fail_after_shards: int | None = None,
+    **build_kwargs: Any,
+) -> dict[str, Any]:
+    """Run the flagship pipeline shard-by-shard with commit manifests.
+
+    Each shard is one streaming Dataset execution over its input files (the
+    intra-shard parallelism is Ray Data's); `fail_after_shards` injects a
+    crash for the resume test. Returns aggregate metrics from manifests.
+    """
+    cfg = cfg or PipelineConfig.default()
+    files = list_input_files(input_dir)
+    shards = plan_shards(files, shard_size)
+    done = committed_shards(out_root)
+
+    for shard_id, shard_files in enumerate(shards):
+        if shard_id in done:
+            if done[shard_id]["input_files"] != shard_files:
+                raise RuntimeError(
+                    f"shard {shard_id} manifest input mismatch — input listing "
+                    "changed since last run; use a fresh out_root"
+                )
+            continue
+        if fail_after_shards is not None and len(done) >= fail_after_shards:
+            raise RuntimeError("injected failure for resume test")
+        t0 = time.perf_counter()
+        final_dir = os.path.join(out_root, f"shard={shard_id}")
+        tmp_dir = os.path.join(out_root, "_tmp", f"shard={shard_id}")
+        for stale in (final_dir, tmp_dir):
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)  # uncommitted leftovers from a crash
+        pages = read_pages(shard_files)
+        pages_in = pages.count()
+        records = build_log_records(pages, cfg, **build_kwargs)
+        os.makedirs(tmp_dir, exist_ok=True)
+        write_routed(records, tmp_dir)
+        os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+        os.rename(tmp_dir, final_dir)
+        counts = routed_counts_from_footers(final_dir)
+        manifest = {
+            "shard_id": shard_id,
+            "input_files": shard_files,
+            "pages_in": pages_in,
+            "records_out": int(sum(counts.values())),
+            "counts_by_sink": counts,
+            "duration_sec": round(time.perf_counter() - t0, 3),
+        }
+        _write_manifest_atomic(_manifest_path(out_root, shard_id), manifest)
+        done[shard_id] = manifest
+
+    # final aggregate purely from manifests (no data re-read)
+    totals: dict[str, int] = defaultdict(int)
+    pages_total = 0
+    for m in done.values():
+        pages_total += m["pages_in"]
+        for sink, n in m["counts_by_sink"].items():
+            totals[sink] += n
+    return {
+        "shards": len(shards),
+        "pages_in": pages_total,
+        "records_out": int(sum(totals.values())),
+        "counts_by_sink": dict(sorted(totals.items())),
+    }

@@ -1,0 +1,81 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+at sf0.001 and compare row-count + sorted-column value equality against its
+oracle_sql() via DuckDB."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _to_df(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        res = res.to_pandas()
+    if isinstance(res, pa.Table):
+        res = res.to_pandas()
+    return res
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _pairs():
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    return qs, sqls
+
+
+def test_every_query_has_callable_and_runs_or_is_listed():
+    qs, sqls = _pairs()
+    assert qs, "queries() must not be empty"
+    missing = set(sqls) - set(qs)
+    assert not missing, f"oracle_sql keys without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", [
+    "pipeline_sink_counts", "pipeline_routed_rows", "pipeline_raw_lines",
+    "pipeline_mapped_severity_counts", "pipeline_body_mapping",
+    "pipeline_filtered_sink_counts", "pipeline_level_attr",
+    "events_severity_route", "events_hourly_counts",
+])
+def test_query_matches_oracle(ray_session, name):
+    qs, sqls = _pairs()
+    got = _canon(_to_df(qs[name](SF_DIR)))
+    con = _duck()
+    exp = _canon(con.execute(sqls[name]).df())
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    res = _to_df(e.entry())
+    assert len(res) >= 0
+    assert list(res.columns) == ["sink", "n"]
