@@ -18,3 +18,7 @@ def register(name: str, fn: Callable[[str], Any], sql: str | None = None) -> Non
     QUERIES[name] = fn
     if sql is not None:
         ORACLE_SQL[name] = sql
+
+
+# registration side effects (safe partial-import: register is defined above)
+from . import dedup, multimodal, similarity, textstats  # noqa: E402,F401

@@ -1,0 +1,197 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All vectorized ``map_batches`` transforms over the ``documents`` table:
+
+* token counting — whitespace tokens AND a BPE-ish regex tokenizer
+* quality scoring — length / punctuation / stopword ratios, fixed formula
+* language ID — marker-substring n-gram heuristic (deterministic argmax)
+* document fingerprinting — md5 over whitespace-normalized lowercased text
+
+Every op keeps an exact DuckDB SQL mirror (registered in entry_queries) so
+the driver's value-hash gate covers it. Scores are rounded to 6 dp so float
+noise can't flip the compare.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .entry_queries import register
+from ..rayenv import remote_kwargs
+
+# BPE-ish token classes: letter runs, digit runs, single other-symbols
+TOKEN_REGEX = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+#: marker substrings per language (counted with spaces to match whole words)
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", [" the ", " and ", " of "]),
+    ("de", [" der ", " und ", " die "]),
+    ("fr", [" le ", " et ", " la "]),
+    ("es", [" el ", " y ", " los "]),
+]
+
+PUNCT_CHARS = ".,;:!?"
+STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+
+
+def _count_sub(col: pa.ChunkedArray | pa.Array, sub: str) -> np.ndarray:
+    return pc.count_substring(col, pattern=sub).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+
+
+def text_stats_batch(batch: pa.Table) -> pa.Table:
+    """documents(doc_id, text) -> per-doc token counts + quality score."""
+    text = batch.column("text")
+    doc_id = batch.column("doc_id")
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    ws_tokens = _count_sub(text, " ") + 1  # single-space word salads
+    bpe_tokens = (
+        pc.count_substring_regex(text, pattern=TOKEN_REGEX)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    punct = np.zeros(len(batch), dtype=np.int64)
+    for ch in PUNCT_CHARS:
+        punct += _count_sub(text, ch)
+    stop_hits = np.zeros(len(batch), dtype=np.int64)
+    for w in STOPWORDS:
+        stop_hits += _count_sub(text, f" {w} ")
+    punct_ratio = np.where(n_chars > 0, punct / n_chars, 0.0)
+    stop_ratio = np.where(ws_tokens > 0, stop_hits / ws_tokens, 0.0)
+    quality = np.round(
+        0.4 * np.minimum(1.0, ws_tokens / 100.0)
+        + 0.3 * np.minimum(1.0, 10.0 * stop_ratio)
+        + 0.3 * (1.0 - np.minimum(1.0, 10.0 * punct_ratio)),
+        6,
+    )
+    return pa.table(
+        {
+            "doc_id": doc_id,
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "ws_tokens": pa.array(ws_tokens, pa.int64()),
+            "bpe_tokens": pa.array(bpe_tokens, pa.int64()),
+            "quality": pa.array(np.round(quality, 6), pa.float64()),
+        }
+    )
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Marker-substring language ID; argmax with first-listed-language ties."""
+    text = pc.ascii_lower(batch.column("text"))
+    n = batch.num_rows
+    scores = np.zeros((len(LANG_MARKERS), n), dtype=np.int64)
+    for li, (_lang, markers) in enumerate(LANG_MARKERS):
+        for m in markers:
+            scores[li] += _count_sub(text, m)
+    best = np.argmax(scores, axis=0)  # first max wins (list order = priority)
+    langs = np.array([l for l, _ in LANG_MARKERS], dtype=object)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "pred_lang": pa.array(langs[best], pa.string()),
+            "en_hits": pa.array(scores[0], pa.int64()),
+        }
+    )
+
+
+_WS_RE = re.compile(r"\s+")
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """md5 fingerprint over lower(whitespace-normalized text)."""
+    texts = batch.column("text").to_pylist()
+    fps = [
+        hashlib.md5(_WS_RE.sub(" ", t.lower()).encode("utf-8")).hexdigest()
+        for t in texts
+    ]
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, pa.string())}
+    )
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
+
+
+def q_text_stats(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        text_stats_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+def q_lang_id(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        lang_id_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        fingerprint_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+def _sub_count_sql(expr: str, sub: str) -> str:
+    return f"(length({expr}) - length(replace({expr}, '{sub}', ''))) // {len(sub)}"
+
+
+_PUNCT_SQL = " + ".join(_sub_count_sql("text", c) for c in PUNCT_CHARS)
+_STOP_SQL = " + ".join(_sub_count_sql("text", f" {w} ") for w in STOPWORDS)
+
+_TEXT_STATS_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         {_sub_count_sql('text', ' ')} + 1 AS ws_tokens,
+         len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS bpe_tokens,
+         ({_PUNCT_SQL}) AS punct,
+         ({_STOP_SQL}) AS stop_hits
+  FROM documents)
+SELECT doc_id, n_chars, ws_tokens, bpe_tokens,
+  round(0.4 * least(1.0, ws_tokens / 100.0)
+      + 0.3 * least(1.0, 10.0 * (CASE WHEN ws_tokens > 0
+                                 THEN stop_hits / CAST(ws_tokens AS DOUBLE) ELSE 0 END))
+      + 0.3 * (1.0 - least(1.0, 10.0 * (CASE WHEN n_chars > 0
+                                 THEN punct / CAST(n_chars AS DOUBLE) ELSE 0 END))),
+      6) AS quality
+FROM s
+"""
+
+_LANG_SCORE_SQLS = [
+    "(" + " + ".join(_sub_count_sql("lower(text)", m) for m in markers) + ")"
+    for _lang, markers in LANG_MARKERS
+]
+_LANG_ID_SQL = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_LANG_SCORE_SQLS[0]} AS s_en, {_LANG_SCORE_SQLS[1]} AS s_de,
+         {_LANG_SCORE_SQLS[2]} AS s_fr, {_LANG_SCORE_SQLS[3]} AS s_es
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       WHEN s_fr >= s_es THEN 'fr'
+       ELSE 'es' END AS pred_lang,
+  s_en AS en_hits
+FROM s
+"""
+
+_FINGERPRINT_SQL = (
+    "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint"
+    " FROM documents"
+)
+
+register("text_stats", q_text_stats, _TEXT_STATS_SQL)
+register("text_lang_id", q_lang_id, _LANG_ID_SQL)
+register("text_fingerprint", q_fingerprint, _FINGERPRINT_SQL)

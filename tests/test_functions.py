@@ -1,0 +1,97 @@
+"""Training-data ops: SQL-checked queries vs DuckDB + semantic tests for the
+rows-only ops (planted duplicates, LSH recall, simhash properties)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from tests.test_entry_queries import SF_DIR, _canon, _duck, _to_df
+
+SQL_CHECKED = [
+    "text_stats", "text_lang_id", "text_fingerprint",
+    "dedup_exact", "dedup_jaccard_pairs",
+    "similarity_cosine_topk", "multimodal_features",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_function_query_matches_oracle(ray_session, name):
+    import __ray_entry__ as e
+
+    got = _canon(_to_df(e.queries()[name](SF_DIR)))
+    exp = _canon(_duck().execute(e.oracle_sql()[name]).df())
+    assert len(got) == len(exp), f"{name}: {len(got)} != {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+def test_minhash_finds_planted_near_dups(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        q_minhash_near_dups,
+        word_shingles,
+    )
+
+    rng = np.random.default_rng(5)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    texts, ids = [], []
+    for i in range(40):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(words, size=60)))
+    # plant near-dups: copy doc 0/1 with one word changed
+    ids += [100, 101]
+    texts += [texts[0].replace("alpha", "omega", 1), texts[1]]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    pairs = q_minhash_near_dups(str(d)).to_pylist()
+    found = {(p["id_a"], p["id_b"]) for p in pairs}
+    assert (0, 100) in found
+    assert (1, 101) in found
+    # sanity: planted exact dup has jaccard 1.0
+    j = [p["jac"] for p in pairs if (p["id_a"], p["id_b"]) == (1, 101)]
+    assert j == [1.0]
+    # no false positives among unrelated docs (random 60-word docs over an
+    # 8-word vocab share words but not 3-gram shingles at >=0.8)
+    for a, b in found:
+        assert b >= 100, f"unexpected near-dup pair {(a, b)}"
+    sh = word_shingles(texts[0])
+    assert 0 < len(sh) <= 58  # 60 words -> at most 58 distinct word-3-grams
+
+
+def test_simhash_near_for_near_texts(ray_session):
+    from otelcol_con_spaneventtolog_ray.functions.dedup import simhash64
+
+    base = " ".join(f"tok{i}" for i in range(200))
+    near = base.replace("tok5 ", "tokX ", 1)
+    far = " ".join(f"other{i}" for i in range(200))
+    h1, h2, h3 = simhash64(base), simhash64(near), simhash64(far)
+    ham12 = bin(h1 ^ h2).count("1")
+    ham13 = bin(h1 ^ h3).count("1")
+    assert ham12 < 8 < ham13
+
+
+def test_lsh_buckets_group_similar(ray_session):
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["similarity_lsh_buckets"](SF_DIR))
+    assert set(out.columns) == {"vec_id", "bucket"}
+    assert out["bucket"].between(0, 255).all()
+    assert len(out) == 500
+
+
+def test_minhash_buckets_query_runs(ray_session):
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["dedup_minhash_buckets"](SF_DIR))
+    assert set(out.columns) == {"band", "bucket", "n"}
+    assert (out["n"] > 1).all()
+
+
+def test_multimodal_decode_stub():
+    from otelcol_con_spaneventtolog_ray.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
