@@ -208,6 +208,22 @@ def _q_events_hourly_counts(sf_dir: str):
     return counts_table(ds, ["hour", "event_type"])
 
 
+def _q_pipeline_stats(sf_dir: str):
+    """Self-telemetry counters (op M analog): pages / lines / events found /
+    processed / malformed, summed over per-batch counter rows."""
+    from otelcol_con_spaneventtolog_ray.stages.parse import make_parse_stats_fn
+
+    ds = _pages_ds(sf_dir).map_batches(
+        make_parse_stats_fn(("exception", "custom")),
+        batch_format="pyarrow",
+        **remote_kwargs(),
+    )
+    df = ds.to_pandas().sum().to_frame().T
+    import pandas as pd
+
+    return pd.DataFrame({c: df[c].astype("int64") for c in df.columns})
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: full parse->enrich over embedded pages,
     returning the per-sink routed counts (small, stable schema)."""
@@ -223,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_body_mapping": _q_body_mapping,
         "pipeline_filtered_sink_counts": _q_filtered_sink_counts,
         "pipeline_level_attr": _q_level_attr,
+        "pipeline_stats": _q_pipeline_stats,
         "events_severity_route": _q_events_severity_route,
         "events_hourly_counts": _q_events_hourly_counts,
     }
@@ -346,6 +363,17 @@ def oracle_sql() -> dict[str, str]:
         + f"SELECT {_URL_SQL} AS url, {_EVENT_NAME_SQL} AS event_name,"
         f" CASE WHEN k = 0 THEN 'error' WHEN k = 3 THEN 'warn2'"
         f" ELSE 'info' END AS level FROM ev",
+        # lines/page = 1 (doc text) + (doc_id % 4) embedded event lines;
+        # include filter keeps exception (k=0) and custom (k=1); malformed=0
+        "pipeline_stats": "SELECT count(*) AS pages,"
+        " CAST(count(*) + sum(doc_id % 4) AS BIGINT) AS lines_total,"
+        " CAST(sum(doc_id % 4) AS BIGINT) AS otel_lines,"
+        " CAST(sum(doc_id % 4) AS BIGINT) AS total_events_found,"
+        " CAST((SELECT count(*) FROM (SELECT doc_id, unnest(range(doc_id % 4)) AS j"
+        " FROM documents) t WHERE (t.doc_id + t.j) % 5 IN (0, 1)) AS BIGINT)"
+        " AS events_processed,"
+        " CAST(0 AS BIGINT) AS malformed_lines"
+        " FROM documents",
         "events_severity_route": "SELECT event_type,"
         f" {_EVENTS_ROUTE_CASE} AS severity_text, count(*) AS n FROM events"
         " GROUP BY 1, 2 ORDER BY 1, 2",

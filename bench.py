@@ -184,8 +184,12 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--json-only", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--rep", type=int, default=None)
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    # default 2->8: on one box, 4x cores share ONE memory controller, so the
+    # bandwidth-uncontended regime is the faithful proxy for N->4N NODES
+    # (each node brings its own bandwidth); 8->32 results are also recorded
+    # in BASELINE.md showing the single-box saturation effect.
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
     args = ap.parse_args()
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))

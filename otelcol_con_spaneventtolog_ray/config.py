@@ -93,6 +93,23 @@ class PipelineConfig:
         cfg.validate()
         return cfg
 
+    @staticmethod
+    def from_yaml(source: str) -> "PipelineConfig":
+        """Build from YAML text or a path to a YAML file — the analog of the
+        Collector unmarshalling YAML onto Config (factory.go:18-43). Accepts
+        the connector's exact mapstructure key vocabulary; validated on load.
+        """
+        import os
+
+        import yaml
+
+        if os.path.exists(source):
+            with open(source) as f:
+                data = yaml.safe_load(f)
+        else:
+            data = yaml.safe_load(source)
+        return PipelineConfig.from_dict(data or {})
+
     def sorted_event_name_rules(self) -> list[tuple[str, int, str]]:
         """severity_by_event_name rules as (lower_key, number, canon_text),
         sorted longest-key-first with lexicographic tiebreak (deterministic

@@ -263,3 +263,42 @@ def make_parse_fn(include_event_names: tuple[str, ...] = ()):
         return parse_pages_batch(batch, include_event_names)
 
     return _parse
+
+
+# ---------------------------------------------------------------------------
+# self-telemetry (SURVEY.md §2 op M: total_events_found / events_processed /
+# malformed dead-letters, as per-batch counter rows summed downstream)
+# ---------------------------------------------------------------------------
+
+def make_parse_stats_fn(include_event_names: tuple[str, ...] = ()):
+    """map_batches fn emitting ONE counter row per batch; sum for totals."""
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        n_pages = batch.num_rows
+        text = batch.column("text")
+        newlines = pc.sum(pc.count_substring(text, pattern="\n")).as_py() or 0
+        lines_total = newlines + n_pages
+        otel_lines = (pc.sum(pc.count_substring(text, pattern="\nOTEL1 ")).as_py() or 0) + (
+            pc.sum(
+                pc.cast(pc.starts_with(text, "OTEL1 "), pa.int64())
+            ).as_py()
+            or 0
+        )
+        parsed = parse_pages_batch(batch).num_rows
+        kept = (
+            parse_pages_batch(batch, include_event_names).num_rows
+            if include_event_names
+            else parsed
+        )
+        return pa.table(
+            {
+                "pages": pa.array([n_pages], pa.int64()),
+                "lines_total": pa.array([lines_total], pa.int64()),
+                "otel_lines": pa.array([otel_lines], pa.int64()),
+                "total_events_found": pa.array([parsed], pa.int64()),
+                "events_processed": pa.array([kept], pa.int64()),
+                "malformed_lines": pa.array([otel_lines - parsed], pa.int64()),
+            }
+        )
+
+    return _stats

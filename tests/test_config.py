@@ -58,6 +58,17 @@ def test_from_dict_roundtrip():
     assert cfg.attribute_mappings.severity_number == ""
 
 
+def test_from_yaml():
+    cfg = PipelineConfig.from_yaml(
+        "include_event_names: [a]\nadd_level: true\n"
+        "attribute_mappings: {severity_text: st}\n"
+    )
+    assert cfg.include_event_names == ("a",)
+    assert cfg.add_level and cfg.attribute_mappings.severity_text == "st"
+    with pytest.raises(ValueError):
+        PipelineConfig.from_yaml("severity_by_event_name: {x: nope}")
+
+
 def test_sorted_rules_longest_first_lexicographic_tiebreak():
     cfg = PipelineConfig(
         severity_by_event_name={
