@@ -110,13 +110,33 @@ def run_single(sf_dir: str, num_cpus: int, rep: int) -> dict:
             read_pages(os.path.join(pages_dir, first_file)), cfg
         ).count()
 
-        # q1: full DAG — read -> parse -> enrich -> routed write -> counts
+        # q1: full DAG — read -> parse -> enrich -> routed write -> counts.
+        # best-of-N timed runs: wall time on this shared box is ~20% noisy,
+        # so the scaling mode (where a single outlier corrupts the ratio)
+        # takes the best of two; the default single run stays one-shot.
+        reps_timed = 2 if os.environ.get("RAY_GRAFT_SCALING") else 1
         out_dir = "/tmp/graft_bench_out"
-        shutil.rmtree(out_dir, ignore_errors=True)
-        t0 = time.perf_counter()
-        counts = run_pipeline(pages_dir, out_dir, cfg)
-        queries["pipeline_full"] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(reps_timed):
+            shutil.rmtree(out_dir, ignore_errors=True)
+            t0 = time.perf_counter()
+            counts = run_pipeline(pages_dir, out_dir, cfg)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries["pipeline_full"] = round(best, 3)
         events = int(sum(counts.values()))
+        if os.environ.get("RAY_GRAFT_SCALING"):
+            total = queries["pipeline_full"]
+            return {
+                "metric": "flagship parse->enrich->route->aggregate wall sec",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": os.path.basename(os.path.normpath(sf_dir)),
+                "num_cpus": num_cpus,
+                "events": events,
+                "events_per_sec": int(events / total) if total else 0,
+            }
 
         # q2: parse+enrich -> salted two-phase aggregate (no write)
         t0 = time.perf_counter()
@@ -151,7 +171,7 @@ def run_scaling(sf_dir: str, rep: int, n_low: int, n_high: int) -> dict:
     results = {}
     for n in (n_low, n_high):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
-                   RAY_GRAFT_BENCH_REP=str(rep))
+                   RAY_GRAFT_BENCH_REP=str(rep), RAY_GRAFT_SCALING="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--json-only"],
             env=env, capture_output=True, text=True, timeout=3600,

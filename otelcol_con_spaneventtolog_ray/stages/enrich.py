@@ -70,20 +70,21 @@ def _np_str(arr) -> np.ndarray:
 def map_first_lookup(ma: pa.MapArray, key: str) -> tuple[np.ndarray, np.ndarray]:
     """First-occurrence Map.Get semantics: (tags, values) object arrays,
     None where the key is absent. Values are the untagged payload strings."""
-    got = pc.map_lookup(ma, query_key=key, occurrence="first")
-    tagged = _np_str(got)
-    tags = np.full(len(tagged), None, dtype=object)
-    vals = np.full(len(tagged), None, dtype=object)
-    present = np.array([t is not None for t in tagged], dtype=bool)
-    if present.any():
-        tv = tagged[present]
-        tags[present] = [t[0] if len(t) >= 2 else "" for t in tv]
-        vals[present] = [t[2:] for t in tv]
+    got = _as_single(pc.map_lookup(ma, query_key=key, occurrence="first"))
+    # tagged payloads are 't:v'; a degenerate <2-char payload gets tag ''
+    long_enough = pc.greater_equal(pc.utf8_length(got), 2)
+    tags_arr = pc.if_else(
+        long_enough, pc.utf8_slice_codeunits(got, start=0, stop=1), pa.scalar("")
+    )
+    tags = tags_arr.to_numpy(zero_copy_only=False)
+    vals = pc.utf8_slice_codeunits(got, start=2, stop=1 << 30).to_numpy(
+        zero_copy_only=False
+    )
     return tags, vals
 
 
-def _flatten_map(ma: pa.MapArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(rows, keys, tagged_values) flattened numpy views of a map column."""
+def _flatten_map(ma: pa.MapArray) -> tuple[np.ndarray, pa.Array, pa.Array]:
+    """(rows, keys, tagged_values): numpy row ids + Arrow child slices."""
     ma = _as_single(ma)
     offsets = np.frombuffer(ma.buffers()[1], dtype=np.int32)[
         ma.offset : ma.offset + len(ma) + 1
@@ -92,70 +93,81 @@ def _flatten_map(ma: pa.MapArray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     rows = np.repeat(np.arange(len(ma), dtype=np.int64), counts)
     # .keys/.items are the raw children (offset-unaware) -> slice explicitly
     lo, hi = int(offsets[0]), int(offsets[-1])
-    keys = ma.keys.slice(lo, hi - lo).to_numpy(zero_copy_only=False)
-    vals = ma.items.slice(lo, hi - lo).to_numpy(zero_copy_only=False)
+    keys = ma.keys.slice(lo, hi - lo)
+    vals = ma.items.slice(lo, hi - lo)
     return rows, keys, vals
 
 
+def _key_codes(keys: pa.Array, rows: np.ndarray) -> np.ndarray:
+    """(row, key) pair ids: Arrow-side key dictionary-encode (C++ hash), then
+    integer combine — avoids Python-object hashing entirely."""
+    enc = pc.dictionary_encode(keys)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    k = len(enc.dictionary)
+    return rows * max(k, 1) + codes
+
+
+def _group_first_last(pair: np.ndarray) -> tuple[np.ndarray, np.ndarray] | None:
+    """Per distinct pair: (first_idx, last_idx) original positions, or None
+    when there are no duplicates at all."""
+    order0 = np.argsort(pair, kind="stable")
+    sp = pair[order0]
+    grp_start = np.ones(len(sp), dtype=bool)
+    grp_start[1:] = sp[1:] != sp[:-1]
+    if grp_start.all():
+        return None
+    starts = np.flatnonzero(grp_start)
+    ends = np.concatenate([starts[1:], [len(sp)]]) - 1
+    return order0[starts], order0[ends]
+
+
 def _dedup_source(
-    rows: np.ndarray, keys: np.ndarray, vals: np.ndarray, keep: str
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    rows: np.ndarray, keys: pa.Array, vals: pa.Array, keep: str
+) -> tuple[np.ndarray, pa.Array, pa.Array]:
     """Within-source duplicate-key handling: position of first, value per `keep`."""
     if len(rows) == 0:
         return rows, keys, vals
-    df = pd.DataFrame({"r": rows, "k": keys})
-    dup_any = df.duplicated(subset=["r", "k"], keep=False).any()
-    if not dup_any:
+    fl = _group_first_last(_key_codes(keys, rows))
+    if fl is None:
         return rows, keys, vals
-    if keep == "first":
-        m = ~df.duplicated(subset=["r", "k"], keep="first").to_numpy()
-        return rows[m], keys[m], vals[m]
-    # keep last value at first position
-    first_m = ~df.duplicated(subset=["r", "k"], keep="first").to_numpy()
-    last_idx = df[::-1].drop_duplicates(subset=["r", "k"]).index.to_numpy()[::-1]
-    # map (r,k) -> last value
-    last_vals = pd.Series(vals[last_idx], index=pd.MultiIndex.from_arrays(
-        [rows[last_idx], keys[last_idx]]))
-    out_vals = last_vals.loc[
-        pd.MultiIndex.from_arrays([rows[first_m], keys[first_m]])
-    ].to_numpy()
-    return rows[first_m], keys[first_m], out_vals
+    first_idx, last_idx = fl
+    val_idx = first_idx if keep == "first" else last_idx
+    o = np.argsort(first_idx)  # restore insertion order (rows stay sorted)
+    first_idx, val_idx = first_idx[o], val_idx[o]
+    return rows[first_idx], keys.take(first_idx), vals.take(val_idx)
 
 
 def merge_attr_sources(
-    n: int, sources: list[tuple[np.ndarray, np.ndarray, np.ndarray]]
+    n: int, sources: list[tuple[np.ndarray, pa.Array, pa.Array]]
 ) -> pa.MapArray:
     """Merge ordered (rows, keys, tagged_vals) sources into one map column with
     reference collision semantics: first-source insertion position, last-source
     value. Sources must each be sorted by row."""
+    sources = [s for s in sources if len(s[0])]
     if not sources:
         return empty_maps(n)
     rows = np.concatenate([s[0] for s in sources])
-    keys = np.concatenate([s[1] for s in sources]).astype(object)
-    vals = np.concatenate([s[2] for s in sources]).astype(object)
-    if len(rows) == 0:
-        return empty_maps(n)
-    seq = np.arange(len(rows), dtype=np.int64)
-    df = pd.DataFrame({"r": rows, "k": keys})
-    if df.duplicated(subset=["r", "k"], keep=False).any():
-        df["seq"] = seq
-        g = df.groupby(["r", "k"], sort=False)["seq"]
-        first_seq = g.transform("min").to_numpy()
-        last_seq = g.transform("max").to_numpy()
-        keep = seq == last_seq
-        rows, keys, vals, pos = rows[keep], keys[keep], vals[keep], first_seq[keep]
-        order = np.lexsort((pos, rows))
+    keys = pa.concat_arrays([_as_single(s[1]) for s in sources])
+    vals = pa.concat_arrays([_as_single(s[2]) for s in sources])
+    fl = _group_first_last(_key_codes(keys, rows))
+    if fl is None:
+        # no collisions: per-row order is (source, local) = global seq order
+        # within each row because sources are concatenated in order
+        idx = np.argsort(rows, kind="stable")
+        rows_f = rows[idx]
     else:
-        # no collisions: per-row order is (source, local) which equals global
-        # seq order within each row because sources are concatenated in order
-        order = np.lexsort((seq, rows))
-    rows, keys, vals = rows[order], keys[order], vals[order]
-    counts = np.bincount(rows, minlength=n).astype(np.int64)
+        first_idx, last_idx = fl
+        # row-major, then first-writer position within the row; value/key
+        # taken from the last writer of each (row, key) pair
+        o = np.lexsort((first_idx, rows[first_idx]))
+        idx = last_idx[o]
+        rows_f = rows[first_idx[o]]
+    counts = np.bincount(rows_f, minlength=n).astype(np.int64)
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
     return pa.MapArray.from_arrays(
-        pa.array(offsets, pa.int32()),
-        pa.array(keys, pa.string()),
-        pa.array(vals, pa.string()),
+        pa.array(offsets, pa.int32()), keys.take(idx), vals.take(idx)
     )
 
 
@@ -167,11 +179,22 @@ def empty_maps(n: int) -> pa.MapArray:
     )
 
 
+def _tag_s(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """'s:' + value, vectorized (string-tag rendering for synthetic attrs)."""
+    return _as_single(
+        pc.binary_join_element_wise(pa.scalar("s:"), _as_single(arr), pa.scalar(""))
+    )
+
+
 def _const_source(
-    mask: np.ndarray, key: str, tagged_vals: np.ndarray
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    mask: np.ndarray, key: str, tagged_vals: pa.Array
+) -> tuple[np.ndarray, pa.Array, pa.Array]:
     rows = np.nonzero(mask)[0].astype(np.int64)
-    return rows, np.full(len(rows), key, dtype=object), tagged_vals[mask]
+    if len(rows) == len(mask):
+        vals = _as_single(tagged_vals)
+    else:
+        vals = _as_single(tagged_vals).take(rows)
+    return rows, _as_single(pa.repeat(key, len(rows))), vals
 
 
 def enrich_events_batch(events: pa.Table, cfg: PipelineConfig) -> pa.Table:
@@ -251,21 +274,23 @@ def enrich_events_batch(events: pa.Table, cfg: PipelineConfig) -> pa.Table:
             body = pa.array(body_np, pa.string())
 
     # --- attributes map build (connector.go:361-403) ---
-    sev_text_tagged = np.array([f"s:{t}" for t in sev_text], dtype=object)
-    sources: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    sources: list[tuple[np.ndarray, pa.Array, pa.Array]] = []
     has_level = np.zeros(n, dtype=bool)
     if cfg.should_copy_attributes("event.attributes"):
         r, k, v = _dedup_source(*_flatten_map(event_attrs), keep="first")
         sources.append((r, k, v))
         if cfg.add_level:
-            lvl = k == "level"
+            lvl = pc.equal(k, "level").to_numpy(zero_copy_only=False)
+            lvl = np.nan_to_num(lvl, nan=False).astype(bool)
             has_level[np.unique(r[lvl])] = True
     if am.event_name:
-        tagged = np.array([f"s:{t}" for t in event_name_np], dtype=object)
-        sources.append(_const_source(np.ones(n, dtype=bool), am.event_name, tagged))
+        sources.append(
+            _const_source(np.ones(n, dtype=bool), am.event_name, _tag_s(event_name))
+        )
         if am.event_name == "level":
             has_level[:] = True
     if cfg.add_level:
+        sev_text_tagged = _tag_s(pa.array(sev_text, pa.string()))
         sources.append(_const_source(~has_level, "level", sev_text_tagged))
     if cfg.should_copy_attributes("span.attributes"):
         r, k, v = _dedup_source(
@@ -273,31 +298,24 @@ def enrich_events_batch(events: pa.Table, cfg: PipelineConfig) -> pa.Table:
         )
         sources.append((r, k, v))
     if cfg.include_span_context:
-        state_np = _np_str(events.column("trace_state"))
-        state_m = np.array([s is not None and s != "" for s in state_np], dtype=bool)
-        sources.append(
-            _const_source(
-                state_m,
-                "trace.state",
-                np.array(
-                    [f"s:{s}" if s else None for s in state_np], dtype=object
-                ),
-            )
-        )
-        span_name_np = _np_str(events.column("span_name"))
+        state = _as_single(events.column("trace_state"))
+        state_m = pc.and_kleene(
+            pc.is_valid(state), pc.not_equal(state, "")
+        ).to_numpy(zero_copy_only=False)
+        state_m = np.nan_to_num(state_m, nan=False).astype(bool)
+        sources.append(_const_source(state_m, "trace.state", _tag_s(state)))
         sources.append(
             _const_source(
                 np.ones(n, dtype=bool),
                 "span.name",
-                np.array([f"s:{s}" for s in span_name_np], dtype=object),
+                _tag_s(events.column("span_name")),
             )
         )
-        kind_np = _np_str(events.column("span_kind"))
         sources.append(
             _const_source(
                 np.ones(n, dtype=bool),
                 "span.kind",
-                np.array([f"s:{s}" for s in kind_np], dtype=object),
+                _tag_s(events.column("span_kind")),
             )
         )
     attributes = merge_attr_sources(n, sources)

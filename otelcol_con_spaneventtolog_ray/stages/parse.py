@@ -91,6 +91,10 @@ def hex_to_fixed_binary(arr: pa.Array, nbytes: int) -> tuple[pa.Array, np.ndarra
     return out, valid
 
 
+def _combine(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
 def _parents_from_list(list_arr: pa.Array) -> np.ndarray:
     """Row index of each flattened element of a list array."""
     if isinstance(list_arr, pa.ChunkedArray):
@@ -231,6 +235,16 @@ def parse_pages_batch(
         fields = {k: v.filter(imask) for k, v in fields.items()}
 
     take_idx = pa.array(parents)
+    # one attrs-parse pass over all three sources, then zero-copy slices
+    m = len(lines)
+    combined = pa.concat_arrays(
+        [
+            _combine(fields["attrs"]),
+            _combine(fields["sattrs"]),
+            _combine(fields["rattrs"]),
+        ]
+    )
+    all_maps = parse_attrs_column(combined)
     cols = {
         "url": pc.take(batch.column("url"), take_idx),
         "warc_ts": pc.take(batch.column("warc_ts"), take_idx),
@@ -242,9 +256,9 @@ def parse_pages_batch(
         "trace_state": unescape_array(fields["state"]),
         "event_name": event_name,
         "event_ts": pc.cast(ts_int, pa.timestamp("ns")),
-        "event_attrs": parse_attrs_column(fields["attrs"]),
-        "span_attrs": parse_attrs_column(fields["sattrs"]),
-        "resource_attrs": parse_attrs_column(fields["rattrs"]),
+        "event_attrs": all_maps.slice(0, m),
+        "span_attrs": all_maps.slice(m, m),
+        "resource_attrs": all_maps.slice(2 * m, m),
         "raw": pc.cast(lines, pa.large_string()),
     }
     arrays = []
