@@ -1,0 +1,73 @@
+"""CLI: run the flagship parse -> enrich -> route -> aggregate pipeline.
+
+The standalone analog of wiring the connector into a Collector pipeline via
+YAML (reference factory.go:18-43): point it at a pages Parquet directory and
+a YAML config using the connector's exact key vocabulary, get routed
+partitioned Parquet plus per-sink counts.
+
+    python -m otelcol_con_spaneventtolog_ray INPUT OUT [--config cfg.yaml]
+        [--resumable] [--shard-size N] [--num-cpus N]
+
+Owns its Ray session (guarded init; the driver/test contract never imports
+this module).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="otelcol_con_spaneventtolog_ray")
+    ap.add_argument("input", help="pages Parquet file or directory")
+    ap.add_argument("output", help="output directory (partitioned by sink)")
+    ap.add_argument("--config", help="YAML pipeline config (connector vocabulary)")
+    ap.add_argument("--resumable", action="store_true",
+                    help="manifest-per-shard checkpointing; re-running skips "
+                         "committed shards")
+    ap.add_argument("--shard-size", type=int, default=16,
+                    help="input files per resumable shard")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    from .config import PipelineConfig
+    from .pipelines.telemetry import run_pipeline
+    from .state.checkpoint import run_resumable
+
+    started = False
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            **({"num_cpus": args.num_cpus} if args.num_cpus else {}),
+        )
+        started = True
+    try:
+        cfg = (
+            PipelineConfig.from_yaml(args.config)
+            if args.config
+            else PipelineConfig.default()
+        )
+        if args.resumable:
+            result = run_resumable(
+                args.input, args.output, cfg, shard_size=args.shard_size
+            )
+        else:
+            counts = run_pipeline(args.input, args.output, cfg)
+            result = {
+                "records_out": int(sum(counts.values())),
+                "counts_by_sink": counts,
+            }
+        print(json.dumps(result))
+        return 0
+    finally:
+        if started:  # never tear down a caller-owned session
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

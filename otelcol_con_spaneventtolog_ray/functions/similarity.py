@@ -147,5 +147,187 @@ def q_lsh_ann(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (dedup family) — exact, SQL-checked
+# ---------------------------------------------------------------------------
+
+NEARDUP_THRESHOLD = 0.38  # chosen so the synthetic tables yield 100-2000 pairs
+
+
+def q_embedding_neardup(sf_dir: str):
+    """All pairs (id_a < id_b) with cosine >= threshold — exact near-dup.
+
+    The normalized full matrix is broadcast ONCE via ray.put (the embeddings
+    table is the small side at test scale); each map_batches task scores its
+    block against it, so only qualifying pairs leave workers. At 100 TB the
+    LSH buckets (similarity_lsh_buckets) become the partitioning key and this
+    exact scoring runs within buckets only.
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    full = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    f_ids, f_mat = _batch_matrix(full)
+    ref = ray.put((f_ids, _norm_rows(f_mat)))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        bids, bn = ray.get(ref)
+        aids, amat = _batch_matrix(batch)
+        sims = np.round(_norm_rows(amat) @ bn.T, 6)  # (batch, N)
+        ai, bj = np.nonzero((sims >= NEARDUP_THRESHOLD) & (aids[:, None] < bids[None, :]))
+        return pa.table(
+            {
+                "id_a": pa.array(aids[ai], pa.int64()),
+                "id_b": pa.array(bids[bj], pa.int64()),
+                "score": pa.array(sims[ai, bj], pa.float64()),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(pairs, batch_format="pyarrow", **remote_kwargs())
+
+
+_NEARDUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6)
+      >= {NEARDUP_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF — coarse-quantizer cells (SQL-checked) + nprobe ANN top-k (rows-only)
+# ---------------------------------------------------------------------------
+
+IVF_CELLS = 8  # centroids = the first IVF_CELLS vectors by vec_id (deterministic)
+IVF_NPROBE = 2
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids, mat = _batch_matrix(t)
+    order = np.argsort(ids)[:IVF_CELLS]
+    return _norm_rows(mat[order])
+
+
+def _assign_cells(mat: np.ndarray, cn: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(cell, rounded score) per row: argmax cosine, ties -> lowest cell id."""
+    sims = np.round(_norm_rows(mat) @ cn.T, 6)
+    cell = np.argmax(sims, axis=1).astype(np.int64)  # first max wins
+    return cell, sims[np.arange(len(cell)), cell]
+
+
+def q_ivf_cells(sf_dir: str):
+    """IVF coarse assignment: (vec_id, cell, score). The cell is the
+    partitioning key of the scale path — a 100 TB index co-locates each cell's
+    vectors so a query touches only nprobe partitions."""
+    import ray
+
+    cref = ray.put(_ivf_centroids(sf_dir))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cref)
+        ids, mat = _batch_matrix(batch)
+        cell, score = _assign_cells(mat, cn)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(assign, batch_format="pyarrow", **remote_kwargs())
+
+
+_IVF_S = [
+    f"round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),"
+    f" CAST((SELECT embedding FROM embeddings WHERE vec_id = {i}) AS DOUBLE[])), 6)"
+    for i in range(IVF_CELLS)
+]
+_IVF_CELL_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN {' AND '.join(f's{i} >= s{j}' for j in range(i + 1, IVF_CELLS))} THEN {i}"
+        for i in range(IVF_CELLS - 1)
+    )
+    + f" ELSE {IVF_CELLS - 1} END"
+)
+_IVF_CELLS_SQL = (
+    "WITH s AS (SELECT e.vec_id, "
+    + ", ".join(f"{expr} AS s{i}" for i, expr in enumerate(_IVF_S))
+    + " FROM embeddings e)"
+    + f" SELECT vec_id, {_IVF_CELL_CASE} AS cell,"
+    + f" greatest({', '.join(f's{i}' for i in range(IVF_CELLS))}) AS score FROM s"
+)
+
+
+def q_ivf_topk(sf_dir: str):
+    """ANN top-k: each query probes its IVF_NPROBE nearest cells and scores
+    only those cells' members (rows-only check; recall vs the exact top-k is
+    asserted structurally in tests)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray
+
+    cn = _ivf_centroids(sf_dir)
+    qt = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    q_ids, q_mat = _batch_matrix(qt.slice(0, NUM_QUERIES))
+    qn = _norm_rows(q_mat)
+    # per-query probe cells: the IVF_NPROBE highest-cosine centroids
+    q_sims = np.round(qn @ cn.T, 6)
+    probes = np.argsort(-q_sims, kind="stable", axis=1)[:, :IVF_NPROBE]
+    ref = ray.put((q_ids, qn, probes, cn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, qnn, prb, cnn = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        mn = _norm_rows(mat)
+        cell, _ = _assign_cells(mat, cnn)
+        sims = np.round(mn @ qnn.T, 6)  # (batch, Q)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            m = np.isin(cell, prb[qi]) & (ids != qid)
+            cids, csims = ids[m], sims[m, qi]
+            order = np.lexsort((cids, -csims))[:TOP_K]
+            out_q += [int(qid)] * len(order)
+            out_n += cids[order].tolist()
+            out_s += csims[order].tolist()
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "nid": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        _emb(sf_dir)
+        .map_batches(local_topk, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    partials = partials.sort_values(
+        ["qid", "score", "nid"], ascending=[True, False, True], kind="stable"
+    )
+    top = partials.groupby("qid", sort=True).head(TOP_K).reset_index(drop=True)
+    top["rank"] = top.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        top[["qid", "nid", "rank", "score"]], preserve_index=False
+    )
+
+
 register("similarity_cosine_topk", q_cosine_topk, _COSINE_SQL)
 register("similarity_lsh_buckets", q_lsh_ann)  # rows-only
+register("dedup_embedding_neardup", q_embedding_neardup, _NEARDUP_SQL)
+register("similarity_ivf_cells", q_ivf_cells, _IVF_CELLS_SQL)
+register("similarity_ivf_topk", q_ivf_topk)  # rows-only (ANN)

@@ -1,0 +1,48 @@
+"""CLI: YAML config -> routed parquet + counts, resumable mode skips shards."""
+
+import json
+
+import pyarrow.parquet as pq
+
+from otelcol_con_spaneventtolog_ray.__main__ import main
+from otelcol_con_spaneventtolog_ray.sources.synth import generate_pages_table
+
+
+def _write_pages(tmp_path, n_files=2, pages=120):
+    d = tmp_path / "pages"
+    d.mkdir()
+    for i in range(n_files):
+        pq.write_table(
+            generate_pages_table(pages, seed=i), str(d / f"part-{i}.parquet")
+        )
+    return str(d)
+
+
+def test_cli_run_with_yaml_config(ray_session, tmp_path, capsys):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "include_event_names: [exception, custom]\n"
+        "severity_by_event_name:\n  exception: error\n"
+    )
+    pages = _write_pages(tmp_path)
+    out = str(tmp_path / "out")
+    assert main([pages, out, "--config", str(cfg)]) == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["records_out"] == sum(result["counts_by_sink"].values())
+    assert set(result["counts_by_sink"]) <= {"error", "info"}
+    assert result["records_out"] > 0
+    # routed partition dirs exist and fsum matches
+    sinks = {p.name for p in (tmp_path / "out").iterdir() if p.is_dir()}
+    assert sinks == {f"sink={s}" for s in result["counts_by_sink"]}
+
+
+def test_cli_resumable(ray_session, tmp_path, capsys):
+    pages = _write_pages(tmp_path, n_files=3)
+    out = str(tmp_path / "out")
+    assert main([pages, out, "--resumable", "--shard-size", "1"]) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["shards"] == 3
+    # second run: all shards committed, identical totals
+    assert main([pages, out, "--resumable", "--shard-size", "1"]) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["counts_by_sink"] == r1["counts_by_sink"]

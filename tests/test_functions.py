@@ -12,6 +12,7 @@ SQL_CHECKED = [
     "text_stats", "text_lang_id", "text_fingerprint",
     "dedup_exact", "dedup_jaccard_pairs",
     "similarity_cosine_topk", "multimodal_features",
+    "dedup_embedding_neardup", "similarity_ivf_cells",
 ]
 
 
@@ -88,6 +89,57 @@ def test_minhash_buckets_query_runs(ray_session):
     out = _to_df(e.queries()["dedup_minhash_buckets"](SF_DIR))
     assert set(out.columns) == {"band", "bucket", "n"}
     assert (out["n"] > 1).all()
+
+
+def test_ivf_topk_structure_and_scores(ray_session):
+    """ANN results: <=k per query, scores descending, every (q, n) score
+    equals the exact brute-force cosine, and every neighbor lives in one of
+    the query's probed cells."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions.similarity import (
+        IVF_NPROBE,
+        NUM_QUERIES,
+        TOP_K,
+        _assign_cells,
+        _batch_matrix,
+        _ivf_centroids,
+        _norm_rows,
+    )
+
+    out = _to_df(e.queries()["similarity_ivf_topk"](SF_DIR))
+    full = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ids, mat = _batch_matrix(full)
+    nm = _norm_rows(mat)
+    cn = _ivf_centroids(SF_DIR)
+    cell, _ = _assign_cells(mat, cn)
+    cell_of = dict(zip(ids.tolist(), cell.tolist()))
+    sims = np.round(nm @ nm.T, 6)
+    idx_of = {v: i for i, v in enumerate(ids.tolist())}
+    q_sims = np.round(nm[: NUM_QUERIES] @ cn.T, 6)
+    probes = np.argsort(-q_sims, kind="stable", axis=1)[:, :IVF_NPROBE]
+    assert out["qid"].nunique() == NUM_QUERIES
+    for qid, grp in out.groupby("qid"):
+        assert len(grp) <= TOP_K
+        assert (grp.sort_values("rank")["score"].diff().dropna() <= 0).all()
+        for _, row in grp.iterrows():
+            assert row["score"] == sims[idx_of[qid], idx_of[row["nid"]]]
+            assert cell_of[row["nid"]] in probes[qid]
+
+
+def test_embedding_neardup_symmetry_and_threshold(ray_session):
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions.similarity import (
+        NEARDUP_THRESHOLD,
+    )
+
+    out = _to_df(e.queries()["dedup_embedding_neardup"](SF_DIR))
+    assert (out["id_a"] < out["id_b"]).all()
+    assert (out["score"] >= NEARDUP_THRESHOLD).all()
+    assert len(out) > 0
+    assert not out.duplicated(["id_a", "id_b"]).any()
 
 
 def test_multimodal_decode_stub():
