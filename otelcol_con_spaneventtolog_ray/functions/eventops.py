@@ -1,0 +1,212 @@
+"""Event-stream operators Ray Data lacks natively, composed per SURVEY.md §2's
+"custom operators" rule: sessionization (windowed aggregate), as-of join, and
+top-k per group via ``groupby().map_groups`` over a per-key partition; a
+broadcast-join enrichment via a tiny two-phase aggregate shipped with
+``ray.put``. All over the driver's ``events`` table, each with an exact DuckDB
+oracle.
+
+Partitioning assumption (documented per the rule): the groupby key
+(``user_id`` / ``event_type``) co-locates each group on one worker, so the
+in-group sort/scan is local; at 100 TB the key must be salted only for
+aggregates, never for these order-dependent windows (a hot user's history must
+stay together).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .entry_queries import register
+from ..rayenv import remote_kwargs
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+TOPK_PER_TYPE = 3
+
+
+def _events(sf_dir: str, columns: list[str]):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=columns
+    )
+
+
+def _ts_us(s: pd.Series) -> np.ndarray:
+    return s.astype("datetime64[us]").astype("int64").to_numpy()
+
+
+# ---------------------------------------------------------------------------
+# sessionization — gap-based windowed aggregate
+# ---------------------------------------------------------------------------
+
+def sessionize_group(df: pd.DataFrame) -> pd.DataFrame:
+    """One user's events -> one row per session (>30 min gap starts a new
+    one). Runs inside map_groups: the group is a single user's full,
+    co-located history."""
+    df = df.sort_values(["ts", "event_id"], kind="stable")
+    ts = _ts_us(df["ts"])
+    brk = np.ones(len(df), dtype=np.int64)
+    brk[1:] = (np.diff(ts) > SESSION_GAP_US).astype(np.int64)
+    sid = np.cumsum(brk)
+    out = pd.DataFrame({"user_id": df["user_id"].to_numpy(), "session_id": sid,
+                        "ts_us": ts})
+    g = out.groupby("session_id", sort=True)
+    return pd.DataFrame(
+        {
+            "user_id": g["user_id"].first(),
+            "session_id": g["session_id"].first(),
+            "n_events": g.size(),
+            "start_us": g["ts_us"].min(),
+            "end_us": g["ts_us"].max(),
+        }
+    ).reset_index(drop=True)
+
+
+def q_sessionization(sf_dir: str):
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(sessionize_group, batch_format="pandas", **remote_kwargs())
+    )
+
+
+_SESSION_SQL = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id, count(*) AS n_events,
+       epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+FROM s GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# as-of join — latest 'error' at or before each event, per user
+# ---------------------------------------------------------------------------
+
+def asof_last_error_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-user as-of: searchsorted of event times into the sorted
+    error times of the same (co-located) user."""
+    df = df.sort_values(["ts", "event_id"], kind="stable")
+    ts = _ts_us(df["ts"])
+    err_ts = ts[(df["event_type"] == "error").to_numpy()]
+    idx = np.searchsorted(err_ts, ts, side="right") - 1
+    last = np.where(idx >= 0, err_ts[np.maximum(idx, 0)], -1)
+    return pd.DataFrame(
+        {
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "ts_us": ts,
+            "last_error_us": last,  # -1 = no prior error (SQL mirrors this)
+        }
+    )
+
+
+def q_asof_last_error(sf_dir: str):
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .groupby("user_id")
+        .map_groups(asof_last_error_group, batch_format="pandas", **remote_kwargs())
+    )
+
+
+_ASOF_SQL = """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       coalesce((SELECT epoch_us(max(er.ts)) FROM events er
+                 WHERE er.user_id = e.user_id AND er.event_type = 'error'
+                   AND er.ts <= e.ts), -1) AS last_error_us
+FROM events e
+"""
+
+
+# ---------------------------------------------------------------------------
+# top-k per group — (value desc, event_id asc) within event_type
+# ---------------------------------------------------------------------------
+
+def topk_group(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.sort_values(["value", "event_id"], ascending=[False, True],
+                        kind="stable").head(TOPK_PER_TYPE)
+    out = df[["event_type", "event_id", "value"]].copy()
+    out["rank"] = np.arange(1, len(out) + 1)
+    return out
+
+
+def q_topk_per_type(sf_dir: str):
+    return (
+        _events(sf_dir, ["event_id", "event_type", "value"])
+        .groupby("event_type")
+        .map_groups(topk_group, batch_format="pandas", **remote_kwargs())
+    )
+
+
+_TOPK_SQL = f"""
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rank
+  FROM events)
+SELECT event_type, event_id, value, rank FROM r WHERE rank <= {TOPK_PER_TYPE}
+"""
+
+
+# ---------------------------------------------------------------------------
+# broadcast-join enrichment — per-type mean shipped once via ray.put
+# ---------------------------------------------------------------------------
+
+def q_value_deviation(sf_dir: str):
+    """Each event's value deviation from its type's global mean. The tiny
+    aggregate (one row per type) is broadcast with ray.put and joined inside
+    map_batches — no shuffle of the fact table (the broadcast-join pattern
+    for small dimension sides at 100 TB)."""
+    import ray
+
+    means = (
+        _events(sf_dir, ["event_type", "value"])
+        .groupby("event_type")
+        .mean("value")
+        .to_pandas()
+    )
+    lookup = dict(zip(means["event_type"], means["mean(value)"]))
+    ref = ray.put(lookup)
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        types = batch.column("event_type").to_pylist()
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        mu = np.array([lk[t] for t in types], dtype=np.float64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "deviation": pa.array(np.round(vals - mu, 6), pa.float64()),
+            }
+        )
+
+    return _events(sf_dir, ["event_id", "event_type", "value"]).map_batches(
+        enrich, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+_DEVIATION_SQL = """
+WITH m AS (SELECT event_type, avg(value) AS mu FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, round(e.value - m.mu, 6) AS deviation
+FROM events e JOIN m USING (event_type)
+"""
+
+
+register("events_sessionization", q_sessionization, _SESSION_SQL)
+register("events_asof_last_error", q_asof_last_error, _ASOF_SQL)
+register("events_topk_per_type", q_topk_per_type, _TOPK_SQL)
+register("events_value_deviation", q_value_deviation, _DEVIATION_SQL)

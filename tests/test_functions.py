@@ -13,6 +13,8 @@ SQL_CHECKED = [
     "dedup_exact", "dedup_jaccard_pairs",
     "similarity_cosine_topk", "multimodal_features",
     "dedup_embedding_neardup", "similarity_ivf_cells",
+    "events_sessionization", "events_asof_last_error",
+    "events_topk_per_type", "events_value_deviation",
 ]
 
 
