@@ -64,6 +64,16 @@ LEVEL_CFG = dataclasses.replace(
     ),
     observed_timestamp_ns=OBS_NS,
 )
+# E3 path (connector.go:300-309): severity from a configured attribute, no
+# mappings and no name rules -> invalid strings fall through to default info
+SEVATTR_CFG = dataclasses.replace(
+    PipelineConfig(
+        log_attributes_from=("event.attributes",),
+        severity_by_event_name={},
+        severity_attribute="event.severity_text",
+    ),
+    observed_timestamp_ns=OBS_NS,
+)
 
 
 def _pages_ds(sf_dir: str):
@@ -208,6 +218,25 @@ def _q_events_hourly_counts(sf_dir: str):
     return counts_table(ds, ["hour", "event_type"])
 
 
+def _q_severity_attribute_counts(sf_dir: str):
+    tbl = counts_table(
+        _records(sf_dir, SEVATTR_CFG), ["severity_number", "severity_text"]
+    )
+    return _i64("severity_number")(tbl)
+
+
+def _q_sink_counts_actor_pool(sf_dir: str):
+    """Same flagship result via the explicit actor-pool enrich mode
+    (map_batches(Cls, concurrency=N)) — pins actor-pool parity."""
+    return counts_table(
+        build_log_records(
+            _pages_ds(sf_dir), DEFAULT_CFG, enrich_mode="actors",
+            enrich_concurrency=2,
+        ),
+        ["sink"],
+    )
+
+
 def _q_pipeline_stats(sf_dir: str):
     """Self-telemetry counters (op M analog): pages / lines / events found /
     processed / malformed, summed over per-batch counter rows."""
@@ -240,6 +269,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_filtered_sink_counts": _q_filtered_sink_counts,
         "pipeline_level_attr": _q_level_attr,
         "pipeline_stats": _q_pipeline_stats,
+        "pipeline_severity_attribute_counts": _q_severity_attribute_counts,
+        "pipeline_sink_counts_actor_pool": _q_sink_counts_actor_pool,
         "events_severity_route": _q_events_severity_route,
         "events_hourly_counts": _q_events_hourly_counts,
     }
@@ -323,6 +354,27 @@ _MAPPED_ST_SQL = (
     "CASE k WHEN 0 THEN 'error' WHEN 2 THEN (" + _SEVTXT_SQL + ") ELSE 'info' END"
 )
 
+# E3 oracle: severity from event.severity_text attr (k=2 rows only),
+# mapSeverity-parsed with invalid -> default info(9). Derived from the real
+# map_severity so the SQL can't drift from the Python vocabulary.
+def _sevattr_cases() -> tuple[str, str]:
+    from otelcol_con_spaneventtolog_ray.sevmap import map_severity
+
+    nums, txts = [], []
+    for i, raw in enumerate(EMBED_SEV_TEXTS):
+        n, t = map_severity(raw)
+        if n == 0:  # invalid -> fall through to default (no rules configured)
+            n, t = 9, "info"
+        nums.append(f"WHEN {i} THEN {n}")
+        txts.append(f"WHEN {i} THEN '{t}'")
+    num = f"CASE WHEN k = 2 THEN (CASE doc_id % 8 {' '.join(nums)} END) ELSE 9 END"
+    txt = (
+        f"CASE WHEN k = 2 THEN (CASE doc_id % 8 {' '.join(txts)} END)"
+        " ELSE 'info' END"
+    )
+    return num, txt
+
+
 _EVENTS_ROUTE_CASE = (
     "CASE"
     " WHEN contains(lower(event_type), 'signup') THEN 'warn'"
@@ -374,6 +426,15 @@ def oracle_sql() -> dict[str, str]:
         " AS events_processed,"
         " CAST(0 AS BIGINT) AS malformed_lines"
         " FROM documents",
+        "pipeline_severity_attribute_counts": (
+            lambda num_txt: _EV_CTE
+            + f"SELECT CAST({num_txt[0]} AS BIGINT) AS severity_number,"
+            f" {num_txt[1]} AS severity_text, count(*) AS n FROM ev"
+            " GROUP BY 1, 2 ORDER BY 1, 2"
+        )(_sevattr_cases()),
+        "pipeline_sink_counts_actor_pool": _EV_CTE
+        + "SELECT CASE WHEN k = 0 THEN 'error' ELSE 'info' END AS sink,"
+        " count(*) AS n FROM ev GROUP BY 1 ORDER BY 1",
         "events_severity_route": "SELECT event_type,"
         f" {_EVENTS_ROUTE_CASE} AS severity_text, count(*) AS n FROM events"
         " GROUP BY 1, 2 ORDER BY 1, 2",

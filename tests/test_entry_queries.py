@@ -62,6 +62,7 @@ def test_every_query_has_callable_and_runs_or_is_listed():
     "pipeline_sink_counts", "pipeline_routed_rows", "pipeline_raw_lines",
     "pipeline_mapped_severity_counts", "pipeline_body_mapping",
     "pipeline_filtered_sink_counts", "pipeline_level_attr", "pipeline_stats",
+    "pipeline_severity_attribute_counts", "pipeline_sink_counts_actor_pool",
     "events_severity_route", "events_hourly_counts",
 ])
 def test_query_matches_oracle(ray_session, name):
