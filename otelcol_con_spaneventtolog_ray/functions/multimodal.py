@@ -95,6 +95,111 @@ class MediaFeatureExtractor:
         )
 
 
+class ImageResizer:
+    """Actor-pool resize stage. Real decode->resize->encode needs a codec
+    (stubbed in decode_image); the DETERMINISTIC FAKE treats the payload as a
+    1-D byte image and strided-samples it to a fixed TARGET_BYTES thumbnail,
+    so schema, batch sizing, and output layout are exercised for real."""
+
+    TARGET_BYTES = 64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        thumbs = []
+        for p in payloads:
+            if len(p) == 0:
+                thumbs.append(b"")
+                continue
+            idx = np.linspace(0, len(p) - 1, num=min(self.TARGET_BYTES, len(p)))
+            thumbs.append(np.frombuffer(p, np.uint8)[idx.astype(np.int64)].tobytes())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "media_type": batch.column("media_type"),
+                "thumb": pa.array(thumbs, pa.large_binary()),
+                "thumb_len": pa.array([len(t) for t in thumbs], pa.int64()),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: payload = concatenated fixed-size
+    frames; emit every STRIDE-th frame as its own row (flat-map fan-out, the
+    video-pipeline shape). Deterministic fake pending real codecs."""
+
+    FRAME_BYTES = 32
+    STRIDE = 4
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_no, frames = [], [], []
+        for doc_id, p in zip(
+            batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            n_frames = len(p) // self.FRAME_BYTES
+            for f in range(0, n_frames, self.STRIDE):
+                ids.append(doc_id)
+                frame_no.append(f)
+                frames.append(p[f * self.FRAME_BYTES : (f + 1) * self.FRAME_BYTES])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "frame_no": pa.array(frame_no, pa.int64()),
+                "frame": pa.array(frames, pa.large_binary()),
+            }
+        )
+
+
+def _media_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(attach_payload_batch, batch_format="pyarrow", **remote_kwargs())
+
+
+def q_media_resize(sf_dir: str):
+    """(doc_id, thumb_len) through the actor-pool resize stage."""
+    return (
+        _media_ds(sf_dir)
+        .map_batches(
+            ImageResizer,
+            batch_format="pyarrow",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=(1, 4),
+            **remote_kwargs(),
+        )
+        .select_columns(["doc_id", "thumb_len"])
+    )
+
+
+def q_media_frames(sf_dir: str):
+    """(doc_id, frame_no) rows from the frame-sampling flat-map."""
+    return (
+        _media_ds(sf_dir)
+        .map_batches(
+            FrameSampler,
+            batch_format="pyarrow",
+            batch_size=MEDIA_BATCH_SIZE,
+            concurrency=(1, 4),
+            **remote_kwargs(),
+        )
+        .select_columns(["doc_id", "frame_no"])
+    )
+
+
+_RESIZE_SQL = (
+    f"SELECT doc_id, least({ImageResizer.TARGET_BYTES}, length(text))"
+    " AS thumb_len FROM documents"
+)
+_FRAMES_SQL = f"""
+SELECT d.doc_id, t.f * {FrameSampler.STRIDE} AS frame_no
+FROM documents d, LATERAL (
+  SELECT unnest(range(
+    CAST(ceil((length(text) // {FrameSampler.FRAME_BYTES})
+              / {FrameSampler.STRIDE}.0) AS BIGINT))) AS f) t
+"""
+
+
 def q_media_features(sf_dir: str):
     """(doc_id, payload_len, sha256) through the real actor-pool stage."""
     import ray.data
@@ -121,3 +226,5 @@ _MEDIA_SQL = (
 )
 
 register("multimodal_features", q_media_features, _MEDIA_SQL)
+register("multimodal_resize", q_media_resize, _RESIZE_SQL)
+register("multimodal_frame_sample", q_media_frames, _FRAMES_SQL)
