@@ -111,10 +111,11 @@ def run_single(sf_dir: str, num_cpus: int, rep: int) -> dict:
         ).count()
 
         # q1: full DAG — read -> parse -> enrich -> routed write -> counts.
-        # best-of-N timed runs: wall time on this shared box is ~20% noisy,
-        # so the scaling mode (where a single outlier corrupts the ratio)
-        # takes the best of two; the default single run stays one-shot.
-        reps_timed = 2 if os.environ.get("RAY_GRAFT_SCALING") else 1
+        # best-of-N timed runs: wall time on this box is ~20% noisy run-to-run
+        # (page-cache state, kcompactd), so the scaling mode — where a single
+        # outlier corrupts the ratio — takes the best of three; the default
+        # single run stays one-shot.
+        reps_timed = 3 if os.environ.get("RAY_GRAFT_SCALING") else 1
         out_dir = "/tmp/graft_bench_out"
         best = None
         for _ in range(reps_timed):

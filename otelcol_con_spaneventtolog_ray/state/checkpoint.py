@@ -54,6 +54,12 @@ def plan_shards(files: list[str], shard_size: int) -> list[list[str]]:
     return [files[i : i + shard_size] for i in range(0, len(files), shard_size)]
 
 
+def _footer_rows(files: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def _manifest_path(out_root: str, shard_id: int) -> str:
     return os.path.join(out_root, "_manifests", f"shard-{shard_id}.json")
 
@@ -115,9 +121,10 @@ def run_resumable(
         for stale in (final_dir, tmp_dir):
             if os.path.isdir(stale):
                 shutil.rmtree(stale)  # uncommitted leftovers from a crash
-        pages = read_pages(shard_files)
-        pages_in = pages.count()
-        records = build_log_records(pages, cfg, **build_kwargs)
+        # input row count from parquet footers — metadata only, so the shard's
+        # data is read exactly ONCE (by the pipeline pass below)
+        pages_in = _footer_rows(shard_files)
+        records = build_log_records(read_pages(shard_files), cfg, **build_kwargs)
         os.makedirs(tmp_dir, exist_ok=True)
         write_routed(records, tmp_dir)
         os.makedirs(os.path.dirname(final_dir), exist_ok=True)
