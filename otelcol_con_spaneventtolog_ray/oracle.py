@@ -39,9 +39,12 @@ def parse_attrs(field_str: str) -> list[tuple[str, str, str]]:
         return []
     out = []
     for pair in field_str.split(";"):
+        if pair == "" or "=" not in pair:
+            continue  # malformed pair -> dropped (matches stages/parse)
         k, _, tv = pair.partition("=")
-        tag, _, v = tv.partition(":")
-        out.append((unescape(k), tag, unescape(v)))
+        # tagged payload is 't:v' by position: first char is the tag, byte 2+
+        # the value (degenerate payloads keep these positional semantics)
+        out.append((unescape(k), tv[:1], unescape(tv[2:])))
     return out
 
 
@@ -70,11 +73,19 @@ def parse_page(url: str, warc_ts_us: int, text: str, lang: str) -> list[OracleEv
         try:
             trace_id = bytes.fromhex(fields["trace"])
             span_id = bytes.fromhex(fields["span"])
-            ts_ns = int(fields["ts"])
         except ValueError:
             continue
         if len(trace_id) != 16 or len(span_id) != 8:
             continue
+        # ts grammar = Arrow's string->int64 cast: '-?[0-9]+', int64 range
+        # (no '+', whitespace, or unicode digits; see stages/parse fallback)
+        ts_str = fields["ts"]
+        ts_body = ts_str[1:] if ts_str.startswith("-") else ts_str
+        if not (ts_body and ts_body.isascii() and ts_body.isdigit()):
+            continue
+        ts_ns = int(ts_str)
+        if not (-(2**63) <= ts_ns < 2**63):
+            continue  # unrepresentable as timestamp[ns] -> dead-letter
         events.append(
             OracleEvent(
                 url=url,

@@ -193,11 +193,20 @@ def parse_pages_batch(
     try:
         ts_int = pc.cast(fields["ts"], pa.int64())
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
-        import pandas as _pd
-
-        ts_np = _pd.to_numeric(fields["ts"].to_pandas(), errors="coerce")
-        valid &= ts_np.notna().to_numpy()
-        ts_int = pa.array(ts_np.fillna(0).astype(np.int64))
+        # rare fallback when the batch holds any invalid ts: apply Arrow's
+        # exact cast grammar ('-?[0-9]+', int64 range) per element so the
+        # dead-letter semantics don't depend on which path ran
+        vals, ok = [], []
+        for s in fields["ts"].to_pylist():
+            s = s or ""
+            body = s[1:] if s.startswith("-") else s
+            good = bool(body) and body.isascii() and body.isdigit()
+            v = int(s) if good else 0
+            good = good and -(2**63) <= v < 2**63
+            ok.append(good)
+            vals.append(v if good else 0)
+        valid &= np.array(ok, dtype=bool)
+        ts_int = pa.array(vals, pa.int64())
 
     vmask = pa.array(valid)
     lines = lines.filter(vmask)

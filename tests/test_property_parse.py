@@ -1,0 +1,96 @@
+"""Property-based parse⇄oracle equivalence: hypothesis-generated pages with
+escape-heavy field values, malformed junk lines, and boundary timestamps must
+produce IDENTICAL events from the vectorized stage and the pure-Python oracle
+(byte-identical raw, every field, attr order)."""
+
+import hypothesis.strategies as st
+import pyarrow as pa
+from hypothesis import given, settings
+
+from otelcol_con_spaneventtolog_ray.oracle import parse_page
+from otelcol_con_spaneventtolog_ray.sources.synth import PAGES_SCHEMA, build_line
+from otelcol_con_spaneventtolog_ray.stages.parse import parse_pages_batch
+
+# escape-exercising text: printable ASCII incl. all escaped chars + unicode
+FIELD_TEXT = st.text(
+    alphabet=st.sampled_from(list(" =;%\n:abcXYZ09._äπ")), max_size=12
+)
+ATTRS = st.lists(
+    st.tuples(FIELD_TEXT, st.sampled_from(["s", "i", "d", "b"]), FIELD_TEXT),
+    max_size=3,
+)
+HEX32 = st.integers(0, (1 << 128) - 1).map(lambda v: f"{v:032x}")
+HEX16 = st.integers(0, (1 << 64) - 1).map(lambda v: f"{v:016x}")
+TS = st.one_of(
+    st.integers(-(2**63) - 2, -(2**63) + 2),
+    st.integers(-5, 5),
+    st.integers(2**63 - 2, 2**63 + 2),
+    st.integers(10**18, 2 * 10**18),
+)
+
+VALID_LINE = st.builds(
+    build_line,
+    trace_hex32=HEX32,
+    span_hex16=HEX16,
+    span_name=FIELD_TEXT,
+    span_kind=st.sampled_from(["Internal", "Server", "Client"]),
+    ts_ns=TS,
+    trace_state=FIELD_TEXT,
+    event_name=FIELD_TEXT,
+    event_attrs=ATTRS,
+    span_attrs=ATTRS,
+    resource_attrs=ATTRS,
+)
+
+# junk: prose, truncations, bad prefixes/hex/ts — must never crash nor emit
+JUNK_LINE = st.one_of(
+    st.text(alphabet=st.sampled_from(list("OTEL1 trace=spanx0f;%")), max_size=40),
+    st.just("OTEL1 "),
+    st.just("OTEL1 " + " ".join(["x="] * 10)),
+    VALID_LINE.map(lambda ln: ln.replace("ts=", "ts=+", 1)),
+    VALID_LINE.map(lambda ln: ln.replace(" span=", " span=zz", 1)),
+    VALID_LINE.map(lambda ln: ln[: max(7, len(ln) // 2)]),
+)
+
+PAGE_TEXT = st.lists(
+    st.one_of(VALID_LINE, JUNK_LINE, st.just("filler prose")), max_size=6
+).map("\n".join)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(PAGE_TEXT, min_size=1, max_size=4))
+def test_parse_equals_oracle(texts):
+    tbl = pa.Table.from_pylist(
+        [
+            {"url": f"u{i}", "warc_ts": i, "html": b"", "text": t, "lang": "en"}
+            for i, t in enumerate(texts)
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    out = parse_pages_batch(tbl)
+    got = out.to_pylist()
+    import pyarrow.compute as pc
+
+    ts_ns = pc.cast(out.column("event_ts"), pa.int64()).to_pylist()
+    exp = [
+        ev
+        for i, t in enumerate(texts)
+        for ev in parse_page(f"u{i}", i, t, "en")
+    ]
+    assert len(got) == len(exp)
+    assert ts_ns == [e.event_ts_ns for e in exp]
+    for g, e in zip(got, exp):
+        assert g["raw"] == e.raw
+        assert g["url"] == e.url
+        assert g["event_name"] == e.event_name
+        assert g["trace_id"] == e.trace_id
+        assert g["span_id"] == e.span_id
+        assert g["span_name"] == e.span_name
+        assert g["span_kind"] == e.span_kind
+        assert g["trace_state"] == e.trace_state
+        for col, oracle_attrs in (
+            ("event_attrs", e.event_attrs),
+            ("span_attrs", e.span_attrs),
+            ("resource_attrs", e.resource_attrs),
+        ):
+            assert g[col] == [(k, f"{t}:{v}") for k, t, v in oracle_attrs], col
