@@ -1,14 +1,23 @@
-"""Property-based parse⇄oracle equivalence: hypothesis-generated pages with
-escape-heavy field values, malformed junk lines, and boundary timestamps must
-produce IDENTICAL events from the vectorized stage and the pure-Python oracle
-(byte-identical raw, every field, attr order)."""
+"""Property-based equivalence vs the pure-Python oracle: (1) parse over
+hypothesis-generated pages with escape-heavy field values, malformed junk
+lines, and boundary timestamps; (2) the full enrich chain over
+hypothesis-generated CONFIGS (every severity-precedence / projection /
+mapping combination), both against the reference-literal oracle."""
+
+import dataclasses
 
 import hypothesis.strategies as st
 import pyarrow as pa
 from hypothesis import given, settings
 
-from otelcol_con_spaneventtolog_ray.oracle import parse_page
-from otelcol_con_spaneventtolog_ray.sources.synth import PAGES_SCHEMA, build_line
+from otelcol_con_spaneventtolog_ray.config import AttributeMappings, PipelineConfig
+from otelcol_con_spaneventtolog_ray.oracle import parse_page, run_oracle
+from otelcol_con_spaneventtolog_ray.sources.synth import (
+    PAGES_SCHEMA,
+    build_line,
+    generate_pages_table,
+)
+from otelcol_con_spaneventtolog_ray.stages.enrich import enrich_events_batch
 from otelcol_con_spaneventtolog_ray.stages.parse import parse_pages_batch
 
 # escape-exercising text: printable ASCII incl. all escaped chars + unicode
@@ -94,3 +103,60 @@ def test_parse_equals_oracle(texts):
             ("resource_attrs", e.resource_attrs),
         ):
             assert g[col] == [(k, f"{t}:{v}") for k, t, v in oracle_attrs], col
+
+
+OBS = 1_755_000_000_000_000_000
+
+CONFIGS = st.builds(
+    lambda inc, isc, laf, sben, al, sa, body, num, txt, en: dataclasses.replace(
+        PipelineConfig(
+            include_event_names=inc,
+            include_span_context=isc,
+            log_attributes_from=tuple(laf),
+            severity_by_event_name=sben,
+            add_level=al,
+            severity_attribute=sa,
+            attribute_mappings=AttributeMappings(
+                body=body, severity_number=num, severity_text=txt, event_name=en
+            ),
+        ),
+        observed_timestamp_ns=OBS,
+    ),
+    inc=st.sampled_from([(), ("exception",), ("exception", "custom")]),
+    isc=st.booleans(),
+    laf=st.lists(
+        st.sampled_from(
+            ["event.attributes", "span.attributes", "resource.attributes"]
+        ),
+        unique=True,
+    ),
+    sben=st.dictionaries(
+        st.sampled_from(["exception", "custom", "backend", "db", "retry", "s"]),
+        st.sampled_from(["error", "warn2", "info", "fatal", "debug3"]),
+        max_size=4,
+    ),
+    al=st.booleans(),
+    sa=st.sampled_from(["", "event.severity_text", "k.str"]),
+    body=st.sampled_from(["", "event.body", "k.str"]),
+    num=st.sampled_from(["", "event.severity_number", "k.int"]),
+    txt=st.sampled_from(["", "event.severity_text"]),
+    en=st.sampled_from(["", "event.name", "level"]),
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(cfg=CONFIGS, seed=st.integers(0, 30))
+def test_enrich_equals_oracle_for_any_config(cfg, seed):
+    tbl = generate_pages_table(40, seed=seed)
+    pages = [(r["url"], 0, r["text"], r["lang"]) for r in tbl.to_pylist()]
+    ev = parse_pages_batch(tbl, tuple(cfg.include_event_names))
+    got = enrich_events_batch(ev, cfg).to_pylist()
+    exp = run_oracle(pages, cfg)
+    assert len(got) == len(exp)
+    for g, e in zip(got, exp):
+        assert g["severity_number"] == e.severity_number
+        assert g["severity_text"] == e.severity_text
+        assert g["body"] == e.body
+        assert g["attributes"] == list(e.attributes.items())
+        assert g["resource_attrs"] == list(e.resource_attrs.items())
+        assert g["sink"] == e.sink
