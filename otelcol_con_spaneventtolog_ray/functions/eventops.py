@@ -206,7 +206,55 @@ FROM events e JOIN m USING (event_type)
 """
 
 
+# ---------------------------------------------------------------------------
+# sliding-window aggregate — 1 h windows every 30 min (flat-map fan-out:
+# each event lands in WINDOW/SLIDE windows, then the salted two-phase count)
+# ---------------------------------------------------------------------------
+
+WINDOW_US = 3_600_000_000
+SLIDE_US = 1_800_000_000
+_N_WINDOWS = WINDOW_US // SLIDE_US
+
+
+def q_sliding_window_counts(sf_dir: str):
+    from ..stages.aggregate import counts_table
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = ts // SLIDE_US
+        starts = np.concatenate(
+            [(base - k) * SLIDE_US for k in range(_N_WINDOWS)]
+        )
+        types = pa.concat_arrays(
+            [batch.column("event_type").combine_chunks()] * _N_WINDOWS
+        )
+        return pa.table(
+            {
+                "window_us": pa.array(starts.astype(str), pa.string()),
+                "event_type": types,
+            }
+        )
+
+    ds = _events(sf_dir, ["ts", "event_type"]).map_batches(
+        fan_out, batch_format="pyarrow", **remote_kwargs()
+    )
+    tbl = counts_table(ds, ["window_us", "event_type"])
+    import pyarrow.compute as pc
+
+    i = tbl.schema.get_field_index("window_us")
+    return tbl.set_column(i, "window_us", pc.cast(tbl.column("window_us"), pa.int64()))
+
+
+_SLIDING_SQL = f"""
+SELECT (epoch_us(ts) // {SLIDE_US} - t.k) * {SLIDE_US} AS window_us,
+       event_type, count(*) AS n
+FROM events, (SELECT unnest([0, 1]) AS k) t
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 register("events_sessionization", q_sessionization, _SESSION_SQL)
+register("events_sliding_window_counts", q_sliding_window_counts, _SLIDING_SQL)
 register("events_asof_last_error", q_asof_last_error, _ASOF_SQL)
 register("events_topk_per_type", q_topk_per_type, _TOPK_SQL)
 register("events_value_deviation", q_value_deviation, _DEVIATION_SQL)

@@ -15,6 +15,7 @@ SQL_CHECKED = [
     "dedup_embedding_neardup", "similarity_ivf_cells",
     "events_sessionization", "events_asof_last_error",
     "events_topk_per_type", "events_value_deviation",
+    "events_sliding_window_counts",
     "multimodal_resize", "multimodal_frame_sample",
 ]
 
