@@ -30,6 +30,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shard-size", type=int, default=16,
                     help="input files per resumable shard")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--deadletter", action="store_true",
+                    help="also write malformed OTEL1 lines to OUT/_deadletter/")
     args = ap.parse_args(argv)
 
     import ray
@@ -57,7 +59,9 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, args.output, cfg, shard_size=args.shard_size
             )
         else:
-            counts = run_pipeline(args.input, args.output, cfg)
+            counts = run_pipeline(
+                args.input, args.output, cfg, deadletter=args.deadletter
+            )
             result = {
                 "records_out": int(sum(counts.values())),
                 "counts_by_sink": counts,

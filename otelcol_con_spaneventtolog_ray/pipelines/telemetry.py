@@ -215,16 +215,28 @@ def run_pipeline(
     input_paths: str | list[str],
     out_dir: str,
     cfg: PipelineConfig | None = None,
+    deadletter: bool = False,
     **build_kwargs: Any,
 ) -> dict[str, int]:
     """One-shot, non-resumable run: routed Parquet out + per-sink counts.
 
     Single streaming consumption: the write is the only full pass; counts
     come from the written files' parquet footers (stages/route.py).
+    ``deadletter=True`` adds an audit pass writing every malformed OTEL1
+    line to ``out_dir/_deadletter/`` (poison pills never kill the job; this
+    makes them inspectable too).
     """
+    import os
+
+    from ..rayenv import remote_kwargs
+    from ..stages.parse import make_deadletter_fn
     from ..stages.route import routed_counts_from_footers, write_routed
 
     cfg = cfg or PipelineConfig.default()
     records = build_log_records(read_pages(input_paths), cfg, **build_kwargs)
     write_routed(records, out_dir)
+    if deadletter:
+        read_pages(input_paths).map_batches(
+            make_deadletter_fn(), batch_format="pyarrow", **remote_kwargs()
+        ).write_parquet(os.path.join(out_dir, "_deadletter"))
     return routed_counts_from_footers(out_dir)

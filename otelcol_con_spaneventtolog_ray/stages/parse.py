@@ -288,6 +288,65 @@ def make_parse_fn(include_event_names: tuple[str, ...] = ()):
     return _parse
 
 
+DEADLETTER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("raw", pa.large_string()),
+        ("reason", pa.string()),
+    ]
+)
+
+
+def make_deadletter_fn():
+    """map_batches fn extracting the MALFORMED OTEL1 lines (poison pills) as
+    (url, raw, reason) rows — the dead-letter side channel (SURVEY §4: parse
+    failures must not kill the job, and must stay auditable). Run as its own
+    pass over the same pages and write to `out/_deadletter/`; the happy-path
+    parse never pays for it."""
+
+    def _dead(batch: pa.Table) -> pa.Table:
+        text = batch.column("text").combine_chunks()
+        lines_list = pc.split_pattern(text, pattern="\n")
+        if isinstance(lines_list, pa.ChunkedArray):
+            lines_list = lines_list.combine_chunks()
+        lines = lines_list.flatten()
+        parents = _parents_from_list(lines_list)
+        is_event = pc.starts_with(lines, "OTEL1 ").to_numpy(zero_copy_only=False)
+        is_event = np.nan_to_num(is_event, nan=False).astype(bool)
+        lines = lines.filter(pa.array(is_event))
+        parents = parents[is_event]
+        if len(lines) == 0:
+            return DEADLETTER_SCHEMA.empty_table()
+
+        # a line is malformed iff the real parser drops it: re-parse this
+        # batch's OTEL lines as one-line pages and diff the surviving raws
+        probe = pa.table(
+            {
+                "url": pc.take(batch.column("url"), pa.array(parents)),
+                "warc_ts": pc.take(batch.column("warc_ts"), pa.array(parents)),
+                "lang": pc.take(batch.column("lang"), pa.array(parents)),
+                "text": pc.cast(lines, pa.large_string()),
+            }
+        )
+        parsed = parse_pages_batch(probe)
+        ok_lines = set(parsed.column("raw").to_pylist())
+        keep = [ln not in ok_lines for ln in lines.to_pylist()]
+        mask = pa.array(np.array(keep, dtype=bool))
+        bad_lines = lines.filter(mask)
+        bad_parents = parents[np.array(keep, dtype=bool)]
+        return pa.table(
+            {
+                "url": pc.take(batch.column("url"), pa.array(bad_parents)),
+                "raw": pc.cast(bad_lines, pa.large_string()),
+                "reason": pa.array(
+                    ["malformed_line"] * len(bad_lines), pa.string()
+                ),
+            }
+        ).cast(DEADLETTER_SCHEMA)
+
+    return _dead
+
+
 # ---------------------------------------------------------------------------
 # self-telemetry (SURVEY.md §2 op M: total_events_found / events_processed /
 # malformed dead-letters, as per-batch counter rows summed downstream)

@@ -38,7 +38,9 @@ def write_routed(
 def routed_counts_from_footers(out_dir: str) -> dict[str, int]:
     """Per-sink row counts from parquet metadata of a partitioned output dir."""
     counts: dict[str, int] = defaultdict(int)
-    for root, _dirs, files in os.walk(out_dir):
+    for root, dirs, files in os.walk(out_dir):
+        # skip metadata side-channels (_deadletter, _tmp, _manifests)
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
         part = None
         for seg in root.split(os.sep):
             if seg.startswith("sink="):

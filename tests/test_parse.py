@@ -77,3 +77,47 @@ def test_malformed_lines_dead_lettered():
 def test_zero_event_pages_produce_no_rows():
     out = parse_pages_batch(_page_with("no events here\njust prose"))
     assert out.num_rows == 0
+
+
+def test_deadletter_captures_malformed_lines():
+    from otelcol_con_spaneventtolog_ray.stages.parse import make_deadletter_fn
+
+    good = (
+        "OTEL1 trace=000000000000000000000000000000ff span=00000000000000ff"
+        " span_name=s span_kind=Server ts=123 state= name=ok attrs= sattrs= rattrs="
+    )
+    bad = [
+        "OTEL1 truncated line",
+        good.replace("ts=123", "ts=abc"),
+        good.replace("trace=000000000000000000000000000000ff", "trace=zz"),
+    ]
+    text = "\n".join([bad[0], good, "prose", bad[1], bad[2]])
+    out = make_deadletter_fn()(_page_with(text))
+    assert out.column("raw").to_pylist() == bad
+    assert set(out.column("reason").to_pylist()) == {"malformed_line"}
+    assert set(out.column("url").to_pylist()) == {"u"}
+    # clean pages produce an empty dead-letter table with the right schema
+    empty = make_deadletter_fn()(_page_with(good))
+    assert empty.num_rows == 0 and empty.schema.names == ["url", "raw", "reason"]
+
+
+def test_run_pipeline_deadletter_sink(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from otelcol_con_spaneventtolog_ray.pipelines.telemetry import run_pipeline
+
+    good = (
+        "OTEL1 trace=000000000000000000000000000000ff span=00000000000000ff"
+        " span_name=s span_kind=Server ts=123 state= name=ok attrs= sattrs= rattrs="
+    )
+    tbl = _page_with("\n".join([good, "OTEL1 truncated line", "prose"]))
+    src = tmp_path / "pages"
+    src.mkdir()
+    pq.write_table(tbl, str(src / "p.parquet"))
+    out = str(tmp_path / "out")
+    counts = run_pipeline(str(src), out, deadletter=True)
+    assert sum(counts.values()) == 1  # only the good line routed
+    import pyarrow.dataset as pads
+
+    dl = pads.dataset(f"{out}/_deadletter").to_table()
+    assert dl.column("raw").to_pylist() == ["OTEL1 truncated line"]
