@@ -105,3 +105,41 @@ def test_no_output_when_filter_never_matches(ray_session, pages_dir, tmp_path):
     assert counts == {}
     files = [f for _r, _d, fs in os.walk(out) for f in fs if f.endswith(".parquet")]
     assert files == []
+
+
+def test_salted_aggregate_under_total_skew(ray_session):
+    """100% of rows on ONE key: the salted two-phase path must still count
+    exactly (partials spread over salts, then folded)."""
+    import pyarrow as pa
+    import ray.data
+
+    from otelcol_con_spaneventtolog_ray.stages.aggregate import counts_table
+
+    n = 50_000
+    ds = ray.data.from_arrow(
+        pa.table({"sink": pa.array(["error"] * n, pa.string())})
+    ).repartition(8)
+    tbl = counts_table(ds, ["sink"], num_salts=8)
+    assert tbl.to_pydict() == {"sink": ["error"], "n": [n]}
+
+
+def test_parse_stats_counts_malformed(ray_session):
+    import pyarrow as pa
+
+    from otelcol_con_spaneventtolog_ray.sources.synth import PAGES_SCHEMA
+    from otelcol_con_spaneventtolog_ray.stages.parse import make_parse_stats_fn
+
+    good = (
+        "OTEL1 trace=000000000000000000000000000000ff span=00000000000000ff"
+        " span_name=s span_kind=Server ts=123 state= name=ok attrs= sattrs= rattrs="
+    )
+    text = "\n".join([good, "OTEL1 bad line", "prose", good.replace("ts=123", "ts=x")])
+    batch = pa.Table.from_pylist(
+        [{"url": "u", "warc_ts": 0, "html": b"", "text": text, "lang": "en"}],
+        schema=PAGES_SCHEMA,
+    )
+    row = make_parse_stats_fn(("nomatch",))(batch).to_pylist()[0]
+    assert row == {
+        "pages": 1, "lines_total": 4, "otel_lines": 3,
+        "total_events_found": 1, "events_processed": 0, "malformed_lines": 2,
+    }
