@@ -98,14 +98,47 @@ def read_pages(
     paths: str | list[str],
     columns: list[str] | None = None,
     override_num_blocks: int | None | str = "auto",
+    format: str = "parquet",
 ) -> "ray.data.Dataset":
-    """Column-pruned scan of the pages table — `html` never leaves storage."""
-    kwargs: dict[str, Any] = {"columns": columns or PAGE_COLUMNS}
+    """Column-pruned scan of the pages table — `html` never leaves storage.
+
+    `format`: 'parquet' (default; columns pruned at the read so only needed
+    bytes leave storage), 'json' (json-lines), or 'csv'. The non-columnar
+    formats can't push the projection into the scan, so the column prune
+    happens in a select right after the read.
+    """
+    columns = columns or PAGE_COLUMNS
     if override_num_blocks == "auto":
-        override_num_blocks = auto_num_blocks(paths)
-    if override_num_blocks is not None:
-        kwargs["override_num_blocks"] = override_num_blocks
-    return ray.data.read_parquet(paths, **kwargs)
+        override_num_blocks = auto_num_blocks(paths) if format == "parquet" else None
+    nb = (
+        {"override_num_blocks": override_num_blocks}
+        if override_num_blocks is not None
+        else {}
+    )
+    if format == "parquet":
+        return ray.data.read_parquet(paths, columns=columns, **nb)
+    if format == "json":
+        ds = ray.data.read_json(paths, **nb)
+    elif format == "csv":
+        ds = ray.data.read_csv(paths, **nb)
+    else:
+        raise ValueError(f"unsupported pages format: {format!r}")
+    present = [c for c in columns if c in ds.schema().names]
+    ds = ds.select_columns(present)
+    if "warc_ts" in present:
+        # json/csv carry warc_ts as int64 µs; normalize to the parquet schema
+        def _norm(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("warc_ts")
+            if not pa.types.is_timestamp(t.schema.field(i).type):
+                import pyarrow.compute as pc
+
+                t = t.set_column(
+                    i, "warc_ts", pc.cast(t.column("warc_ts"), pa.timestamp("us"))
+                )
+            return t
+
+        ds = ds.map_batches(_norm, batch_format="pyarrow")
+    return ds
 
 
 class ParseEnrich:

@@ -143,3 +143,39 @@ def test_parse_stats_counts_malformed(ray_session):
         "pages": 1, "lines_total": 4, "otel_lines": 3,
         "total_events_found": 1, "events_processed": 0, "malformed_lines": 2,
     }
+
+
+def test_read_pages_json_and_csv_match_parquet(ray_session, tmp_path):
+    """The same pages through json-lines and csv ingest produce identical
+    log records to the parquet path."""
+    import json as jsonlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tbl = generate_pages_table(120, seed=33)
+    pq.write_table(tbl, str(tmp_path / "p.parquet"))
+    ts_us = pc.cast(tbl.column("warc_ts"), pa.int64()).to_pylist()
+    with open(tmp_path / "p.jsonl", "w") as f:
+        for r, us in zip(tbl.to_pylist(), ts_us):
+            f.write(jsonlib.dumps({
+                "url": r["url"], "warc_ts": us,
+                "text": r["text"], "lang": r["lang"],
+            }) + "\n")
+    cfg = dataclasses.replace(PipelineConfig.default(), observed_timestamp_ns=OBS)
+
+    def records(fmt, path):
+        ds = build_log_records(read_pages(path, format=fmt), cfg)
+        t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        return sorted(
+            zip(
+                t.column("url").to_pylist(),
+                t.column("event_name").to_pylist(),
+                pc.cast(t.column("timestamp"), pa.int64()).to_pylist(),
+                t.column("severity_text").to_pylist(),
+            )
+        )
+
+    got_pq = records("parquet", str(tmp_path / "p.parquet"))
+    got_js = records("json", str(tmp_path / "p.jsonl"))
+    assert got_js == got_pq and len(got_pq) > 0
