@@ -192,6 +192,79 @@ _FINGERPRINT_SQL = (
     " FROM documents"
 )
 
+# ---------------------------------------------------------------------------
+# rolling-hash fingerprint (winnowing-style): Rabin-Karp over byte k-grams,
+# min-hash per document — near-identical docs share the fingerprint even
+# under local edits outside the minimizing window. Fully vectorized: modular
+# arithmetic is uint64 wraparound, prefix-hash trick, one pass per batch.
+# ---------------------------------------------------------------------------
+
+ROLL_K = 16
+ROLL_BASE = np.uint64(1000003)
+
+
+_ROLL_BASE_INV = np.uint64(pow(int(ROLL_BASE), -1, 1 << 64))  # B odd => invertible
+
+
+def rolling_fingerprint_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    off_dtype = np.int64 if pa.types.is_large_string(text.type) else np.int32
+    offsets = np.frombuffer(text.buffers()[1], dtype=off_dtype)[
+        text.offset : text.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(text.buffers()[2], dtype=np.uint8)
+    L = len(data)
+    with np.errstate(over="ignore"):
+        # prefix[i] = sum_{j<i} b_j * B^(i-1-j)  mod 2^64, computed WITHOUT a
+        # serial scan: p_i = B^(i-1) * cumsum(b_j * B^-j) (B odd => B^-1
+        # exists mod 2^64); uint64 overflow IS the modulus
+        pw = np.full(L + 1, ROLL_BASE, dtype=np.uint64)
+        pw[0] = 1
+        np.cumprod(pw, out=pw)  # pw[i] = B^i
+        ipw = np.full(L, _ROLL_BASE_INV, dtype=np.uint64)
+        if L:
+            ipw[0] = 1
+        np.cumprod(ipw, out=ipw)  # ipw[j] = B^-j
+        s = np.cumsum(data.astype(np.uint64) * ipw, dtype=np.uint64)
+        prefix = np.zeros(L + 1, dtype=np.uint64)
+        if L:
+            prefix[1:] = pw[:L] * s
+        # window hash of data[i : i+K)
+        h = prefix[ROLL_K:] - prefix[: L + 1 - ROLL_K] * pw[ROLL_K]
+        fps = np.zeros(n, dtype=np.uint64)
+        long_m = (offsets[1:] - offsets[:-1]) >= ROLL_K
+        if long_m.any() and len(h):
+            # mask the windows that straddle a doc boundary (the K-1 start
+            # positions before each boundary), then segment-min per doc
+            hm = h.copy()
+            bad = (offsets[1:, None] - np.arange(1, ROLL_K)).ravel()
+            bad = bad[(bad >= 0) & (bad < len(hm))]
+            hm[bad] = np.uint64(0xFFFFFFFFFFFFFFFF)
+            starts = np.clip(offsets[:-1], 0, len(hm) - 1)
+            segmin = np.minimum.reduceat(hm, starts)
+            fps[long_m] = segmin[long_m]
+        short_m = ~long_m & (offsets[1:] > offsets[:-1])
+        if short_m.any():
+            lo, hi = offsets[:-1][short_m], offsets[1:][short_m]
+            fps[short_m] = prefix[hi] - prefix[lo] * pw[hi - lo]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "roll_fp": pa.array(fps.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_rolling_fingerprint(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        rolling_fingerprint_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
 register("text_stats", q_text_stats, _TEXT_STATS_SQL)
 register("text_lang_id", q_lang_id, _LANG_ID_SQL)
 register("text_fingerprint", q_fingerprint, _FINGERPRINT_SQL)
+register("text_rolling_fingerprint", q_rolling_fingerprint)  # rows-only

@@ -146,6 +146,53 @@ def test_embedding_neardup_symmetry_and_threshold(ray_session):
     assert not out.duplicated(["id_a", "id_b"]).any()
 
 
+def test_rolling_fingerprint_matches_python_oracle():
+    from otelcol_con_spaneventtolog_ray.functions.textstats import (
+        ROLL_BASE,
+        ROLL_K,
+        rolling_fingerprint_batch,
+    )
+
+    def py_fp(text: str) -> int:
+        b = text.encode()
+        M, B = 1 << 64, int(ROLL_BASE)
+        if not b:
+            return 0
+        if len(b) < ROLL_K:
+            h = 0
+            for ch in b:
+                h = (h * B + ch) % M
+            return h
+        best = None
+        for i in range(len(b) - ROLL_K + 1):
+            h = 0
+            for ch in b[i : i + ROLL_K]:
+                h = (h * B + ch) % M
+            best = h if best is None else min(best, h)
+        return best
+
+    texts = [
+        "", "ab", "x" * 16, "the quick brown fox jumps over the lazy dog",
+        "a" * 40, "prefix THE-SHARED-MINIMIZING-REGION suffix",
+        "other THE-SHARED-MINIMIZING-REGION tail words here",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    got = rolling_fingerprint_batch(tbl).column("roll_fp").to_pylist()
+    exp = [py_fp(t) - (1 << 64) if py_fp(t) >= 1 << 63 else py_fp(t) for t in texts]
+    assert got == exp
+
+
+def test_rolling_fingerprint_query_runs(ray_session):
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["text_rolling_fingerprint"](SF_DIR))
+    assert set(out.columns) == {"doc_id", "roll_fp"}
+    assert len(out) == 500
+
+
 def test_multimodal_decode_stub():
     from otelcol_con_spaneventtolog_ray.functions.multimodal import decode_image
 
