@@ -200,9 +200,41 @@ def run_scaling(sf_dir: str, rep: int, n_low: int, n_high: int) -> dict:
     }
 
 
+def run_stats(sf_dir: str, num_cpus: int, rep: int) -> None:
+    """Print the flagship DAG's per-stage ds.stats() (tuning evidence)."""
+    import dataclasses
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        from otelcol_con_spaneventtolog_ray.config import PipelineConfig
+        from otelcol_con_spaneventtolog_ray.pipelines.telemetry import (
+            build_log_records,
+            read_pages,
+        )
+        from otelcol_con_spaneventtolog_ray.stages.route import write_routed
+
+        pages_dir = prepare_input(sf_dir, rep)
+        cfg = dataclasses.replace(
+            PipelineConfig.default(), observed_timestamp_ns=1_755_000_000_000_000_000
+        )
+        out_dir = "/tmp/graft_bench_out"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        recs = build_log_records(read_pages(pages_dir), cfg)
+        t0 = time.perf_counter()
+        write_routed(recs, out_dir)
+        print(f"# wall: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        print(recs.stats(), file=sys.stderr)
+    finally:
+        ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--stats", action="store_true",
+                    help="print per-stage ds.stats() for the flagship DAG")
     ap.add_argument("--json-only", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--rep", type=int, default=None)
     # default 2->8: on one box, 4x cores share ONE memory controller, so the
@@ -218,6 +250,9 @@ def main() -> None:
         # scaling runs need compute to dominate fixed per-run overhead
         default_rep = "1600" if args.scaling else "400"
         args.rep = int(os.environ.get("RAY_GRAFT_BENCH_REP", default_rep))
+    if args.stats:
+        run_stats(sf_dir, num_cpus, args.rep)
+        return
     if args.scaling:
         result = run_scaling(sf_dir, args.rep, args.low, args.high)
     else:
