@@ -31,15 +31,14 @@ def partial_counts_fn(keys: list[str], num_salts: int = 8):
                  "_salt": pa.array([], pa.int32()),
                  "n": pa.array([], pa.int64())}
             )
-        import pandas as pd
-
-        df = batch.select(keys).to_pandas()
         # deterministic salt from row position within the batch: spreads one
         # hot key's partials over num_salts phase-B groups
-        df["_salt"] = (np.arange(len(df)) % num_salts).astype(np.int32)
-        out = df.groupby(keys + ["_salt"], sort=False, dropna=False).size()
-        out = out.reset_index(name="n")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        t = batch.select(keys).append_column(
+            "_salt",
+            pa.array((np.arange(batch.num_rows) % num_salts).astype(np.int32)),
+        )
+        out = t.group_by(keys + ["_salt"]).aggregate([([], "count_all")])
+        return out.rename_columns(keys + ["_salt", "n"])
 
     return _partial
 
