@@ -21,4 +21,11 @@ def register(name: str, fn: Callable[[str], Any], sql: str | None = None) -> Non
 
 
 # registration side effects (safe partial-import: register is defined above)
-from . import dedup, eventops, multimodal, similarity, textstats  # noqa: E402,F401
+from . import (  # noqa: E402,F401
+    dedup,
+    eventops,
+    multimodal,
+    similarity,
+    sketch,
+    textstats,
+)

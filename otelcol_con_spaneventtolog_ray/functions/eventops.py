@@ -253,7 +253,48 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# range (interval) join — events x events of the same user within ±5 min
+# ---------------------------------------------------------------------------
+
+RANGE_US = 5 * 60 * 1_000_000
+
+
+def range_join_group(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-user interval self-join, vectorized: neighbors within ±RANGE_US =
+    searchsorted(right edge) - searchsorted(left edge) - self."""
+    df = df.sort_values(["ts", "event_id"], kind="stable")
+    ts = _ts_us(df["ts"])
+    lo = np.searchsorted(ts, ts - RANGE_US, side="left")
+    hi = np.searchsorted(ts, ts + RANGE_US, side="right")
+    return pd.DataFrame(
+        {
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "neighbors": (hi - lo - 1).astype(np.int64),
+        }
+    )
+
+
+def q_range_join_neighbors(sf_dir: str):
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(range_join_group, batch_format="pandas", **remote_kwargs())
+    )
+
+
+_RANGE_SQL = f"""
+SELECT e.event_id, e.user_id,
+       (SELECT count(*) FROM events o
+        WHERE o.user_id = e.user_id AND o.event_id != e.event_id
+          AND abs(epoch_us(o.ts) - epoch_us(e.ts)) <= {RANGE_US}) AS neighbors
+FROM events e
+"""
+
+
 register("events_sessionization", q_sessionization, _SESSION_SQL)
+register("events_range_join_neighbors", q_range_join_neighbors, _RANGE_SQL)
 register("events_sliding_window_counts", q_sliding_window_counts, _SLIDING_SQL)
 register("events_asof_last_error", q_asof_last_error, _ASOF_SQL)
 register("events_topk_per_type", q_topk_per_type, _TOPK_SQL)

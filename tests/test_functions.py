@@ -15,7 +15,7 @@ SQL_CHECKED = [
     "dedup_embedding_neardup", "similarity_ivf_cells",
     "events_sessionization", "events_asof_last_error",
     "events_topk_per_type", "events_value_deviation",
-    "events_sliding_window_counts",
+    "events_sliding_window_counts", "events_range_join_neighbors",
     "multimodal_resize", "multimodal_frame_sample",
 ]
 
@@ -191,6 +191,41 @@ def test_rolling_fingerprint_query_runs(ray_session):
     out = _to_df(e.queries()["text_rolling_fingerprint"](SF_DIR))
     assert set(out.columns) == {"doc_id", "roll_fp"}
     assert len(out) == 500
+
+
+def test_hll_sketch_accuracy_and_merge():
+    rng = np.random.default_rng(9)
+    from otelcol_con_spaneventtolog_ray.functions.sketch import (
+        hll_estimate,
+        hll_fold,
+    )
+
+    for true_n in (40, 500, 20_000):
+        vals = rng.choice(10_000_000, size=true_n, replace=False).astype(np.int64)
+        # duplicate-heavy stream, folded in two halves then max-merged
+        stream = np.concatenate([vals, vals[: true_n // 2]])
+        a = hll_fold(stream[: len(stream) // 2])
+        b = hll_fold(stream[len(stream) // 2 :])
+        est = hll_estimate(np.maximum(a, b))
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+        # merge equals single-shot fold
+        assert np.array_equal(np.maximum(a, b), hll_fold(stream))
+
+
+def test_hll_query_close_to_exact(ray_session):
+    import duckdb
+
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["sketch_hll_distinct_users"](SF_DIR))
+    exact = duckdb.connect().execute(
+        f"SELECT event_type, count(DISTINCT user_id) AS n FROM"
+        f" read_parquet('{SF_DIR}/events.parquet') GROUP BY 1"
+    ).df().set_index("event_type")["n"]
+    assert len(out) == len(exact)
+    for _, row in out.iterrows():
+        n = exact[row["event_type"]]
+        assert abs(row["approx_distinct"] - n) / max(n, 1) < 0.05
 
 
 def test_multimodal_decode_stub():
