@@ -116,15 +116,20 @@ def parse_attrs_column(field_arr: pa.Array) -> pa.MapArray:
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
     flat = flat.filter(pa.array(keep))
     parents = parents[keep]
-    # guard: drop malformed pairs lacking '=' (dead-letter semantics)
-    has_eq = pc.greater_equal(pc.find_substring(flat, "="), 0).to_numpy(
+    kv = pc.split_pattern(flat, pattern="=", max_splits=1)
+    if isinstance(kv, pa.ChunkedArray):
+        kv = kv.combine_chunks()
+    # guard: drop malformed pairs lacking '=' (dead-letter semantics) — a
+    # pair splits into 2 elements iff it contains '=' (cheaper than a
+    # byte-scan of the strings)
+    has_eq = pc.equal(pc.list_value_length(kv), 2).to_numpy(
         zero_copy_only=False
     )
     has_eq = np.nan_to_num(has_eq, nan=False).astype(bool)
     if not has_eq.all():
-        flat = flat.filter(pa.array(has_eq))
+        m = pa.array(has_eq)
+        kv = kv.filter(m)
         parents = parents[has_eq]
-    kv = pc.split_pattern(flat, pattern="=", max_splits=1)
     keys = unescape_array(pc.list_element(kv, 0))
     tv = pc.list_element(kv, 1)
     tags = pc.utf8_slice_codeunits(tv, start=0, stop=1)
