@@ -78,7 +78,7 @@ def prepare_input(sf_dir: str, rep: int) -> str:
     return out
 
 
-def run_single(sf_dir: str, num_cpus: int, rep: int) -> dict:
+def run_single(sf_dir: str, num_cpus: int, rep: int, timed_reps: int = 1) -> dict:
     import dataclasses
 
     import ray
@@ -113,12 +113,12 @@ def run_single(sf_dir: str, num_cpus: int, rep: int) -> dict:
         # q1: full DAG — read -> parse -> enrich -> routed write -> counts.
         # best-of-N timed runs: wall time on this box is ~20% noisy run-to-run
         # (page-cache state, kcompactd), so the scaling mode — where a single
-        # outlier corrupts the ratio — takes the best of three; the default
-        # single run stays one-shot.
-        reps_timed = 3 if os.environ.get("RAY_GRAFT_SCALING") else 1
+        # outlier corrupts the ratio — takes the best of three (explicit
+        # --timed-reps, never an ambient env var); the default single run
+        # stays one-shot.
         out_dir = "/tmp/graft_bench_out"
         best = None
-        for _ in range(reps_timed):
+        for _ in range(timed_reps):
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.perf_counter()
             counts = run_pipeline(pages_dir, out_dir, cfg)
@@ -126,7 +126,7 @@ def run_single(sf_dir: str, num_cpus: int, rep: int) -> dict:
             best = dt if best is None else min(best, dt)
         queries["pipeline_full"] = round(best, 3)
         events = int(sum(counts.values()))
-        if os.environ.get("RAY_GRAFT_SCALING"):
+        if timed_reps > 1:  # scaling subprocess: skip the secondary queries
             total = queries["pipeline_full"]
             return {
                 "metric": "flagship parse->enrich->route->aggregate wall sec",
@@ -172,9 +172,10 @@ def run_scaling(sf_dir: str, rep: int, n_low: int, n_high: int) -> dict:
     results = {}
     for n in (n_low, n_high):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
-                   RAY_GRAFT_BENCH_REP=str(rep), RAY_GRAFT_SCALING="1")
+                   RAY_GRAFT_BENCH_REP=str(rep))
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--json-only"],
+            [sys.executable, os.path.abspath(__file__), "--json-only",
+             "--timed-reps", "3"],
             env=env, capture_output=True, text=True, timeout=3600,
         )
         line = proc.stdout.strip().splitlines()[-1]
@@ -235,6 +236,7 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--stats", action="store_true",
                     help="print per-stage ds.stats() for the flagship DAG")
+    ap.add_argument("--timed-reps", type=int, default=1, help=argparse.SUPPRESS)
     ap.add_argument("--json-only", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--rep", type=int, default=None)
     # default 2->8: on one box, 4x cores share ONE memory controller, so the
@@ -256,7 +258,7 @@ def main() -> None:
     if args.scaling:
         result = run_scaling(sf_dir, args.rep, args.low, args.high)
     else:
-        result = run_single(sf_dir, num_cpus, args.rep)
+        result = run_single(sf_dir, num_cpus, args.rep, timed_reps=args.timed_reps)
     print(json.dumps(result))
 
 

@@ -102,8 +102,11 @@ def asof_last_error_group(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(["ts", "event_id"], kind="stable")
     ts = _ts_us(df["ts"])
     err_ts = ts[(df["event_type"] == "error").to_numpy()]
-    idx = np.searchsorted(err_ts, ts, side="right") - 1
-    last = np.where(idx >= 0, err_ts[np.maximum(idx, 0)], -1)
+    if len(err_ts):
+        idx = np.searchsorted(err_ts, ts, side="right") - 1
+        last = np.where(idx >= 0, err_ts[np.maximum(idx, 0)], -1)
+    else:  # user with no error events at all
+        last = np.full(len(ts), -1, dtype=np.int64)
     return pd.DataFrame(
         {
             "event_id": df["event_id"].to_numpy(),

@@ -187,15 +187,17 @@ def q_media_frames(sf_dir: str):
     )
 
 
+# payloads are UTF-8 BYTES of text -> use octet_length, not char length,
+# so the oracles hold for non-ASCII documents too
 _RESIZE_SQL = (
-    f"SELECT doc_id, least({ImageResizer.TARGET_BYTES}, length(text))"
-    " AS thumb_len FROM documents"
+    f"SELECT doc_id, least({ImageResizer.TARGET_BYTES},"
+    " octet_length(encode(text))) AS thumb_len FROM documents"
 )
 _FRAMES_SQL = f"""
 SELECT d.doc_id, t.f * {FrameSampler.STRIDE} AS frame_no
 FROM documents d, LATERAL (
   SELECT unnest(range(
-    CAST(ceil((length(text) // {FrameSampler.FRAME_BYTES})
+    CAST(ceil((octet_length(encode(text)) // {FrameSampler.FRAME_BYTES})
               / {FrameSampler.STRIDE}.0) AS BIGINT))) AS f) t
 """
 
@@ -221,8 +223,8 @@ def q_media_features(sf_dir: str):
 
 
 _MEDIA_SQL = (
-    "SELECT doc_id, length(text) AS payload_len, sha256(text) AS sha256"
-    " FROM documents"
+    "SELECT doc_id, octet_length(encode(text)) AS payload_len,"
+    " sha256(text) AS sha256 FROM documents"
 )
 
 register("multimodal_features", q_media_features, _MEDIA_SQL)

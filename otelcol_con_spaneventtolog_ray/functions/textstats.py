@@ -232,8 +232,12 @@ def rolling_fingerprint_batch(batch: pa.Table) -> pa.Table:
         prefix = np.zeros(L + 1, dtype=np.uint64)
         if L:
             prefix[1:] = pw[:L] * s
-        # window hash of data[i : i+K)
-        h = prefix[ROLL_K:] - prefix[: L + 1 - ROLL_K] * pw[ROLL_K]
+        # window hash of data[i : i+K); a batch whose total bytes are under K
+        # has no windows at all (pw is only L+1 long then)
+        if L >= ROLL_K:
+            h = prefix[ROLL_K:] - prefix[: L + 1 - ROLL_K] * pw[ROLL_K]
+        else:
+            h = np.zeros(0, dtype=np.uint64)
         fps = np.zeros(n, dtype=np.uint64)
         long_m = (offsets[1:] - offsets[:-1]) >= ROLL_K
         if long_m.any() and len(h):

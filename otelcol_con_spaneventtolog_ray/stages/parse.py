@@ -371,12 +371,16 @@ def make_parse_stats_fn(include_event_names: tuple[str, ...] = ()):
             ).as_py()
             or 0
         )
-        parsed = parse_pages_batch(batch).num_rows
-        kept = (
-            parse_pages_batch(batch, include_event_names).num_rows
-            if include_event_names
-            else parsed
-        )
+        events = parse_pages_batch(batch)
+        parsed = events.num_rows
+        if include_event_names:  # one is_in mask, not a second full parse
+            inc = pc.is_in(
+                events.column("event_name"),
+                value_set=pa.array(list(include_event_names), pa.string()),
+            )
+            kept = pc.sum(pc.cast(inc, pa.int64())).as_py() or 0
+        else:
+            kept = parsed
         return pa.table(
             {
                 "pages": pa.array([n_pages], pa.int64()),

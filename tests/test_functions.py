@@ -193,6 +193,40 @@ def test_rolling_fingerprint_query_runs(ray_session):
     assert len(out) == 500
 
 
+def test_asof_group_with_no_errors():
+    import pandas as pd
+
+    from otelcol_con_spaneventtolog_ray.functions.eventops import (
+        asof_last_error_group,
+    )
+
+    df = pd.DataFrame(
+        {
+            "event_id": [1, 2],
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+            "user_id": [7, 7],
+            "event_type": ["click", "signup"],  # no 'error' at all
+        }
+    )
+    out = asof_last_error_group(df)
+    assert out["last_error_us"].tolist() == [-1, -1]
+
+
+def test_rolling_fingerprint_tiny_batch():
+    from otelcol_con_spaneventtolog_ray.functions.textstats import (
+        rolling_fingerprint_batch,
+    )
+
+    # total batch bytes under the 16-byte window: no windows exist at all
+    tbl = pa.table(
+        {"doc_id": pa.array([0, 1], pa.int64()),
+         "text": pa.array(["ab", ""], pa.string())}
+    )
+    out = rolling_fingerprint_batch(tbl)
+    assert out.num_rows == 2
+    assert out.column("roll_fp")[1].as_py() == 0  # empty doc
+
+
 def test_hll_sketch_accuracy_and_merge():
     rng = np.random.default_rng(9)
     from otelcol_con_spaneventtolog_ray.functions.sketch import (
