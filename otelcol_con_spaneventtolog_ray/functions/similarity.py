@@ -274,7 +274,6 @@ def q_ivf_topk(sf_dir: str):
     """ANN top-k: each query probes its IVF_NPROBE nearest cells and scores
     only those cells' members (rows-only check; recall vs the exact top-k is
     asserted structurally in tests)."""
-    import pandas as pd
     import pyarrow.parquet as pq
     import ray
 

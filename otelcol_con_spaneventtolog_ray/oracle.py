@@ -9,7 +9,7 @@ model against the vectorized Ray stages — never in the pipeline hot path.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from .config import PipelineConfig
 from .escape import unescape

@@ -39,8 +39,8 @@ import pyarrow as pa
 import ray.data
 
 from ..config import PipelineConfig
-from ..stages.aggregate import counts_by, counts_table
-from ..stages.enrich import LOG_RECORDS_SCHEMA, Enricher, enrich_events_batch
+from ..stages.aggregate import counts_table
+from ..stages.enrich import Enricher
 from ..stages.parse import make_parse_fn, parse_pages_batch
 
 PAGE_COLUMNS = ["url", "warc_ts", "text", "lang"]
