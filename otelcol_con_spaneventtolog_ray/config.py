@@ -72,23 +72,47 @@ class PipelineConfig:
         return source in self.log_attributes_from
 
     @staticmethod
-    def from_dict(d: dict[str, Any]) -> "PipelineConfig":
-        """Build from a YAML-shaped dict (mapstructure key names)."""
-        am = d.get("attribute_mappings", {}) or {}
+    def from_dict(
+        d: dict[str, Any], base: "PipelineConfig | None" = None
+    ) -> "PipelineConfig":
+        """Build from a YAML-shaped dict (mapstructure key names).
+
+        Without ``base``, absent keys get zero values (the plain-constructor
+        contract the internal config round-trips rely on). With ``base``,
+        absent keys inherit from it and present keys replace its values
+        wholly — the Collector semantics of unmarshalling user YAML onto
+        ``createDefaultConfig()``'s result (factory.go:27-37).
+        """
+        zeros = PipelineConfig()
+        b = base if base is not None else zeros
+
+        def get(key: str) -> Any:
+            return d[key] if d.get(key) is not None else getattr(b, key)
+
+        am_d = d.get("attribute_mappings") or {}
+        base_am = b.attribute_mappings
+
+        def gam(key: str) -> str:
+            return (
+                am_d[key]
+                if am_d.get(key) is not None
+                else getattr(base_am, key)
+            )
+
         cfg = PipelineConfig(
-            include_event_names=tuple(d.get("include_event_names", ()) or ()),
-            include_span_context=bool(d.get("include_span_context", False)),
-            log_attributes_from=tuple(d.get("log_attributes_from", ()) or ()),
-            severity_by_event_name=dict(d.get("severity_by_event_name", {}) or {}),
-            add_level=bool(d.get("add_level", False)),
-            severity_attribute=d.get("severity_attribute", "") or "",
+            include_event_names=tuple(get("include_event_names")),
+            include_span_context=bool(get("include_span_context")),
+            log_attributes_from=tuple(get("log_attributes_from")),
+            severity_by_event_name=dict(get("severity_by_event_name")),
+            add_level=bool(get("add_level")),
+            severity_attribute=get("severity_attribute"),
             attribute_mappings=AttributeMappings(
-                body=am.get("body", "") or "",
-                severity_number=am.get("severity_number", "") or "",
-                severity_text=am.get("severity_text", "") or "",
-                event_name=am.get("event_name", "") or "",
+                body=gam("body"),
+                severity_number=gam("severity_number"),
+                severity_text=gam("severity_text"),
+                event_name=gam("event_name"),
             ),
-            observed_timestamp_ns=d.get("observed_timestamp_ns"),
+            observed_timestamp_ns=get("observed_timestamp_ns"),
         )
         cfg.validate()
         return cfg
@@ -96,8 +120,9 @@ class PipelineConfig:
     @staticmethod
     def from_yaml(source: str) -> "PipelineConfig":
         """Build from YAML text or a path to a YAML file — the analog of the
-        Collector unmarshalling YAML onto Config (factory.go:18-43). Accepts
-        the connector's exact mapstructure key vocabulary; validated on load.
+        Collector unmarshalling YAML onto the DEFAULT config (factory.go:18-43
+        + 27-37): keys absent from the YAML keep their createDefaultConfig
+        values; keys present replace them wholly. Validated on load.
         """
         import os
 
@@ -108,7 +133,7 @@ class PipelineConfig:
                 data = yaml.safe_load(f)
         else:
             data = yaml.safe_load(source)
-        return PipelineConfig.from_dict(data or {})
+        return PipelineConfig.from_dict(data or {}, base=PipelineConfig.default())
 
     def sorted_event_name_rules(self) -> list[tuple[str, int, str]]:
         """severity_by_event_name rules as (lower_key, number, canon_text),

@@ -133,6 +133,13 @@ def severity_class(number: int) -> str:
     return "unspecified"
 
 
+def _valid_int(s: str) -> bool:
+    body = s[1:] if s[:1] == "-" else s
+    return bool(
+        body and body.isascii() and body.isdigit() and -(2**63) <= int(s) < 2**63
+    )
+
+
 def _get_attr(attrs: list[tuple[str, str, str]], key: str) -> tuple[str, str] | None:
     """pcommon.Map.Get: first entry wins for duplicate keys."""
     for k, tag, v in attrs:
@@ -152,7 +159,9 @@ def populate_log_record(cfg: PipelineConfig, ev: OracleEvent) -> OracleRecord:
     if am.severity_number or am.severity_text:
         if am.severity_number:
             got = _get_attr(ev.event_attrs, am.severity_number)
-            if got is not None and got[0] == "i":
+            if got is not None and got[0] == "i" and _valid_int(got[1]):
+                # pinned int grammar ('-?[0-9]+', int64 range) — a malformed
+                # 'i:'-payload doesn't fire E1 (matches stages/enrich)
                 severity_number = int(got[1])
                 severity_text = severity_number_to_text(severity_number)
                 severity_found = True

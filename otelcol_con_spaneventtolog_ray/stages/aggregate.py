@@ -25,14 +25,10 @@ def partial_counts_fn(keys: list[str], num_salts: int = 8):
     """map_batches fn: batch -> tiny (key..., _salt, n) partial-count table."""
 
     def _partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {**{k: pa.array([], pa.string()) for k in keys},
-                 "_salt": pa.array([], pa.int32()),
-                 "n": pa.array([], pa.int64())}
-            )
         # deterministic salt from row position within the batch: spreads one
-        # hot key's partials over num_salts phase-B groups
+        # hot key's partials over num_salts phase-B groups. Works for 0-row
+        # batches too (group_by preserves the key column types, so empty
+        # blocks can't poison the phase-B schema for non-string keys).
         t = batch.select(keys).append_column(
             "_salt",
             pa.array((np.arange(batch.num_rows) % num_salts).astype(np.int32)),

@@ -197,8 +197,35 @@ def _const_source(
     return rows, _as_single(pa.repeat(key, len(rows))), vals
 
 
-def enrich_events_batch(events: pa.Table, cfg: PipelineConfig) -> pa.Table:
-    """events table (EVENTS_SCHEMA) -> log-records table (LOG_RECORDS_SCHEMA)."""
+def _parse_int_strs(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """'i:'-tagged payloads -> (int64 values, valid mask) under the pinned
+    integer grammar ('-?[0-9]+', int64 range — same as the ts field); a
+    malformed int payload simply doesn't fire E1 (dead-letter fall-through,
+    mirrored in oracle.populate_log_record)."""
+    ints = np.zeros(len(vals), dtype=np.int64)
+    ok = np.zeros(len(vals), dtype=bool)
+    for i, s in enumerate(vals):
+        if s is None:
+            continue
+        body = s[1:] if s[:1] == "-" else s
+        if body and body.isascii() and body.isdigit():
+            v = int(s)
+            if -(2**63) <= v < 2**63:
+                ints[i] = v
+                ok[i] = True
+    return ints, ok
+
+
+def enrich_events_batch(
+    events: pa.Table,
+    cfg: PipelineConfig,
+    rules: list[tuple[str, int, str]] | None = None,
+) -> pa.Table:
+    """events table (EVENTS_SCHEMA) -> log-records table (LOG_RECORDS_SCHEMA).
+
+    ``rules`` lets callers (the Enricher actor) pass the precompiled
+    severity_by_event_name rules instead of re-deriving them per batch.
+    """
     n = events.num_rows
     am = cfg.attribute_mappings
     event_attrs = _as_single(events.column("event_attrs"))
@@ -213,26 +240,25 @@ def enrich_events_batch(events: pa.Table, cfg: PipelineConfig) -> pa.Table:
     if am.severity_number or am.severity_text:
         if am.severity_number:
             tags, vals = map_first_lookup(event_attrs, am.severity_number)
-            m = np.array([t == "i" for t in tags], dtype=bool)
+            m = tags == "i"
             if m.any():
-                ints = pd.to_numeric(pd.Series(vals[m]), errors="coerce")
-                ok_int = ints.notna().to_numpy()
+                iv_all, ok_int = _parse_int_strs(vals[m])
                 m2 = m.copy()
                 m2[np.nonzero(m)[0][~ok_int]] = False
                 if m2.any():
-                    iv = ints[ok_int].astype(np.int64).to_numpy()
+                    iv = iv_all[ok_int]
                     sev_num[m2] = iv
                     sev_text[m2] = severity_number_to_text_batch(iv)
                     found |= m2
         if am.severity_text:
             tags, vals = map_first_lookup(event_attrs, am.severity_text)
-            m = np.array([t == "s" for t in tags], dtype=bool)
+            m = tags == "s"
             if m.any():
                 sev_text[m] = vals[m]  # raw text kept (connector.go:285)
                 parse_m = m & ~found  # number from text only if E1 didn't fire
                 if parse_m.any():
                     nums, canon, valid = map_severity_batch(
-                        pa.array([v if v is not None else "" for v in vals], pa.string())
+                        pa.array(np.where(pd.isna(vals), "", vals), pa.string())
                     )
                     ok = parse_m & valid
                     sev_num[ok] = nums[ok]
@@ -242,16 +268,17 @@ def enrich_events_batch(events: pa.Table, cfg: PipelineConfig) -> pa.Table:
         rem = ~found
         if rem.any():
             tags, vals = map_first_lookup(event_attrs, cfg.severity_attribute)
-            m = np.array([t == "s" for t in tags], dtype=bool) & rem
+            m = (tags == "s") & rem
             if m.any():
                 nums, canon, valid = map_severity_batch(
-                    pa.array([v if v is not None else "" for v in vals], pa.string())
+                    pa.array(np.where(pd.isna(vals), "", vals), pa.string())
                 )
                 ok = m & valid
                 sev_num[ok] = nums[ok]
                 sev_text[ok] = canon[ok]
                 found |= ok
-    rules = cfg.sorted_event_name_rules()
+    if rules is None:
+        rules = cfg.sorted_event_name_rules()
     if rules and (~found).any():
         lower_names = pc.utf8_lower(event_name)
         assigned = found.copy()
@@ -267,7 +294,7 @@ def enrich_events_batch(events: pa.Table, cfg: PipelineConfig) -> pa.Table:
     body = event_name
     if am.body:
         tags, vals = map_first_lookup(event_attrs, am.body)
-        m = np.array([t == "s" for t in tags], dtype=bool)
+        m = tags == "s"
         if m.any():
             body_np = event_name_np.copy()
             body_np[m] = vals[m]
@@ -376,4 +403,4 @@ class Enricher:
         self._rules = cfg.sorted_event_name_rules()  # precompiled
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return enrich_events_batch(batch, self.cfg)
+        return enrich_events_batch(batch, self.cfg, rules=self._rules)

@@ -134,8 +134,7 @@ def parse_attrs_column(field_arr: pa.Array) -> pa.MapArray:
     tv = pc.list_element(kv, 1)
     tags = pc.utf8_slice_codeunits(tv, start=0, stop=1)
     values = unescape_array(pc.utf8_slice_codeunits(tv, start=2, stop=1 << 62))
-    sep = pa.scalar(":", type=tags.type if not isinstance(tags, pa.ChunkedArray) else tags.type)
-    tagged = pc.binary_join_element_wise(tags, values, sep)
+    tagged = pc.binary_join_element_wise(tags, values, pa.scalar(":", type=tags.type))
     counts = np.bincount(parents, minlength=n).astype(np.int32)
     offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
     return pa.MapArray.from_arrays(

@@ -29,8 +29,6 @@ import time
 from collections import defaultdict
 from typing import Any
 
-import ray.data
-
 from ..config import PipelineConfig
 from ..pipelines.telemetry import build_log_records, read_pages
 from ..stages.route import routed_counts_from_footers, write_routed
@@ -104,6 +102,13 @@ def run_resumable(
     files = list_input_files(input_dir)
     shards = plan_shards(files, shard_size)
     done = committed_shards(out_root)
+    stale = set(done) - set(range(len(shards)))
+    if stale:
+        raise RuntimeError(
+            f"manifests exist for shards {sorted(stale)} not in the current "
+            "input plan — input listing shrank since last run; use a fresh "
+            "out_root (totals would otherwise include orphaned shards)"
+        )
 
     for shard_id, shard_files in enumerate(shards):
         if shard_id in done:

@@ -79,3 +79,19 @@ def test_sorted_rules_longest_first_lexicographic_tiebreak():
     # 'unspecified' parses invalid -> dropped from matching (connector.go:322-326)
     assert [r[0] for r in rules] == ["abc", "ab", "zz"]
     assert rules[0][2] == "fatal"
+
+
+def test_from_yaml_merges_onto_defaults():
+    # the Collector unmarshals YAML onto createDefaultConfig's result:
+    # absent keys inherit, present keys replace wholly
+    cfg = PipelineConfig.from_yaml("add_level: true")
+    assert cfg.add_level is True
+    assert cfg.include_span_context is True  # inherited default
+    assert cfg.log_attributes_from == ("event.attributes", "resource.attributes")
+    assert cfg.severity_by_event_name == {"exception": "error"}
+    # present key replaces wholly (explicit empty map wins over the default)
+    cfg2 = PipelineConfig.from_yaml("severity_by_event_name: {}")
+    assert cfg2.severity_by_event_name == {}
+    # explicit false overrides the true default
+    cfg3 = PipelineConfig.from_yaml("include_span_context: false")
+    assert cfg3.include_span_context is False

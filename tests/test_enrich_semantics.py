@@ -280,3 +280,25 @@ def test_oracle_equivalence_randomized(seed):
         assert g["resource_attrs"] == list(e.resource_attrs.items())
         assert g["trace_id"] == e.trace_id and g["span_id"] == e.span_id
         assert g["sink"] == e.sink
+
+
+def test_severity_number_malformed_int_payload_falls_through():
+    """A non-integer 'i:'-tagged payload must NOT fire E1 — in both the
+    vectorized stage and the oracle (pinned '-?[0-9]+' int64 grammar)."""
+    for payload in ("3.7", "1e3", "9_0", "+5", "", "99999999999999999999"):
+        line = build_line(
+            trace_hex32="00" * 16, span_hex16="00" * 8, span_name="s",
+            span_kind="Client", ts_ns=1, trace_state="", event_name="evt",
+            event_attrs=[("sev", "i", payload)], span_attrs=[],
+            resource_attrs=[],
+        )
+        cfg = PipelineConfig(
+            attribute_mappings=AttributeMappings(severity_number="sev"),
+            log_attributes_from=("event.attributes",),
+        )
+        recs = _run(cfg, [line])
+        assert recs[0]["severity_number"] == 9, payload  # default, E1 skipped
+        tbl = _pages([line])
+        pages = [(r["url"], 0, r["text"], r["lang"]) for r in tbl.to_pylist()]
+        exp = run_oracle(pages, dataclasses.replace(cfg, observed_timestamp_ns=OBS))
+        assert exp[0].severity_number == 9, payload

@@ -87,3 +87,21 @@ def test_manifest_guard_on_input_change(ray_session, sharded_input, tmp_path):
     json.dump(m, open(mf, "w"))
     with pytest.raises(RuntimeError, match="manifest input mismatch"):
         run_resumable(src, out, cfg, shard_size=3)
+
+
+def test_shrunk_input_listing_is_rejected(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import pytest
+
+    from otelcol_con_spaneventtolog_ray.sources.synth import generate_pages_table
+    from otelcol_con_spaneventtolog_ray.state.checkpoint import run_resumable
+
+    d = tmp_path / "pages"
+    d.mkdir()
+    for i in range(3):
+        pq.write_table(generate_pages_table(50, seed=i), str(d / f"p{i}.parquet"))
+    out = str(tmp_path / "out")
+    run_resumable(str(d), out, shard_size=1)
+    (d / "p2.parquet").unlink()  # input listing shrinks
+    with pytest.raises(RuntimeError, match="not in the current input plan"):
+        run_resumable(str(d), out, shard_size=1)
