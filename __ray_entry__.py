@@ -29,7 +29,6 @@ import pyarrow.compute as pc
 
 from otelcol_con_spaneventtolog_ray.config import AttributeMappings, PipelineConfig
 from otelcol_con_spaneventtolog_ray.rayenv import remote_kwargs
-from otelcol_con_spaneventtolog_ray.sevmap import SEVERITY_TO_TEXT
 from otelcol_con_spaneventtolog_ray.sources.synth import (
     EMBED_SEV_TEXTS,
     SPAN_KINDS,
@@ -173,24 +172,21 @@ EVENT_TYPE_RULES = {
 def _q_events_severity_route(sf_dir: str):
     import ray.data
 
-    from otelcol_con_spaneventtolog_ray.sevmap import map_severity
-
     cfg = PipelineConfig(severity_by_event_name=EVENT_TYPE_RULES)
     rules = cfg.sorted_event_name_rules()
 
     def classify(t: pa.Table) -> pa.Table:
         import numpy as np
 
+        from otelcol_con_spaneventtolog_ray.stages.enrich import (
+            apply_event_name_rules,
+        )
+
         names = t.column("event_type").combine_chunks()
-        lower = pc.utf8_lower(names)
         n = len(names)
+        num = np.full(n, 9, dtype=np.int64)
         txt = np.full(n, "info", dtype=object)
-        assigned = np.zeros(n, dtype=bool)
-        for key, _num, canon in rules:
-            m = pc.match_substring(lower, key).to_numpy(zero_copy_only=False)
-            m = np.nan_to_num(m, nan=False).astype(bool) & ~assigned
-            txt[m] = canon
-            assigned |= m
+        apply_event_name_rules(names, rules, num, txt, np.zeros(n, dtype=bool))
         return pa.table(
             {"event_type": names, "severity_text": pa.array(txt, pa.string())}
         )
@@ -303,12 +299,6 @@ _SEVTXT_SQL = (
         f"WHEN {i} THEN '{t}'" for i, t in enumerate(EMBED_SEV_TEXTS[:-1])
     )
     + f" ELSE '{EMBED_SEV_TEXTS[-1]}' END"
-)
-# severity_number_to_text with 'info' default (connector.go:446-453)
-_NUM2TEXT_SQL = (
-    "CASE sn "
-    + " ".join(f"WHEN {n} THEN '{t}'" for n, t in sorted(SEVERITY_TO_TEXT.items()))
-    + " ELSE 'info' END"
 )
 _SINK_SQL = (
     "CASE WHEN sn BETWEEN 1 AND 24 THEN"

@@ -208,6 +208,8 @@ def build_log_records(
     if batch_size is not None:
         common["batch_size"] = batch_size
     cd = _cfg_dict(cfg)
+    if enrich_mode not in ("tasks", "actors"):
+        raise ValueError(f"unknown enrich_mode: {enrich_mode!r} (tasks|actors)")
     if enrich_mode == "tasks":
         if fused:
             return pages.map_batches(make_fused_fn(cd), **common)

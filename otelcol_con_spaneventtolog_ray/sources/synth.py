@@ -146,6 +146,10 @@ _FILLER_WORDS = np.array(
 )
 
 
+def _cycle_lang(url_i: int) -> str:
+    return ["en", "de", "fr", "es"][url_i % 4]
+
+
 def _page(url_i: int, lines: list[str], lang: str, rng: np.random.Generator | None) -> dict:
     filler = (
         " ".join(rng.choice(_FILLER_WORDS, size=int(rng.integers(3, 12))))
@@ -162,7 +166,7 @@ def _page(url_i: int, lines: list[str], lang: str, rng: np.random.Generator | No
         "warc_ts": BASE_WARC_TS_US + url_i * 1_000_000,
         "html": b"<html><body>filler</body></html>",
         "text": "\n".join(parts),
-        "lang": ["en", "de", "fr", "es"][url_i % 4],
+        "lang": lang,
     }
 
 
@@ -186,10 +190,10 @@ def generate_pages_table(n_pages: int, seed: int = 42) -> pa.Table:
     rows = []
     for i in range(n_pages):
         if i == 0:
-            rows.append(_page(i, fixture_a_lines(), "en", rng))
+            rows.append(_page(i, fixture_a_lines(), _cycle_lang(i), rng))
             continue
         if i == 1:
-            rows.append(_page(i, fixture_b_lines(), "en", rng))
+            rows.append(_page(i, fixture_b_lines(), _cycle_lang(i), rng))
             continue
         n_ev = int(rng.integers(0, 9))
         lines = []
@@ -219,7 +223,7 @@ def generate_pages_table(n_pages: int, seed: int = 42) -> pa.Table:
                     resource_attrs=[("service.name", "s", f"svc-{i % 4}")],
                 )
             )
-        rows.append(_page(i, lines, "en", rng))
+        rows.append(_page(i, lines, _cycle_lang(i), rng))
     return pa.Table.from_pylist(rows, schema=PAGES_SCHEMA)
 
 

@@ -197,6 +197,27 @@ def _const_source(
     return rows, _as_single(pa.repeat(key, len(rows))), vals
 
 
+def apply_event_name_rules(
+    event_name: pa.Array | pa.ChunkedArray,
+    rules: list[tuple[str, int, str]],
+    sev_num: np.ndarray,
+    sev_text: np.ndarray,
+    assigned: np.ndarray,
+) -> None:
+    """E4: case-insensitive substring rules, first match in longest-key order
+    wins for rows not yet assigned (connector.go:312-335). Mutates
+    sev_num/sev_text/assigned in place; shared by the enrich stage and the
+    events_severity_route driver query so the semantics can't drift."""
+    lower_names = pc.utf8_lower(_as_single(event_name))
+    for key, num, txt in rules:
+        mm = pc.match_substring(lower_names, key).to_numpy(zero_copy_only=False)
+        mm = np.nan_to_num(mm, nan=False).astype(bool) & ~assigned
+        if mm.any():
+            sev_num[mm] = num
+            sev_text[mm] = txt
+            assigned |= mm
+
+
 def _parse_int_strs(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """'i:'-tagged payloads -> (int64 values, valid mask) under the pinned
     integer grammar ('-?[0-9]+', int64 range — same as the ts field); a
@@ -280,15 +301,7 @@ def enrich_events_batch(
     if rules is None:
         rules = cfg.sorted_event_name_rules()
     if rules and (~found).any():
-        lower_names = pc.utf8_lower(event_name)
-        assigned = found.copy()
-        for key, num, txt in rules:
-            mm = pc.match_substring(lower_names, key).to_numpy(zero_copy_only=False)
-            mm = np.nan_to_num(mm, nan=False).astype(bool) & ~assigned
-            if mm.any():
-                sev_num[mm] = num
-                sev_text[mm] = txt
-                assigned |= mm
+        apply_event_name_rules(event_name, rules, sev_num, sev_text, found.copy())
 
     # --- body (connector.go:348-358) ---
     body = event_name
