@@ -126,30 +126,19 @@ def run_single(sf_dir: str, num_cpus: int, rep: int, timed_reps: int = 1) -> dic
             best = dt if best is None else min(best, dt)
         queries["pipeline_full"] = round(best, 3)
         events = int(sum(counts.values()))
-        if timed_reps > 1:  # scaling subprocess: skip the secondary queries
-            total = queries["pipeline_full"]
-            return {
-                "metric": "flagship parse->enrich->route->aggregate wall sec",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": os.path.basename(os.path.normpath(sf_dir)),
-                "num_cpus": num_cpus,
-                "events": events,
-                "events_per_sec": int(events / total) if total else 0,
-            }
 
-        # q2: parse+enrich -> salted two-phase aggregate (no write)
-        t0 = time.perf_counter()
-        sink_counts(build_log_records(read_pages(pages_dir), cfg))
-        queries["sink_counts_agg"] = round(time.perf_counter() - t0, 3)
+        if timed_reps == 1:  # scaling subprocesses skip the secondary queries
+            # q2: parse+enrich -> salted two-phase aggregate (no write)
+            t0 = time.perf_counter()
+            sink_counts(build_log_records(read_pages(pages_dir), cfg))
+            queries["sink_counts_agg"] = round(time.perf_counter() - t0, 3)
 
-        # q3: parse-only scan throughput
-        t0 = time.perf_counter()
-        read_pages(pages_dir).map_batches(
-            make_parse_fn(), batch_format="pyarrow", **remote_kwargs()
-        ).count()
-        queries["parse_only"] = round(time.perf_counter() - t0, 3)
+            # q3: parse-only scan throughput
+            t0 = time.perf_counter()
+            read_pages(pages_dir).map_batches(
+                make_parse_fn(), batch_format="pyarrow", **remote_kwargs()
+            ).count()
+            queries["parse_only"] = round(time.perf_counter() - t0, 3)
 
         total = queries["pipeline_full"]
         return {
@@ -174,10 +163,15 @@ def run_scaling(sf_dir: str, rep: int, n_low: int, n_high: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
                    RAY_GRAFT_BENCH_REP=str(rep))
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--json-only",
-             "--timed-reps", "3"],
+            [sys.executable, os.path.abspath(__file__), "--timed-reps", "3"],
             env=env, capture_output=True, text=True, timeout=3600,
         )
+        if proc.returncode != 0 or not proc.stdout.strip():
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"scaling child at num_cpus={n} failed "
+                f"(exit {proc.returncode}); stderr above"
+            )
         line = proc.stdout.strip().splitlines()[-1]
         results[n] = json.loads(line)
     tput_low = results[n_low]["events_per_sec"]
@@ -237,6 +231,7 @@ def main() -> None:
     ap.add_argument("--stats", action="store_true",
                     help="print per-stage ds.stats() for the flagship DAG")
     ap.add_argument("--timed-reps", type=int, default=1, help=argparse.SUPPRESS)
+    # accepted for backwards compatibility; output is already one JSON line
     ap.add_argument("--json-only", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--rep", type=int, default=None)
     # default 2->8: on one box, 4x cores share ONE memory controller, so the

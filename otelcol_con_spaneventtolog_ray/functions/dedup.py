@@ -181,7 +181,7 @@ def q_jaccard_pairs(sf_dir: str):
     def score(block: pa.Table) -> pa.Table:
         bids, bsets = ray.get(data_ref)
         rows_a, rows_b, jacs = [], [], []
-        for i in block.column("i").to_pylist():
+        for i in block.column("id").to_pylist():
             si = bsets[i]
             for j in range(i + 1, len(bids)):
                 inter = len(si & bsets[j])
@@ -200,13 +200,22 @@ def q_jaccard_pairs(sf_dir: str):
             }
         )
 
-    idx = ray.data.from_arrow(pa.table({"i": list(range(len(ids)))}))
+    # range(...) with many blocks so the O(n^2) pair space is scored across
+    # tasks (from_arrow would yield ONE block = one serial task)
+    idx = ray.data.range(
+        len(ids), override_num_blocks=min(64, max(4, len(ids) // 32))
+    )
     return idx.map_batches(score, batch_format="pyarrow", **remote_kwargs())
 
 
+# word sets via \\s+ split with empties dropped — the exact semantics of
+# Python str.split() used on the Ray side (plain string_split(' ') would
+# keep empty tokens on double spaces and miss tabs/newlines)
 _JACCARD_SQL = f"""
 WITH s AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+  SELECT doc_id, list_distinct(list_filter(
+           string_split_regex(text, '\\s+'), x -> x != '')) AS ws
+  FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.ws, b.ws))::DOUBLE
              / len(list_distinct(a.ws || b.ws)), 6) AS jac

@@ -233,7 +233,7 @@ def q_sliding_window_counts(sf_dir: str):
         )
         return pa.table(
             {
-                "window_us": pa.array(starts.astype(str), pa.string()),
+                "window_us": pa.array(starts, pa.int64()),
                 "event_type": types,
             }
         )
@@ -241,11 +241,7 @@ def q_sliding_window_counts(sf_dir: str):
     ds = _events(sf_dir, ["ts", "event_type"]).map_batches(
         fan_out, batch_format="pyarrow", **remote_kwargs()
     )
-    tbl = counts_table(ds, ["window_us", "event_type"])
-    import pyarrow.compute as pc
-
-    i = tbl.schema.get_field_index("window_us")
-    return tbl.set_column(i, "window_us", pc.cast(tbl.column("window_us"), pa.int64()))
+    return counts_table(ds, ["window_us", "event_type"])
 
 
 _SLIDING_SQL = f"""

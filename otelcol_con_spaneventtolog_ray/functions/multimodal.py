@@ -204,13 +204,8 @@ FROM documents d, LATERAL (
 
 def q_media_features(sf_dir: str):
     """(doc_id, payload_len, sha256) through the real actor-pool stage."""
-    import ray.data
-
-    ds = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        )
-        .map_batches(attach_payload_batch, batch_format="pyarrow", **remote_kwargs())
+    return (
+        _media_ds(sf_dir)
         .map_batches(
             MediaFeatureExtractor,
             batch_format="pyarrow",
@@ -218,8 +213,8 @@ def q_media_features(sf_dir: str):
             concurrency=(1, 4),
             **remote_kwargs(),
         )
+        .select_columns(["doc_id", "payload_len", "sha256"])
     )
-    return ds.select_columns(["doc_id", "payload_len", "sha256"])
 
 
 _MEDIA_SQL = (

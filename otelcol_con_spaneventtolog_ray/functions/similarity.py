@@ -53,16 +53,24 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def q_cosine_topk(sf_dir: str):
-    """Exact top-k cosine neighbors for each query vector."""
-    import pandas as pd
+def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """The NUM_QUERIES lowest vec_ids as the query set — sorted by id, never
+    by parquet file order (the oracle selects WHERE vec_id < NUM_QUERIES)."""
     import pyarrow.parquet as pq
-    import ray
 
-    qt = pq.read_table(
+    t = pq.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
-    q_ids, q_mat = _batch_matrix(qt.slice(0, NUM_QUERIES))
+    ids, mat = _batch_matrix(t)
+    order = np.argsort(ids)[:NUM_QUERIES]
+    return ids[order], mat[order]
+
+
+def q_cosine_topk(sf_dir: str):
+    """Exact top-k cosine neighbors for each query vector."""
+    import ray
+
+    q_ids, q_mat = _query_vectors(sf_dir)
     q_ref = ray.put((q_ids, _norm_rows(q_mat)))
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -274,14 +282,10 @@ def q_ivf_topk(sf_dir: str):
     """ANN top-k: each query probes its IVF_NPROBE nearest cells and scores
     only those cells' members (rows-only check; recall vs the exact top-k is
     asserted structurally in tests)."""
-    import pyarrow.parquet as pq
     import ray
 
     cn = _ivf_centroids(sf_dir)
-    qt = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    q_ids, q_mat = _batch_matrix(qt.slice(0, NUM_QUERIES))
+    q_ids, q_mat = _query_vectors(sf_dir)
     qn = _norm_rows(q_mat)
     # per-query probe cells: the IVF_NPROBE highest-cosine centroids
     q_sims = np.round(qn @ cn.T, 6)

@@ -242,14 +242,17 @@ def rolling_fingerprint_batch(batch: pa.Table) -> pa.Table:
         long_m = (offsets[1:] - offsets[:-1]) >= ROLL_K
         if long_m.any() and len(h):
             # mask the windows that straddle a doc boundary (the K-1 start
-            # positions before each boundary), then segment-min per doc
+            # positions before each boundary), then segment-min per doc.
+            # reduceat runs over LONG docs' starts only: those are always
+            # < len(h) (no clipping, so no segment truncation), and every
+            # window position of an intervening short/empty doc straddles a
+            # boundary and is therefore masked.
             hm = h.copy()
             bad = (offsets[1:, None] - np.arange(1, ROLL_K)).ravel()
             bad = bad[(bad >= 0) & (bad < len(hm))]
             hm[bad] = np.uint64(0xFFFFFFFFFFFFFFFF)
-            starts = np.clip(offsets[:-1], 0, len(hm) - 1)
-            segmin = np.minimum.reduceat(hm, starts)
-            fps[long_m] = segmin[long_m]
+            long_starts = offsets[:-1][long_m]
+            fps[long_m] = np.minimum.reduceat(hm, long_starts)
         short_m = ~long_m & (offsets[1:] > offsets[:-1])
         if short_m.any():
             lo, hi = offsets[:-1][short_m], offsets[1:][short_m]
