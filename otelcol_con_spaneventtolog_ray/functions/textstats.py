@@ -271,7 +271,75 @@ def q_rolling_fingerprint(sf_dir: str):
     )
 
 
+def q_quality_filter(sf_dir: str):
+    """Training-data quality gate: doc_ids whose quality score clears the
+    threshold (the keep-set of a corpus filter), computed in the same pass
+    as the stats."""
+    import pyarrow.compute as pc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        stats = text_stats_batch(batch)
+        mask = pc.greater_equal(stats.column("quality"), QUALITY_THRESHOLD)
+        return stats.filter(mask).select(["doc_id", "quality"])
+
+    return _docs(sf_dir).map_batches(
+        keep, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+QUALITY_THRESHOLD = 0.5
+
+_QUALITY_FILTER_SQL = (
+    f"WITH q AS ({_TEXT_STATS_SQL}) SELECT doc_id, quality FROM q"
+    f" WHERE quality >= {QUALITY_THRESHOLD}"
+)
+
+
+def q_top_tokens(sf_dir: str):
+    """Corpus vocabulary: top tokens by document frequency via a word-level
+    flat-map fan-out -> salted two-phase count -> tiny driver-side top-k
+    (the vocabulary-building shape; the heavy exchange carries only
+    (token, count) partials)."""
+    from ..stages.aggregate import counts_table
+
+    def words(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
+        flat = toks.combine_chunks().flatten() if isinstance(
+            toks, pa.ChunkedArray
+        ) else toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"token": pc.cast(flat, pa.string())})
+
+    counts = counts_table(_docs(sf_dir).map_batches(
+        words, batch_format="pyarrow", **remote_kwargs()
+    ), ["token"])
+    # tiny driver-side top-k with deterministic (count desc, token asc) order
+    import pandas as pd
+
+    df = counts.to_pandas().sort_values(
+        ["n", "token"], ascending=[False, True], kind="stable"
+    ).head(TOP_TOKENS)
+    df["rank"] = range(1, len(df) + 1)
+    return pa.Table.from_pandas(df[["rank", "token", "n"]], preserve_index=False)
+
+
+TOP_TOKENS = 25
+
+_TOP_TOKENS_SQL = f"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x != '')) AS token
+  FROM documents),
+c AS (SELECT token, count(*) AS n FROM w GROUP BY 1),
+r AS (SELECT token, n,
+             row_number() OVER (ORDER BY n DESC, token) AS rank FROM c)
+SELECT rank, token, n FROM r WHERE rank <= {TOP_TOKENS} ORDER BY rank
+"""
+
+
 register("text_stats", q_text_stats, _TEXT_STATS_SQL)
+register("text_quality_filter", q_quality_filter, _QUALITY_FILTER_SQL)
+register("text_top_tokens", q_top_tokens, _TOP_TOKENS_SQL)
 register("text_lang_id", q_lang_id, _LANG_ID_SQL)
 register("text_fingerprint", q_fingerprint, _FINGERPRINT_SQL)
 register("text_rolling_fingerprint", q_rolling_fingerprint)  # rows-only

@@ -17,6 +17,7 @@ SQL_CHECKED = [
     "events_topk_per_type", "events_value_deviation",
     "events_sliding_window_counts", "events_range_join_neighbors",
     "multimodal_resize", "multimodal_frame_sample",
+    "text_quality_filter", "text_top_tokens",
 ]
 
 
