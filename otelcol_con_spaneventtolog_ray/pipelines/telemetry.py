@@ -120,7 +120,15 @@ def read_pages(
     if format == "json":
         ds = ray.data.read_json(paths, **nb)
     elif format == "csv":
-        ds = ray.data.read_csv(paths, **nb)
+        from pyarrow import csv as pacsv
+
+        # page text embeds newlines (the OTEL1 event lines), so quoted
+        # multi-line values must be enabled
+        ds = ray.data.read_csv(
+            paths,
+            parse_options=pacsv.ParseOptions(newlines_in_values=True),
+            **nb,
+        )
     else:
         raise ValueError(f"unsupported pages format: {format!r}")
     present = [c for c in columns if c in ds.schema().names]

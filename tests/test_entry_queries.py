@@ -58,13 +58,29 @@ def test_every_query_has_callable_and_runs_or_is_listed():
     assert not missing, f"oracle_sql keys without queries: {missing}"
 
 
-@pytest.mark.parametrize("name", [
+PIPELINE_GATED = [
     "pipeline_sink_counts", "pipeline_routed_rows", "pipeline_raw_lines",
     "pipeline_mapped_severity_counts", "pipeline_body_mapping",
     "pipeline_filtered_sink_counts", "pipeline_level_attr", "pipeline_stats",
     "pipeline_severity_attribute_counts", "pipeline_sink_counts_actor_pool",
     "events_severity_route", "events_hourly_counts",
-])
+]
+
+
+def test_every_query_is_covered_by_some_test():
+    """Drift guard: a query added to queries() without a matching entry in a
+    test parametrization list is a gap in the correctness gate."""
+    from tests.test_functions import ROWS_ONLY_RUN, SQL_CHECKED
+
+    qs, sqls = _pairs()
+    covered = set(PIPELINE_GATED) | set(SQL_CHECKED) | set(ROWS_ONLY_RUN)
+    assert set(qs) == covered, sorted(set(qs) ^ covered)
+    assert set(sqls) == set(PIPELINE_GATED) | set(SQL_CHECKED), sorted(
+        set(sqls) ^ (set(PIPELINE_GATED) | set(SQL_CHECKED))
+    )
+
+
+@pytest.mark.parametrize("name", PIPELINE_GATED)
 def test_query_matches_oracle(ray_session, name):
     qs, sqls = _pairs()
     got = _canon(_to_df(qs[name](SF_DIR)))
@@ -78,5 +94,5 @@ def test_entry_smoke(ray_session):
     import __ray_entry__ as e
 
     res = _to_df(e.entry())
-    assert len(res) >= 0
+    assert len(res) > 0
     assert list(res.columns) == ["sink", "n"]

@@ -20,6 +20,22 @@ SQL_CHECKED = [
     "text_quality_filter", "text_top_tokens",
 ]
 
+# every rows-only query, each smoke-run through queries() below (dedicated
+# semantic tests exist for most; this guarantees none is dead-on-arrival)
+ROWS_ONLY_RUN = [
+    "dedup_minhash_buckets", "dedup_minhash_near_dups", "dedup_simhash",
+    "similarity_lsh_buckets", "similarity_ivf_topk",
+    "text_rolling_fingerprint", "sketch_hll_distinct_users",
+]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_RUN)
+def test_rows_only_query_runs_nonempty(ray_session, name):
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()[name](SF_DIR))
+    assert len(out) > 0, name
+
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
 def test_function_query_matches_oracle(ray_session, name):
@@ -79,13 +95,35 @@ def test_simhash_near_for_near_texts(ray_session):
     assert ham12 < 8 < ham13
 
 
-def test_lsh_buckets_group_similar(ray_session):
+def test_lsh_buckets_group_similar(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
     import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions.similarity import q_lsh_ann
 
     out = _to_df(e.queries()["similarity_lsh_buckets"](SF_DIR))
     assert set(out.columns) == {"vec_id", "bucket"}
     assert out["bucket"].between(0, 255).all()
     assert len(out) == 500
+    # hyperplane-LSH properties: positive scaling preserves the bucket,
+    # negation flips every sign bit (bucket XOR 0xFF)
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal(64).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [v.tolist(), (2 * v).tolist(), (-v).tolist()],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    bk = _to_df(q_lsh_ann(str(d))).set_index("vec_id")["bucket"]
+    assert bk[0] == bk[1]
+    assert bk[2] == bk[0] ^ 0xFF
 
 
 def test_minhash_buckets_query_runs(ray_session):
@@ -113,6 +151,10 @@ def test_ivf_topk_structure_and_scores(ray_session):
         _norm_rows,
     )
 
+    from otelcol_con_spaneventtolog_ray.functions.similarity import (
+        _query_vectors,
+    )
+
     out = _to_df(e.queries()["similarity_ivf_topk"](SF_DIR))
     full = pq.read_table(f"{SF_DIR}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
@@ -123,8 +165,13 @@ def test_ivf_topk_structure_and_scores(ray_session):
     cell_of = dict(zip(ids.tolist(), cell.tolist()))
     sims = np.round(nm @ nm.T, 6)
     idx_of = {v: i for i, v in enumerate(ids.tolist())}
-    q_sims = np.round(nm[: NUM_QUERIES] @ cn.T, 6)
-    probes = np.argsort(-q_sims, kind="stable", axis=1)[:, :IVF_NPROBE]
+    # probe cells derived by id (never file order), matching _query_vectors
+    q_ids, q_mat = _query_vectors(SF_DIR)
+    q_sims = np.round(_norm_rows(q_mat) @ cn.T, 6)
+    probes = {
+        int(qid): set(np.argsort(-q_sims[i], kind="stable")[:IVF_NPROBE])
+        for i, qid in enumerate(q_ids)
+    }
     assert out["qid"].nunique() == NUM_QUERIES
     for qid, grp in out.groupby("qid"):
         assert len(grp) <= TOP_K

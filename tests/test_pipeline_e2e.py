@@ -53,25 +53,25 @@ def test_routed_rows_and_counts(ray_session, pages_dir, oracle_records, tmp_path
     exp_counts = Counter(r.sink for r in oracle_records)
     assert counts == dict(exp_counts)
 
-    # routed-row SET equality per sink
-    got_rows = set()
+    # routed-row SET equality per sink, timestamps compared as integer ns
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     read_back = pq.read_table(out)
-    for r in read_back.to_pylist():
+    ts_ns = pc.cast(read_back.column("timestamp"), pa.int64()).to_pylist()
+    got_rows = set()
+    for r, ts in zip(read_back.to_pylist(), ts_ns):
         got_rows.add(
-            (r["url"], r["timestamp"], r["severity_number"], r["severity_text"],
+            (r["url"], ts, r["severity_number"], r["severity_text"],
              r["body"], tuple(r["attributes"]), r["trace_id"], r["span_id"],
              str(r["sink"]))
         )
-    exp_rows = set()
-    for r in oracle_records:
-        exp_rows.add(
-            (r.url, __import__("datetime").datetime.fromtimestamp(
-                r.timestamp_ns / 1e9, tz=None),
-             r.severity_number, r.severity_text, r.body,
-             tuple(r.attributes.items()), r.trace_id, r.span_id, r.sink)
-        )
-    # compare ignoring timestamp python-conversion subtleties: project them out
-    assert {t[0:1] + t[2:] for t in got_rows} == {t[0:1] + t[2:] for t in exp_rows}
+    exp_rows = {
+        (r.url, r.timestamp_ns, r.severity_number, r.severity_text, r.body,
+         tuple(r.attributes.items()), r.trace_id, r.span_id, r.sink)
+        for r in oracle_records
+    }
+    assert got_rows == exp_rows
     # sink dirs exist only for non-empty sinks
     sinks_on_disk = {d.split("=", 1)[1] for d in os.listdir(out) if d.startswith("sink=")}
     assert sinks_on_disk == set(exp_counts)
@@ -176,6 +176,13 @@ def test_read_pages_json_and_csv_match_parquet(ray_session, tmp_path):
             )
         )
 
+    # csv with quoted multi-line text values
+    pd_df = tbl.to_pandas()
+    pd_df["warc_ts"] = ts_us
+    pd_df[["url", "warc_ts", "text", "lang"]].to_csv(
+        str(tmp_path / "p.csv"), index=False
+    )
     got_pq = records("parquet", str(tmp_path / "p.parquet"))
     got_js = records("json", str(tmp_path / "p.jsonl"))
-    assert got_js == got_pq and len(got_pq) > 0
+    got_csv = records("csv", str(tmp_path / "p.csv"))
+    assert got_js == got_pq and got_csv == got_pq and len(got_pq) > 0

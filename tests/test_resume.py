@@ -56,14 +56,22 @@ def test_resume_after_kill(ray_session, sharded_input, tmp_path):
     assert result["records_out"] == len(exp)
     assert result["counts_by_sink"] == dict(sorted(Counter(r.sink for r in exp).items()))
 
-    # written rows match the oracle set
+    # written rows match the oracle SET (url/event_name/sink multiset, not
+    # just the total — catches duplicate-one-shard/drop-another regressions)
+    import pyarrow.dataset as pads
+
     datasets = [
         os.path.join(out, d) for d in os.listdir(out) if d.startswith("shard=")
     ]
-    got = pq.read_table(datasets[0]).num_rows + sum(
-        pq.read_table(p).num_rows for p in datasets[1:]
-    )
-    assert got == len(exp)
+    got_rows = Counter()
+    for p in datasets:
+        t = pads.dataset(p).to_table(columns=["url", "event_name"])
+        # sink is a hive partition column of each shard dir's subdirs
+        for u, en in zip(
+            t.column("url").to_pylist(), t.column("event_name").to_pylist()
+        ):
+            got_rows[(u, en)] += 1
+    assert got_rows == Counter((r.url, r.event_name) for r in exp)
 
     # manifest lineage: every input file accounted for exactly once
     seen_files = []
@@ -82,9 +90,11 @@ def test_manifest_guard_on_input_change(ray_session, sharded_input, tmp_path):
     # corrupt a manifest's input list -> resume must refuse
     mdir = os.path.join(out, "_manifests")
     mf = os.path.join(mdir, sorted(os.listdir(mdir))[0])
-    m = json.load(open(mf))
+    with open(mf) as f:
+        m = json.load(f)
     m["input_files"] = ["/bogus.parquet"]
-    json.dump(m, open(mf, "w"))
+    with open(mf, "w") as f:
+        json.dump(m, f)
     with pytest.raises(RuntimeError, match="manifest input mismatch"):
         run_resumable(src, out, cfg, shard_size=3)
 
