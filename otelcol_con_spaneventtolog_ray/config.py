@@ -142,12 +142,12 @@ class PipelineConfig:
         dropping rules whose severity doesn't parse (connector.go:322-326 —
         only 'unspecified' survives validation yet fails map_severity).
         """
-        from .sevmap import map_severity
+        from .sevmap import map_severity, simple_lower
 
         rules = []
         for key, sev in self.severity_by_event_name.items():
             num, txt = map_severity(sev)
             if num != 0:
-                rules.append((key.lower(), num, txt, len(key)))
+                rules.append((simple_lower(key), num, txt, len(key)))
         rules.sort(key=lambda r: (-r[3], r[0]))
         return [(k, n, t) for k, n, t, _ in rules]

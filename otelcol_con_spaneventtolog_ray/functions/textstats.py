@@ -83,8 +83,11 @@ def text_stats_batch(batch: pa.Table) -> pa.Table:
 
 
 def lang_id_batch(batch: pa.Table) -> pa.Table:
-    """Marker-substring language ID; argmax with first-listed-language ties."""
-    text = pc.ascii_lower(batch.column("text"))
+    """Marker-substring language ID; argmax with first-listed-language ties.
+
+    utf8_lower (not ascii_lower) so the lowering matches the DuckDB mirror's
+    Unicode ``lower()`` on non-ASCII documents."""
+    text = pc.utf8_lower(batch.column("text"))
     n = batch.num_rows
     scores = np.zeros((len(LANG_MARKERS), n), dtype=np.int64)
     for li, (_lang, markers) in enumerate(LANG_MARKERS):
@@ -101,7 +104,11 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-_WS_RE = re.compile(r"\s+")
+# ASCII whitespace class, pinned to RE2 '\s' ([\t\n\f\r\v ]) — the DuckDB
+# mirrors run RE2, where '\s' is ASCII-only, while Python's '\s' (and
+# str.split()) match Unicode spaces (\xa0, U+2028, ...). One explicit class
+# on BOTH sides keeps exotic-whitespace documents from diverging.
+_WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:

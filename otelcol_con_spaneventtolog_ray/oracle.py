@@ -13,7 +13,7 @@ from dataclasses import dataclass
 
 from .config import PipelineConfig
 from .escape import unescape
-from .sevmap import map_severity, severity_number_to_text
+from .sevmap import map_severity, severity_number_to_text, simple_lower
 
 
 @dataclass
@@ -161,8 +161,11 @@ def populate_log_record(cfg: PipelineConfig, ev: OracleEvent) -> OracleRecord:
             got = _get_attr(ev.event_attrs, am.severity_number)
             if got is not None and got[0] == "i" and _valid_int(got[1]):
                 # pinned int grammar ('-?[0-9]+', int64 range) — a malformed
-                # 'i:'-payload doesn't fire E1 (matches stages/enrich)
-                severity_number = int(got[1])
+                # 'i:'-payload doesn't fire E1 (matches stages/enrich).
+                # plog.SeverityNumber is int32 in the reference, so the
+                # assignment WRAPS (Go int64 -> int32 conversion); text and
+                # sink derive from the wrapped value (connector.go:276-281)
+                severity_number = ((int(got[1]) + 2**31) % 2**32) - 2**31
                 severity_text = severity_number_to_text(severity_number)
                 severity_found = True
         if am.severity_text:
@@ -186,7 +189,7 @@ def populate_log_record(cfg: PipelineConfig, ev: OracleEvent) -> OracleRecord:
     # 3. severity_by_event_name longest-substring (connector.go:312-335),
     # deterministic tiebreak: lexicographic-smallest lowercased key
     if not severity_found and cfg.severity_by_event_name:
-        lower_name = ev.event_name.lower()
+        lower_name = simple_lower(ev.event_name)  # Go simple mapping, not str.lower
         for lower_key, num, txt in cfg.sorted_event_name_rules():
             if lower_key in lower_name:
                 severity_number, severity_text = num, txt

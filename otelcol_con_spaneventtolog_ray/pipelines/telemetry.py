@@ -276,6 +276,22 @@ def run_pipeline(
     from ..stages.route import routed_counts_from_footers, write_routed
 
     cfg = cfg or PipelineConfig.default()
+    # stale-output guard (mirrors the resumable runner's): counts come from
+    # parquet footers of EVERYTHING under out_dir, so rerunning into a dirty
+    # directory would silently mix stale rows into output and inflate counts
+    if os.path.isdir(out_dir):
+        stale = [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(out_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if stale:
+            raise ValueError(
+                f"out_dir {out_dir!r} already contains {len(stale)} parquet"
+                " file(s); refusing to mix runs — use a fresh directory or the"
+                " resumable runner (state/checkpoint.py), which resumes safely"
+            )
     records = build_log_records(read_pages(input_paths), cfg, **build_kwargs)
     write_routed(records, out_dir)
     if deadletter:

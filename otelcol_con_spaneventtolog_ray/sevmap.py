@@ -51,9 +51,20 @@ def severity_number_to_text(number: int) -> str:
     return SEVERITY_TO_TEXT.get(number, "info")
 
 
+def simple_lower(s: str) -> str:
+    """Go ``strings.ToLower`` semantics (simple per-rune Unicode mapping) via
+    the same Arrow kernel every batch path uses — U+0130 'İ' -> 'i', unlike
+    Python's full-mapping ``str.lower()`` ('i' + combining dot). Keeps the
+    scalar resolvers definitionally identical to the vectorized ones AND to
+    the reference (connector.go:419)."""
+    if s.isascii():
+        return s.lower()
+    return pc.utf8_lower(pa.array([s], pa.string()))[0].as_py()
+
+
 def map_severity(severity: str) -> tuple[int, str]:
     """Case-insensitive text -> (number, canonical text); invalid -> (0, "")."""
-    lower = severity.lower()
+    lower = simple_lower(severity)
     num = TEXT_TO_SEVERITY.get(lower)
     if num is not None:
         return num, SEVERITY_TO_TEXT[num]
@@ -102,7 +113,10 @@ def map_severity_batch(texts: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndar
     Returns ``(numbers:int64, canon_texts:object, valid:bool)`` numpy arrays;
     null/invalid inputs get ``(0, "", False)``.
     """
-    lower = pc.ascii_lower(texts)
+    # utf8_lower (not ascii_lower): the scalar map_severity and the Go
+    # reference both lowercase with Unicode rules, so the batch path must be
+    # definitionally identical even for non-ASCII inputs (e.g. U+212A -> 'k')
+    lower = pc.utf8_lower(texts)
     idx = pc.index_in(lower, value_set=VOCAB_ARRAY)
     idx_np = idx.to_numpy(zero_copy_only=False)
     valid = ~np.isnan(idx_np) if idx_np.dtype.kind == "f" else idx.is_valid().to_numpy(

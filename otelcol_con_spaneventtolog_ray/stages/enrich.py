@@ -267,7 +267,17 @@ def enrich_events_batch(
                 m2 = m.copy()
                 m2[np.nonzero(m)[0][~ok_int]] = False
                 if m2.any():
-                    iv = iv_all[ok_int]
+                    # wrap at assignment: plog.SeverityNumber is int32 in the
+                    # reference, so text AND sink derive from the wrapped
+                    # value (mirrored in oracle.populate_log_record). Low 32
+                    # bits reinterpreted as int32 == Go's int64->int32 cast.
+                    iv = (
+                        iv_all[ok_int]
+                        .astype(np.uint64)
+                        .astype(np.uint32)
+                        .view(np.int32)
+                        .astype(np.int64)
+                    )
                     sev_num[m2] = iv
                     sev_text[m2] = severity_number_to_text_batch(iv)
                     found |= m2

@@ -302,3 +302,39 @@ def test_severity_number_malformed_int_payload_falls_through():
         pages = [(r["url"], 0, r["text"], r["lang"]) for r in tbl.to_pylist()]
         exp = run_oracle(pages, dataclasses.replace(cfg, observed_timestamp_ns=OBS))
         assert exp[0].severity_number == 9, payload
+
+
+def test_severity_number_int32_wrap_parity():
+    """E1 assigns through an int32 (plog.SeverityNumber) like the reference:
+    out-of-int32-range 'i:' payloads wrap, and text AND sink derive from the
+    wrapped value — identically in the stage and the golden model."""
+    from otelcol_con_spaneventtolog_ray.oracle import severity_class
+
+    cases = [
+        ("4294967305", 9, "info"),       # 2^32 + 9  -> 9
+        ("4294967301", 5, "debug"),      # 2^32 + 5  -> 5
+        ("-4294967291", 5, "debug"),     # -(2^32)+5 -> 5
+        ("2147483648", -2147483648, "info"),  # int32 min after wrap
+        ("17", 17, "error"),
+    ]
+    for payload, want_num, want_txt in cases:
+        line = build_line(
+            trace_hex32="00" * 16, span_hex16="00" * 8, span_name="s",
+            span_kind="Client", ts_ns=1, trace_state="", event_name="evt",
+            event_attrs=[("sev", "i", payload)], span_attrs=[],
+            resource_attrs=[],
+        )
+        cfg = PipelineConfig(
+            attribute_mappings=AttributeMappings(severity_number="sev"),
+            log_attributes_from=("event.attributes",),
+        )
+        recs = _run(cfg, [line])
+        assert recs[0]["severity_number"] == want_num, payload
+        assert recs[0]["severity_text"] == want_txt, payload
+        assert recs[0]["sink"] == severity_class(want_num), payload
+        tbl = _pages([line])
+        pages = [(r["url"], 0, r["text"], r["lang"]) for r in tbl.to_pylist()]
+        exp = run_oracle(pages, dataclasses.replace(cfg, observed_timestamp_ns=OBS))
+        assert exp[0].severity_number == want_num, payload
+        assert exp[0].severity_text == want_txt, payload
+        assert exp[0].sink == recs[0]["sink"], payload

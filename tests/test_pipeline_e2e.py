@@ -186,3 +186,37 @@ def test_read_pages_json_and_csv_match_parquet(ray_session, tmp_path):
     got_js = records("json", str(tmp_path / "p.jsonl"))
     got_csv = records("csv", str(tmp_path / "p.csv"))
     assert got_js == got_pq and got_csv == got_pq and len(got_pq) > 0
+
+
+def test_run_pipeline_refuses_dirty_out_dir(ray_session, pages_dir, tmp_path):
+    """Rerunning into a directory that already holds parquet output must be
+    refused — footer-based counts would silently mix stale rows otherwise."""
+    src, _ = pages_dir
+    cfg = dataclasses.replace(PipelineConfig.default(), observed_timestamp_ns=OBS)
+    out = str(tmp_path / "routed")
+    run_pipeline(src, out, cfg)
+    with pytest.raises(ValueError, match="refusing to mix"):
+        run_pipeline(src, out, cfg)
+
+
+def test_fingerprint_whitespace_is_ascii_class():
+    """Fingerprint normalization collapses exactly the RE2 '\\s' class
+    ([\\t\\n\\f\\r\\v ]) — Unicode spaces (\\xa0, U+2028) pass through, so the
+    Python side can't diverge from the DuckDB regexp_replace mirror."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from otelcol_con_spaneventtolog_ray.functions.textstats import (
+        fingerprint_batch,
+    )
+
+    texts = ["a\tb", "a\xa0b", "a b", "a \x0b b"]
+    out = fingerprint_batch(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    ).column("fingerprint").to_pylist()
+    assert out[0] == hashlib.md5(b"a b").hexdigest()          # tab collapsed
+    assert out[1] == hashlib.md5("a\xa0b".encode()).hexdigest()  # NBSP kept
+    assert out[2] == hashlib.md5("a b".encode()).hexdigest()
+    assert out[3] == hashlib.md5(b"a b").hexdigest()          # ' \x0b ' run

@@ -69,3 +69,19 @@ def test_closed_vocab_consistency():
     # nothing valid is missing: the accepted language is exactly the vocab
     assert "trace21" in CLOSED_VOCAB and "warning3" in CLOSED_VOCAB
     assert "unspecified" not in CLOSED_VOCAB
+
+
+def test_map_severity_batch_unicode_lowering_parity():
+    """Batch path must use Unicode lowering like the scalar path: non-ASCII
+    inputs (Kelvin sign, dotted I, full-width letters) give identical results
+    through both, valid or not."""
+    inputs = [
+        "INFO", "KINFO",  # Kelvin sign lowers to 'k'
+        "İNFO",  # dotted capital I -> 'i' + combining dot (invalid both)
+        "ＷＡＲＮ",  # full-width (invalid in both, but must agree)
+        "İnfo", "warnK", "ERROR", "ıNFO",
+    ]
+    nums, txts, valid = map_severity_batch(pa.array(inputs, pa.string()))
+    for i, s in enumerate(inputs):
+        n, t = map_severity(s)
+        assert (nums[i], txts[i], valid[i]) == (n, t, n != 0), s
