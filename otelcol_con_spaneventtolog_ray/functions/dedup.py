@@ -4,15 +4,19 @@ Scale shapes (documented per-op):
 
 * exact: hash inside map_batches -> two-phase groupby(hash) keeping
   min(doc_id) — only (hash, id, count) partials shuffle, never documents.
-* MinHash+LSH: shingle -> 64-perm minhash (vectorized universal hashing) ->
-  band buckets via flat-map -> groupby(band, bucket) -> candidate pairs ->
-  exact-Jaccard verification. At 100 TB the verification joins signatures
-  back by doc_id (hash-partitioned); at test scale the shingle sets are
-  broadcast.
-* SimHash: 64-bit signature; near-dup candidates = equality on any of four
+* MinHash+LSH: vectorized word-shingle hashing (texthash.batch_words /
+  batch_shingles — numpy over Arrow buffers, no per-row Python) -> 64-perm
+  minhash via splitmix64 xor-seeds + per-doc segment minima -> band buckets
+  via flat-map -> groupby(band, bucket). Near-dup VERIFICATION runs inside
+  ``groupby(band, bucket).map_groups``: each doc's distinct shingle hashes
+  travel with its band rows, so exact Jaccard is computed per bucket on the
+  workers and only qualifying pairs ever reach the driver — the documents
+  dataset is never materialized driver-side.
+* SimHash: 64-bit signature from per-word hash bit votes (vectorized
+  reduceat per document); near-dup candidates = equality on any of four
   16-bit chunks (Hamming<=3 guarantee across chunks).
 * n-gram Jaccard: exact pairwise over word sets — the O(n^2) oracle
-  baseline; LSH above is the scale path.
+  baseline, guarded by JACCARD_MAX_DOCS; MinHash-LSH above is the scale path.
 """
 
 from __future__ import annotations
@@ -25,92 +29,189 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .entry_queries import register
+from .texthash import (
+    U64_MAX,
+    _splitmix64,
+    WORD_BASE,
+    ASCII_WS_RE,
+    _splitmix64_scalar,
+    batch_shingles,
+    batch_words,
+    shingle_hash_scalar,
+    word_hash_scalar,
+    words_scalar,
+)
 from ..rayenv import remote_kwargs
 from ..stages.aggregate import counts_table
 
-_MERSENNE = (1 << 61) - 1
 NUM_PERM = 64
 NUM_BANDS = 8  # 8 rows per band
 SHINGLE_K = 3  # word 3-grams
 
-_rng = np.random.RandomState(1234567)
-_A = _rng.randint(1, _MERSENNE, size=NUM_PERM, dtype=np.int64)
-_B = _rng.randint(0, _MERSENNE, size=NUM_PERM, dtype=np.int64)
-
-
-def _md5_64(s: str) -> int:
-    # 63-bit so values stay inside int64 for numpy vector math
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") & ((1 << 63) - 1)
+#: xor-seeds for the 64 "permutations" h_i(x) = splitmix64(x ^ SEED[i])
+_SEEDS = _splitmix64(np.arange(1, NUM_PERM + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
 
 
 def word_shingles(text: str, k: int = SHINGLE_K) -> set[int]:
-    words = text.split()
-    if len(words) < k:
-        return {_md5_64(" ".join(words))} if words else set()
-    return {_md5_64(" ".join(words[i : i + k])) for i in range(len(words) - k + 1)}
+    """Scalar mirror of the batch shingle hashing (distinct shingle hashes)."""
+    words = words_scalar(text)
+    if not words:
+        return set()
+    whs = [word_hash_scalar(w) for w in words]
+    if len(whs) < k:
+        return {shingle_hash_scalar(whs)}
+    return {shingle_hash_scalar(whs[i : i + k]) for i in range(len(whs) - k + 1)}
 
 
 def minhash_signature(shingles: set[int]) -> np.ndarray:
-    """64 minima of universal hashes h_i(x) = (a_i * x + b_i) mod p."""
+    """Scalar mirror: 64 minima of splitmix64(x ^ seed_i), sentinel if empty."""
     if not shingles:
-        return np.full(NUM_PERM, _MERSENNE, dtype=np.int64)
-    x = np.fromiter(shingles, dtype=np.int64)[:, None].astype(object)
-    h = (x * _A + _B) % _MERSENNE  # object dtype avoids int64 overflow
-    return h.min(axis=0).astype(np.int64)
+        return np.full(NUM_PERM, U64_MAX, dtype=np.uint64)
+    x = np.fromiter(shingles, dtype=np.uint64)
+    return np.array([_splitmix64(x ^ s).min() for s in _SEEDS], dtype=np.uint64)
 
 
 def band_keys(sig: np.ndarray) -> list[int]:
+    """Scalar mirror: per-band polynomial fold + splitmix64 of the signature."""
     rows = NUM_PERM // NUM_BANDS
-    return [
-        _md5_64(",".join(map(str, sig[b * rows : (b + 1) * rows])))
-        for b in range(NUM_BANDS)
-    ]
+    out = []
+    for b in range(NUM_BANDS):
+        h = 0
+        for v in sig[b * rows : (b + 1) * rows]:
+            h = (h * int(WORD_BASE) + int(v)) & ((1 << 64) - 1)
+        out.append(_splitmix64_scalar(h))
+    return out
+
+
+def _doc_shingles(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distinct shingle hashes per doc: (values:uint64, offs:int64[n+1], n)."""
+    wh, _parents, woffs = batch_words(batch.column("text"))
+    sh, par = batch_shingles(wh, woffs, SHINGLE_K)
+    n = batch.num_rows
+    if len(sh) == 0:
+        return sh, np.zeros(n + 1, dtype=np.int64), n
+    # distinct within doc: sort (parent, shingle), drop consecutive equals
+    order = np.lexsort((sh, par))
+    sh, par = sh[order], par[order]
+    keep = np.ones(len(sh), dtype=bool)
+    keep[1:] = (sh[1:] != sh[:-1]) | (par[1:] != par[:-1])
+    sh, par = sh[keep], par[keep]
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(par, minlength=n), out=offs[1:])
+    return sh, offs, n
+
+
+def _minhash_sigs(sh: np.ndarray, offs: np.ndarray, n: int) -> np.ndarray:
+    """(n, NUM_PERM) uint64 signatures; empty docs get the U64_MAX sentinel."""
+    sig = np.full((n, NUM_PERM), U64_MAX, dtype=np.uint64)
+    counts = np.diff(offs)
+    present = np.flatnonzero(counts > 0)
+    if len(present) == 0:
+        return sig
+    seg_starts = offs[present]
+    for p in range(NUM_PERM):
+        h = _splitmix64(sh ^ _SEEDS[p])
+        sig[present, p] = np.minimum.reduceat(h, seg_starts)
+    return sig
+
+
+def _band_buckets(sig: np.ndarray) -> np.ndarray:
+    """(n, NUM_BANDS) int64 bucket keys: polynomial fold per band + mix."""
+    n = sig.shape[0]
+    rows = NUM_PERM // NUM_BANDS
+    out = np.empty((n, NUM_BANDS), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(NUM_BANDS):
+            h = np.zeros(n, dtype=np.uint64)
+            for r in range(rows):
+                h = h * WORD_BASE + sig[:, b * rows + r]
+            out[:, b] = _splitmix64(h)
+    return out.view(np.int64)
 
 
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
     """flat-map: one row per (doc, band) -> (band, bucket, doc_id)."""
-    ids, bands, buckets = [], [], []
-    for doc_id, text in zip(
-        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-    ):
-        sig = minhash_signature(word_shingles(text))
-        for b, key in enumerate(band_keys(sig)):
-            ids.append(doc_id)
-            bands.append(b)
-            buckets.append(key % (1 << 62))
+    sh, offs, n = _doc_shingles(batch)
+    buckets = _band_buckets(_minhash_sigs(sh, offs, n))
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table(
         {
-            "band": pa.array(bands, pa.int32()),
-            "bucket": pa.array(buckets, pa.int64()),
-            "doc_id": pa.array(ids, pa.int64()),
+            "band": pa.array(
+                np.repeat(np.arange(NUM_BANDS, dtype=np.int32)[None, :], n, axis=0).ravel(),
+                pa.int32(),
+            ),
+            "bucket": pa.array(buckets.ravel(), pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, NUM_BANDS), pa.int64()),
         }
     )
 
 
+def minhash_bands_shingles_batch(batch: pa.Table) -> pa.Table:
+    """Band fan-out that carries each doc's distinct shingle hashes, so the
+    exact-Jaccard verify can run inside the (band, bucket) group without any
+    driver-side lookup of the documents table."""
+    sh, offs, n = _doc_shingles(batch)
+    buckets = _band_buckets(_minhash_sigs(sh, offs, n))
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    shingle_list = pa.LargeListArray.from_arrays(
+        pa.array(offs, pa.int64()), pa.array(sh.view(np.int64), pa.int64())
+    )
+    cols = []
+    for b in range(NUM_BANDS):
+        cols.append(
+            pa.table(
+                {
+                    "band": pa.array(np.full(n, b, dtype=np.int32), pa.int32()),
+                    "bucket": pa.array(buckets[:, b], pa.int64()),
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "shingles": shingle_list,
+                }
+            )
+        )
+    return pa.concat_tables(cols)
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized 64-bit SimHash: per-word hash bit votes, reduceat per doc."""
+    wh, parents, woffs = batch_words(batch.column("text"))
+    n = batch.num_rows
+    counts = np.diff(woffs)
+    present = np.flatnonzero(counts > 0)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    if len(present):
+        seg = woffs[present]
+        for b in range(64):
+            bit = ((wh >> np.uint64(b)) & np.uint64(1)).astype(np.int64) * 2 - 1
+            acc[present, b] = np.add.reduceat(bit, seg)
+    bits = (acc > 0).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        sim = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+    cols = {
+        "doc_id": batch.column("doc_id"),
+        "simhash": pa.array(sim.view(np.int64), pa.int64()),
+    }
+    for c in range(4):  # 16-bit chunks for Hamming-banding
+        cols[f"chunk{c}"] = pa.array(
+            ((sim >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32),
+            pa.int32(),
+        )
+    return pa.table(cols)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens."""
+    """Scalar mirror of simhash_batch for one document."""
     acc = np.zeros(64, dtype=np.int64)
-    for w in text.split():
-        h = _md5_64(w)
-        bits = (h >> np.arange(64)) & 1
+    for w in words_scalar(text):
+        h = word_hash_scalar(w)
+        bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)
     out = 0
     for i in range(64):
         if acc[i] > 0:
             out |= 1 << i
     return out
-
-
-def simhash_batch(batch: pa.Table) -> pa.Table:
-    ids = batch.column("doc_id").to_pylist()
-    sigs = [simhash64(t) for t in batch.column("text").to_pylist()]
-    cols = {"doc_id": pa.array(ids, pa.int64()),
-            "simhash": pa.array([s - (1 << 63) for s in sigs], pa.int64())}
-    for c in range(4):  # 16-bit chunks for Hamming-banding
-        cols[f"chunk{c}"] = pa.array(
-            [(s >> (16 * c)) & 0xFFFF for s in sigs], pa.int32()
-        )
-    return pa.table(cols)
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
@@ -161,18 +262,29 @@ _EXACT_DEDUP_SQL = (
 # ---------------------------------------------------------------------------
 
 JACCARD_THRESHOLD = 0.8
+#: the exact all-pairs baseline broadcasts every doc's word set — refuse past
+#: this size and point at the MinHash-LSH path, whose verify is bucketed
+JACCARD_MAX_DOCS = 200_000
 
 
 def q_jaccard_pairs(sf_dir: str):
     """Exact pairwise word-set Jaccard >= threshold. Broadcast word sets via
-    ray.put; each task scores a slice of the pair space. O(n^2) baseline —
-    the MinHash-LSH query is the scale path."""
+    ray.put; each task scores a slice of the pair space. O(n^2) oracle
+    baseline gated by JACCARD_MAX_DOCS — dedup_minhash_near_dups is the
+    scale path."""
     import ray
     import ray.data
 
     docs = pa.Table.from_pandas(_docs(sf_dir).to_pandas(), preserve_index=False)
+    if docs.num_rows > JACCARD_MAX_DOCS:
+        raise ValueError(
+            f"dedup_jaccard_pairs is the O(n^2) exact baseline and is capped"
+            f" at {JACCARD_MAX_DOCS} docs (got {docs.num_rows}); use"
+            " dedup_minhash_near_dups for large corpora"
+        )
     ids = docs.column("doc_id").to_pylist()
-    sets = [frozenset(t.split()) for t in docs.column("text").to_pylist()]
+    # ASCII whitespace split — same class as the RE2 '\s+' in the SQL mirror
+    sets = [frozenset(words_scalar(t)) for t in docs.column("text").to_pylist()]
     order = np.argsort(ids)
     ids = [ids[i] for i in order]
     sets = [sets[i] for i in order]
@@ -209,8 +321,8 @@ def q_jaccard_pairs(sf_dir: str):
 
 
 # word sets via \\s+ split with empties dropped — the exact semantics of
-# Python str.split() used on the Ray side (plain string_split(' ') would
-# keep empty tokens on double spaces and miss tabs/newlines)
+# the ASCII-whitespace split used on the Ray side (plain string_split(' ')
+# would keep empty tokens on double spaces and miss tabs/newlines)
 _JACCARD_SQL = f"""
 WITH s AS (
   SELECT doc_id, list_distinct(list_filter(
@@ -238,58 +350,84 @@ def q_minhash_buckets(sf_dir: str):
     return tbl.filter(pc.greater(tbl.column("n"), 1))
 
 
-def q_minhash_near_dups(sf_dir: str):
-    """Candidate pairs from LSH buckets, verified by exact Jaccard."""
-    import ray
+def _verify_bucket_group(group: pa.Table) -> pa.Table:
+    """All-pairs exact Jaccard within one (band, bucket) LSH group.
 
-    ds = _docs(sf_dir).map_batches(
-        minhash_bands_batch, batch_format="pyarrow", **remote_kwargs()
-    )
-    # candidates: per (band, bucket) group, all pairs (groups are tiny)
-    import pandas as pd
-
-    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(df["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
-
-    cand = (
-        ds.groupby(["band", "bucket"])
-        .map_groups(pairs_of_group, batch_format="pandas", **remote_kwargs())
-        .to_pandas()
-    )
-    cand = cand.drop_duplicates().astype({"id_a": "int64", "id_b": "int64"})
-    # verify with exact Jaccard (broadcast shingle sets; at 100 TB this is a
-    # hash-partitioned self-join on doc_id instead)
-    docs = pa.Table.from_pandas(_docs(sf_dir).to_pandas(), preserve_index=False)
-    sh = {
-        i: word_shingles(t)
-        for i, t in zip(
-            docs.column("doc_id").to_pylist(), docs.column("text").to_pylist()
+    The group carries each member's distinct shingle hashes, so verification
+    is local to the worker holding the group. Groups are candidate near-dup
+    clusters (tiny by construction for honest buckets; an adversarial
+    all-identical corpus degenerates to one giant group, which exact-verify
+    inherently can't avoid — dedup_exact handles that case in O(n)).
+    """
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) < 2:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jac": pa.array([], pa.float64()),
+            }
         )
-    }
-    keep_a, keep_b, jac = [], [], []
-    for a, b in zip(cand["id_a"], cand["id_b"]):
-        sa, sb = sh[int(a)], sh[int(b)]
-        if not sa or not sb:
+    sh_col = group.column("shingles")
+    if isinstance(sh_col, pa.ChunkedArray):
+        sh_col = sh_col.combine_chunks()
+    order = np.argsort(ids, kind="stable")
+    sets = [
+        np.asarray(sh_col[int(i)].values, dtype=np.int64) for i in order
+    ]
+    ids = ids[order]
+    out_a, out_b, out_j = [], [], []
+    for i in range(len(ids)):
+        si = sets[i]
+        if len(si) == 0:
             continue
-        jv = len(sa & sb) / len(sa | sb)
-        if jv >= JACCARD_THRESHOLD:
-            keep_a.append(int(a))
-            keep_b.append(int(b))
-            jac.append(round(jv, 6))
+        for j in range(i + 1, len(ids)):
+            sj = sets[j]
+            if len(sj) == 0:
+                continue
+            inter = len(np.intersect1d(si, sj, assume_unique=True))
+            if inter == 0:
+                continue
+            jac = inter / (len(si) + len(sj) - inter)
+            if jac >= JACCARD_THRESHOLD:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[j]))
+                out_j.append(round(jac, 6))
     return pa.table(
         {
-            "id_a": pa.array(keep_a, pa.int64()),
-            "id_b": pa.array(keep_b, pa.int64()),
-            "jac": pa.array(jac, pa.float64()),
+            "id_a": pa.array(out_a, pa.int64()),
+            "id_b": pa.array(out_b, pa.int64()),
+            "jac": pa.array(out_j, pa.float64()),
         }
+    )
+
+
+def q_minhash_near_dups(sf_dir: str):
+    """Candidate pairs from LSH buckets, verified by exact Jaccard PER BUCKET
+    on the workers (shingle sets travel with the band rows); a final tiny
+    groupby de-duplicates pairs found in multiple bands. No driver-side
+    materialization of the documents dataset at any point."""
+    ds = _docs(sf_dir).map_batches(
+        minhash_bands_shingles_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+    pairs = ds.groupby(["band", "bucket"]).map_groups(
+        _verify_bucket_group, batch_format="pyarrow", **remote_kwargs()
+    )
+    # a pair verified in k bands appears k times with the same jac -> max()
+    # collapses them; the surviving table is the (small) query result itself
+    dedup = pairs.groupby(["id_a", "id_b"]).max("jac")
+    df = dedup.to_pandas()
+    if len(df) == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jac": pa.array([], pa.float64()),
+            }
+        )
+    df = df.rename(columns={"max(jac)": "jac"}).sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(
+        df.reset_index(drop=True)[["id_a", "id_b", "jac"]], preserve_index=False
     )
 
 

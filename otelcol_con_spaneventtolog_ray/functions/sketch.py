@@ -29,13 +29,7 @@ HLL_M = 1 << HLL_P
 _ALPHA_M = 0.7213 / (1 + 1.079 / HLL_M)  # standard alpha for m >= 128
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit mix (public-domain splitmix64 constants)."""
-    with np.errstate(over="ignore"):
-        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        return z ^ (z >> np.uint64(31))
+from .texthash import _splitmix64  # shared 64-bit mixer  # noqa: E402
 
 
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:

@@ -315,3 +315,84 @@ def test_multimodal_decode_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_texthash_batch_matches_scalar_mirrors():
+    """The vectorized tokenizer/shingle/signature/band kernels must equal the
+    scalar mirrors value-for-value, including edge docs (empty, whitespace
+    only, shorter than the shingle width, Unicode, repeated words)."""
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        _band_buckets,
+        _doc_shingles,
+        _minhash_sigs,
+        band_keys,
+        minhash_signature,
+        simhash64,
+        simhash_batch,
+        word_shingles,
+    )
+    from otelcol_con_spaneventtolog_ray.functions.texthash import (
+        batch_words,
+        word_hash_scalar,
+        words_scalar,
+    )
+
+    texts = [
+        "hello world foo bar", "", "  one\ttwo  ", "single", "a b",
+        "tab\there\nnew line\x0bvtab", "unicode \xa0nbsp is one token",
+        "repeat repeat repeat repeat", "\t\n ", "Ωmega ünïcode wörds here",
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    wh, _par, offs = batch_words(tbl.column("text"))
+    for d, t in enumerate(texts):
+        exp = np.array(
+            [word_hash_scalar(w) for w in words_scalar(t)], dtype=np.uint64
+        )
+        assert np.array_equal(wh[offs[d]:offs[d+1]], exp), t
+    sh, soffs, n = _doc_shingles(tbl)
+    sigs = _minhash_sigs(sh, soffs, n)
+    bb = _band_buckets(sigs)
+    for d, t in enumerate(texts):
+        shingles = word_shingles(t)
+        assert set(int(x) & ((1 << 64) - 1)
+                   for x in sh[soffs[d]:soffs[d+1]].tolist()) == shingles, t
+        assert np.array_equal(sigs[d], minhash_signature(shingles)), t
+        exp_bands = [k - (1 << 64) if k >= (1 << 63) else k
+                     for k in band_keys(minhash_signature(shingles))]
+        assert bb[d].tolist() == exp_bands, t
+    sim = simhash_batch(tbl).column("simhash").to_pylist()
+    for d, t in enumerate(texts):
+        assert sim[d] & ((1 << 64) - 1) == simhash64(t), t
+
+
+def test_minhash_near_dups_has_no_driver_materialization_path():
+    """Guard: the near-dup verify must not call to_pandas() on the documents
+    dataset (the round-1 scale antipattern). Source-level pin."""
+    import inspect
+
+    from otelcol_con_spaneventtolog_ray.functions import dedup
+
+    src = inspect.getsource(dedup.q_minhash_near_dups)
+    # the only driver-side table is the post-verify pair dedup (the result)
+    assert "_docs(sf_dir).to_pandas" not in src
+    assert "word_shingles(" not in src  # verify runs in map_groups, not here
+
+
+def test_jaccard_pairs_size_guard(tmp_path):
+    import pyarrow.parquet as pq
+
+    from otelcol_con_spaneventtolog_ray.functions import dedup
+
+    tbl = pa.table({"doc_id": pa.array(range(10), pa.int64()),
+                    "text": pa.array(["a b c"] * 10, pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    old = dedup.JACCARD_MAX_DOCS
+    dedup.JACCARD_MAX_DOCS = 5
+    try:
+        with pytest.raises(ValueError, match="capped"):
+            dedup.q_jaccard_pairs(str(d))
+    finally:
+        dedup.JACCARD_MAX_DOCS = old
