@@ -53,14 +53,54 @@ def _norm_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
-def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """The NUM_QUERIES lowest vec_ids as the query set — sorted by id, never
-    by parquet file order (the oracle selects WHERE vec_id < NUM_QUERIES)."""
+def _emb_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "embeddings.parquet")
+
+
+def _vec_id_bounds(path: str) -> tuple[int, int]:
+    """(min, max) of vec_id from parquet FOOTER statistics — no data read."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    pf = pq.ParquetFile(path)
+    lo, hi = None, None
+    for rg in range(pf.metadata.num_row_groups):
+        meta = pf.metadata.row_group(rg)
+        for c in range(meta.num_columns):
+            col = meta.column(c)
+            if col.path_in_schema == "vec_id" and col.statistics is not None:
+                s = col.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+    if lo is None:  # no stats written: fall back to scanning the id column
+        ids = pq.read_table(path, columns=["vec_id"]).column("vec_id")
+        lo, hi = pa.compute.min(ids).as_py(), pa.compute.max(ids).as_py()
+    return int(lo), int(hi)
+
+
+def _read_id_range(path: str, lo: int, hi: int) -> pa.Table:
+    """Pushdown read of vec_id in [lo, hi) — only matching row groups/rows
+    leave storage."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", ">=", lo), ("vec_id", "<", hi)],
     )
+
+
+def _query_vectors(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """The NUM_QUERIES lowest vec_ids as the query set — sorted by id, never
+    by parquet file order (the oracle selects WHERE vec_id < NUM_QUERIES).
+    Reads only the [min_id, min_id + NUM_QUERIES) id range via filter
+    pushdown; falls back to a full scan only if ids are sparse there."""
+    path = _emb_path(sf_dir)
+    lo, hi = _vec_id_bounds(path)
+    t = _read_id_range(path, lo, lo + NUM_QUERIES)
+    if t.num_rows < min(NUM_QUERIES, hi - lo + 1):  # sparse ids: rare path
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
     ids, mat = _batch_matrix(t)
     order = np.argsort(ids)[:NUM_QUERIES]
     return ids[order], mat[order]
@@ -162,38 +202,151 @@ def q_lsh_ann(sf_dir: str):
 NEARDUP_THRESHOLD = 0.38  # chosen so the synthetic tables yield 100-2000 pairs
 
 
+#: id-range chunk width for the exact all-pairs scorer: each task holds TWO
+#: chunks (2 x CHUNK x D doubles), never the full matrix
+NEARDUP_CHUNK_ROWS = 1024
+
+
 def q_embedding_neardup(sf_dir: str):
     """All pairs (id_a < id_b) with cosine >= threshold — exact near-dup.
 
-    The normalized full matrix is broadcast ONCE via ray.put (the embeddings
-    table is the small side at test scale); each map_batches task scores its
-    block against it, so only qualifying pairs leave workers. At 100 TB the
-    LSH buckets (similarity_lsh_buckets) become the partitioning key and this
-    exact scoring runs within buckets only.
+    Scale shape: the id space is cut into chunks from FOOTER statistics and
+    every unordered chunk pair (i <= j) becomes one task that pushdown-reads
+    just its two id ranges and scores them blockwise — per-task memory is
+    2 x NEARDUP_CHUNK_ROWS vectors regardless of corpus size, and neither
+    the driver nor any worker ever holds the full matrix. Work is inherently
+    O(n^2) because the query is exact; dedup_embedding_neardup_lsh is the
+    approximate path whose cost follows the bucket sizes instead.
     """
-    import pyarrow.parquet as pq
-    import ray
+    import ray.data
 
-    full = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
-    f_ids, f_mat = _batch_matrix(full)
-    ref = ray.put((f_ids, _norm_rows(f_mat)))
+    path = _emb_path(sf_dir)
+    lo, hi = _vec_id_bounds(path)
+    n_chunks = max(1, -(-(hi + 1 - lo) // NEARDUP_CHUNK_ROWS))
+    edges = np.unique(np.linspace(lo, hi + 1, n_chunks + 1).astype(np.int64))
+    tasks = [
+        {
+            "lo_a": int(edges[i]), "hi_a": int(edges[i + 1]),
+            "lo_b": int(edges[j]), "hi_b": int(edges[j + 1]),
+        }
+        for i in range(len(edges) - 1)
+        for j in range(i, len(edges) - 1)
+    ]
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        bids, bn = ray.get(ref)
-        aids, amat = _batch_matrix(batch)
-        sims = np.round(_norm_rows(amat) @ bn.T, 6)  # (batch, N)
-        ai, bj = np.nonzero((sims >= NEARDUP_THRESHOLD) & (aids[:, None] < bids[None, :]))
+    def score_pair(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_s = [], [], []
+        for row in batch.to_pylist():
+            a = _read_id_range(path, row["lo_a"], row["hi_a"])
+            b = (
+                a
+                if (row["lo_a"], row["hi_a"]) == (row["lo_b"], row["hi_b"])
+                else _read_id_range(path, row["lo_b"], row["hi_b"])
+            )
+            if a.num_rows == 0 or b.num_rows == 0:
+                continue
+            aids, amat = _batch_matrix(a)
+            bids, bmat = _batch_matrix(b)
+            sims = np.round(_norm_rows(amat) @ _norm_rows(bmat).T, 6)
+            ai, bj = np.nonzero(
+                (sims >= NEARDUP_THRESHOLD) & (aids[:, None] < bids[None, :])
+            )
+            out_a.append(aids[ai])
+            out_b.append(bids[bj])
+            out_s.append(sims[ai, bj])
+        if not out_a:
+            out_a, out_b, out_s = [np.zeros(0, np.int64)], [np.zeros(0, np.int64)], [np.zeros(0)]
         return pa.table(
             {
-                "id_a": pa.array(aids[ai], pa.int64()),
-                "id_b": pa.array(bids[bj], pa.int64()),
-                "score": pa.array(sims[ai, bj], pa.float64()),
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "score": pa.array(np.concatenate(out_s), pa.float64()),
             }
         )
 
-    return _emb(sf_dir).map_batches(pairs, batch_format="pyarrow", **remote_kwargs())
+    return ray.data.from_items(tasks).map_batches(
+        score_pair, batch_format="pyarrow", batch_size=1, **remote_kwargs()
+    )
+
+
+# --- approximate scale path: multi-table hyperplane LSH + in-bucket verify ---
+
+NEARDUP_LSH_TABLES = 24
+NEARDUP_LSH_PLANES = 3  # few planes/table at test scale; log-scale with corpus
+
+_lsh_rng_seed = 246813579
+
+
+def _neardup_lsh_batch(batch: pa.Table) -> pa.Table:
+    """flat-map: (table, bucket, vec_id, embedding) — T hash tables of P
+    random hyperplanes each. The embedding rides along so the exact verify
+    runs inside the (table, bucket) group."""
+    ids, mat = _batch_matrix(batch)
+    n = len(ids)
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    rng = np.random.RandomState(_lsh_rng_seed)
+    planes = rng.standard_normal(
+        (NEARDUP_LSH_TABLES, mat.shape[1], NEARDUP_LSH_PLANES)
+    )
+    parts = []
+    for t in range(NEARDUP_LSH_TABLES):
+        bits = (mat @ planes[t]) > 0
+        bucket = (bits * (1 << np.arange(NEARDUP_LSH_PLANES))).sum(axis=1)
+        parts.append(
+            pa.table(
+                {
+                    "table": pa.array(np.full(n, t, dtype=np.int32), pa.int32()),
+                    "bucket": pa.array(bucket.astype(np.int32), pa.int32()),
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": emb,
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _neardup_verify_group(group: pa.Table) -> pa.Table:
+    """Exact all-pairs cosine within one (table, bucket) group."""
+    ids, mat = _batch_matrix(
+        group.select(["vec_id", "embedding"])
+    )
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    sims = np.round(_norm_rows(mat) @ _norm_rows(mat).T, 6)
+    ai, bj = np.nonzero((sims >= NEARDUP_THRESHOLD) & (ids[:, None] < ids[None, :]))
+    return pa.table(
+        {
+            "id_a": pa.array(ids[ai], pa.int64()),
+            "id_b": pa.array(ids[bj], pa.int64()),
+            "score": pa.array(sims[ai, bj], pa.float64()),
+        }
+    )
+
+
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Approximate near-dup pairs: candidates = pairs sharing ANY of the
+    NEARDUP_LSH_TABLES buckets, exact-verified inside the bucket group —
+    the (table, bucket) key is the partitioning key, so cost tracks bucket
+    sizes instead of n^2 and nothing is broadcast. Precision is exact by
+    construction; recall vs the exact query is pinned in pytest (1.0 on the
+    sf0.01 fixture at the current threshold)."""
+    ds = _emb(sf_dir).map_batches(
+        _neardup_lsh_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+    pairs = ds.groupby(["table", "bucket"]).map_groups(
+        _neardup_verify_group, batch_format="pyarrow", **remote_kwargs()
+    )
+    df = pairs.groupby(["id_a", "id_b"]).max("score").to_pandas()
+    if len(df) == 0:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    df = df.rename(columns={"max(score)": "score"}).sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(
+        df.reset_index(drop=True)[["id_a", "id_b", "score"]], preserve_index=False
+    )
 
 
 _NEARDUP_SQL = f"""
@@ -211,19 +364,89 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 # IVF — coarse-quantizer cells (SQL-checked) + nprobe ANN top-k (rows-only)
 # ---------------------------------------------------------------------------
 
-IVF_CELLS = 8  # centroids = the first IVF_CELLS vectors by vec_id (deterministic)
-IVF_NPROBE = 2
+IVF_CELLS = 8  # seed centroids = the first IVF_CELLS vectors by vec_id
+# nprobe=3: measured on the sf0.001 fixture (random-ish synthetic vectors, so
+# cells are near-balanced either way): trained-centroid recall@10 = 0.94 vs
+# 0.92 seed at nprobe=3 (0.90 seed at the old nprobe=2), scanning 37.6% of
+# the corpus per query. Recall/scan tradeoff is the nprobe knob.
+IVF_NPROBE = 3
 
 
 def _ivf_centroids(sf_dir: str) -> np.ndarray:
-    import pyarrow.parquet as pq
+    """Seed centroids: the first IVF_CELLS vectors by vec_id (deterministic,
+    SQL-mirrorable) — read via id-range pushdown, not a full scan."""
+    path = _emb_path(sf_dir)
+    lo, hi = _vec_id_bounds(path)
+    t = _read_id_range(path, lo, lo + IVF_CELLS)
+    if t.num_rows < min(IVF_CELLS, hi - lo + 1):  # sparse ids: rare path
+        import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
-    )
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
     ids, mat = _batch_matrix(t)
     order = np.argsort(ids)[:IVF_CELLS]
     return _norm_rows(mat[order])
+
+
+IVF_TRAIN_ITERS = 4
+
+
+def train_ivf_centroids(sf_dir: str, iters: int = IVF_TRAIN_ITERS) -> np.ndarray:
+    """Deterministic spherical k-means as two-phase Ray aggregates.
+
+    Init = the seed centroids (first IVF_CELLS by vec_id). Each iteration is
+    one streaming pass: every batch assigns its vectors to the nearest
+    centroid and emits per-cell PARTIALS (sum vector, count, min vec_id) —
+    only |cells| x |blocks| tiny rows reach the driver, which folds them in
+    (cell, min_id) order so float summation order is reproducible. Empty
+    cells keep their previous centroid. Fixed seed + fixed iteration count +
+    ordered fold => byte-deterministic centroids.
+    """
+    import ray
+
+    cn = _ivf_centroids(sf_dir)
+
+    def partials_fn(cref):
+        def _partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            ids, mat = _batch_matrix(batch)
+            cell, _ = _assign_cells(mat, c)
+            order = np.argsort(cell, kind="stable")
+            cell_s, mat_s, ids_s = cell[order], mat[order], ids[order]
+            uniq, first = np.unique(cell_s, return_index=True)
+            sums = np.add.reduceat(mat_s, first, axis=0)
+            counts = np.diff(np.append(first, len(cell_s)))
+            min_ids = np.minimum.reduceat(ids_s, first)
+            return pa.table(
+                {
+                    "cell": pa.array(uniq, pa.int64()),
+                    "count": pa.array(counts.astype(np.int64), pa.int64()),
+                    "min_id": pa.array(min_ids, pa.int64()),
+                    "sum": pa.array(
+                        [r.tolist() for r in sums], pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        return _partials
+
+    for _ in range(iters):
+        cref = ray.put(cn)
+        parts = (
+            _emb(sf_dir)
+            .map_batches(partials_fn(cref), batch_format="pyarrow", **remote_kwargs())
+            .to_pandas()
+        )
+        parts = parts.sort_values(["cell", "min_id"], kind="stable")
+        new = cn.copy()
+        for cell, grp in parts.groupby("cell", sort=True):
+            total = np.zeros(cn.shape[1])
+            for s in grp["sum"]:
+                total += np.asarray(s)
+            n = int(grp["count"].sum())
+            if n > 0:
+                new[int(cell)] = total / n
+        cn = _norm_rows(new)
+    return cn
 
 
 def _assign_cells(mat: np.ndarray, cn: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -279,12 +502,13 @@ _IVF_CELLS_SQL = (
 
 
 def q_ivf_topk(sf_dir: str):
-    """ANN top-k: each query probes its IVF_NPROBE nearest cells and scores
-    only those cells' members (rows-only check; recall vs the exact top-k is
-    asserted structurally in tests)."""
+    """ANN top-k: each query probes its IVF_NPROBE nearest TRAINED cells
+    (deterministic k-means, train_ivf_centroids) and scores only those
+    cells' members (rows-only check; recall vs the exact top-k is asserted
+    in tests and recorded there)."""
     import ray
 
-    cn = _ivf_centroids(sf_dir)
+    cn = train_ivf_centroids(sf_dir)
     q_ids, q_mat = _query_vectors(sf_dir)
     qn = _norm_rows(q_mat)
     # per-query probe cells: the IVF_NPROBE highest-cosine centroids
@@ -332,5 +556,6 @@ def q_ivf_topk(sf_dir: str):
 register("similarity_cosine_topk", q_cosine_topk, _COSINE_SQL)
 register("similarity_lsh_buckets", q_lsh_ann)  # rows-only
 register("dedup_embedding_neardup", q_embedding_neardup, _NEARDUP_SQL)
+register("dedup_embedding_neardup_lsh", q_embedding_neardup_lsh)  # rows-only
 register("similarity_ivf_cells", q_ivf_cells, _IVF_CELLS_SQL)
 register("similarity_ivf_topk", q_ivf_topk)  # rows-only (ANN)

@@ -302,12 +302,27 @@ _QUALITY_FILTER_SQL = (
 )
 
 
+def _local_topk_block(batch: pa.Table) -> pa.Table:
+    """Per-block partial top-k over final (token, n) rows by (n desc, token
+    asc). Each token appears in exactly ONE block after the two-phase count,
+    so the union of the blocks' local top-k always contains the global top-k
+    — the driver folds |blocks| x k rows, never the vocabulary."""
+    import pandas as pd
+
+    df = batch.to_pandas().sort_values(
+        ["n", "token"], ascending=[False, True], kind="stable"
+    ).head(TOP_TOKENS)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_top_tokens(sf_dir: str):
-    """Corpus vocabulary: top tokens by document frequency via a word-level
-    flat-map fan-out -> salted two-phase count -> tiny driver-side top-k
-    (the vocabulary-building shape; the heavy exchange carries only
-    (token, count) partials)."""
-    from ..stages.aggregate import counts_table
+    """Corpus vocabulary: top tokens by occurrence count via a word-level
+    flat-map fan-out -> salted two-phase count -> per-block partial top-k ->
+    tiny driver fold. The heavy exchange carries only (token, count)
+    partials, and the driver-side table is bounded by O(k x blocks) — the
+    full distinct-token table (billions of rows at web scale) never leaves
+    the workers."""
+    from ..stages.aggregate import counts_by
 
     def words(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
@@ -317,15 +332,17 @@ def q_top_tokens(sf_dir: str):
         flat = flat.filter(pc.not_equal(flat, ""))
         return pa.table({"token": pc.cast(flat, pa.string())})
 
-    counts = counts_table(_docs(sf_dir).map_batches(
-        words, batch_format="pyarrow", **remote_kwargs()
-    ), ["token"])
-    # tiny driver-side top-k with deterministic (count desc, token asc) order
-    import pandas as pd
-
-    df = counts.to_pandas().sort_values(
+    counts = counts_by(
+        _docs(sf_dir).map_batches(words, batch_format="pyarrow", **remote_kwargs()),
+        ["token"],
+    )
+    partials = counts.map_batches(
+        _local_topk_block, batch_format="pyarrow", **remote_kwargs()
+    ).to_pandas()
+    # fold the tiny partials with the same deterministic order
+    df = partials.sort_values(
         ["n", "token"], ascending=[False, True], kind="stable"
-    ).head(TOP_TOKENS)
+    ).head(TOP_TOKENS).reset_index(drop=True)
     df["rank"] = range(1, len(df) + 1)
     return pa.Table.from_pandas(df[["rank", "token", "n"]], preserve_index=False)
 

@@ -25,6 +25,7 @@ SQL_CHECKED = [
 ROWS_ONLY_RUN = [
     "dedup_minhash_buckets", "dedup_minhash_near_dups", "dedup_simhash",
     "similarity_lsh_buckets", "similarity_ivf_topk",
+    "dedup_embedding_neardup_lsh",
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
 ]
 
@@ -147,8 +148,8 @@ def test_ivf_topk_structure_and_scores(ray_session):
         TOP_K,
         _assign_cells,
         _batch_matrix,
-        _ivf_centroids,
         _norm_rows,
+        train_ivf_centroids,
     )
 
     from otelcol_con_spaneventtolog_ray.functions.similarity import (
@@ -160,7 +161,7 @@ def test_ivf_topk_structure_and_scores(ray_session):
                          columns=["vec_id", "embedding"])
     ids, mat = _batch_matrix(full)
     nm = _norm_rows(mat)
-    cn = _ivf_centroids(SF_DIR)
+    cn = train_ivf_centroids(SF_DIR)  # the query probes TRAINED cells
     cell, _ = _assign_cells(mat, cn)
     cell_of = dict(zip(ids.tolist(), cell.tolist()))
     sims = np.round(nm @ nm.T, 6)
@@ -396,3 +397,77 @@ def test_jaccard_pairs_size_guard(tmp_path):
             dedup.q_jaccard_pairs(str(d))
     finally:
         dedup.JACCARD_MAX_DOCS = old
+
+
+def _ivf_recall(cn) -> float:
+    """Recall@TOP_K of nprobe-restricted search vs exact brute force, for a
+    given centroid set, computed directly from the fixture embeddings."""
+    import pyarrow.parquet as pq
+
+    from otelcol_con_spaneventtolog_ray.functions.similarity import (
+        IVF_NPROBE,
+        TOP_K,
+        _assign_cells,
+        _batch_matrix,
+        _norm_rows,
+        _query_vectors,
+    )
+
+    full = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ids, mat = _batch_matrix(full)
+    nm = _norm_rows(mat)
+    cell, _ = _assign_cells(mat, cn)
+    q_ids, q_mat = _query_vectors(SF_DIR)
+    qn = _norm_rows(q_mat)
+    q_sims = np.round(qn @ cn.T, 6)
+    sims = np.round(nm @ qn.T, 6)
+    hits = total = 0
+    for qi, qid in enumerate(q_ids):
+        probes = set(np.argsort(-q_sims[qi], kind="stable")[:IVF_NPROBE])
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -sims[mask, qi]))
+        exact = set(ids[mask][order][:TOP_K].tolist())
+        got = {n for n in exact if cell[np.nonzero(ids == n)[0][0]] in probes}
+        hits += len(got)
+        total += len(exact)
+    return hits / total
+
+
+def test_trained_ivf_centroids_recall(ray_session):
+    """Deterministic k-means centroids must not lose recall vs the untrained
+    first-8-by-id seed at the configured nprobe. Recorded on the sf0.001
+    fixture at nprobe=3: trained 0.94 vs seed 0.92 (round-1 baseline was
+    0.90 at nprobe=2); the synthetic vectors are near-uniform so both cell
+    layouts are balanced and the gap is small by construction. Training must
+    also be byte-reproducible (ordered partial fold)."""
+    from otelcol_con_spaneventtolog_ray.functions.similarity import (
+        _ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    seed_recall = _ivf_recall(_ivf_centroids(SF_DIR))
+    trained = train_ivf_centroids(SF_DIR)
+    trained_recall = _ivf_recall(trained)
+    assert trained_recall >= seed_recall, (trained_recall, seed_recall)
+    assert trained_recall >= 0.9
+    assert np.array_equal(trained, train_ivf_centroids(SF_DIR))
+
+
+def test_embedding_neardup_lsh_recall_and_precision(ray_session):
+    """The bucketed LSH near-dup must emit a SUBSET of the exact pairs
+    (precision 1.0 — every pair is exact-verified in its bucket) with full
+    recall on the fixture at the current threshold/table parameters."""
+    import __ray_entry__ as e
+
+    exact = _to_df(e.queries()["dedup_embedding_neardup"](SF_DIR))
+    lsh = _to_df(e.queries()["dedup_embedding_neardup_lsh"](SF_DIR))
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert lsh_pairs <= exact_pairs  # precision 1.0
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall == 1.0, f"recall {recall:.3f} ({len(lsh_pairs)}/{len(exact_pairs)})"
+    # scores agree with the exact query on the shared pairs
+    es = {(a, b): s for a, b, s in zip(exact["id_a"], exact["id_b"], exact["score"])}
+    for a, b, s in zip(lsh["id_a"], lsh["id_b"], lsh["score"]):
+        assert es[(a, b)] == s
