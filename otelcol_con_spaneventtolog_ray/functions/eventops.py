@@ -175,20 +175,30 @@ def q_value_deviation(sf_dir: str):
     for small dimension sides at 100 TB)."""
     import ray
 
+    import pyarrow.compute as pc
+
     means = (
         _events(sf_dir, ["event_type", "value"])
         .groupby("event_type")
         .mean("value")
         .to_pandas()
     )
-    lookup = dict(zip(means["event_type"], means["mean(value)"]))
-    ref = ray.put(lookup)
+    # broadcast as parallel Arrow key array + numpy value array so the join
+    # inside map_batches is a vectorized index_in + take, not a dict loop
+    ref = ray.put(
+        (
+            pa.array(means["event_type"], pa.string()),
+            means["mean(value)"].to_numpy(),
+        )
+    )
 
     def enrich(batch: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        types = batch.column("event_type").to_pylist()
+        keys, mus = ray.get(ref)
+        idx = pc.index_in(batch.column("event_type"), value_set=keys).to_numpy(
+            zero_copy_only=False
+        )
         vals = batch.column("value").to_numpy(zero_copy_only=False)
-        mu = np.array([lk[t] for t in types], dtype=np.float64)
+        mu = mus[np.nan_to_num(idx, nan=0).astype(np.int64)]
         return pa.table(
             {
                 "event_id": batch.column("event_id"),

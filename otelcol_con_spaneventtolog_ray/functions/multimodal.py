@@ -52,6 +52,23 @@ def attach_payload_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def _binary_buffer_view(col: pa.Array | pa.ChunkedArray):
+    """(offsets:int64[n+1], data:uint8) raw view of a (large_)binary column."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_binary(col.type) or pa.types.is_large_string(col.type)
+        else np.int32
+    )
+    offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8) if col.buffers()[2] else np.zeros(0, np.uint8)
+    return offsets, data
+
+
 def decode_image(payload: bytes):
     """STUB: real decode needs an image codec not present in this container."""
     try:
@@ -76,21 +93,33 @@ class MediaFeatureExtractor:
         self.proj = rng.standard_normal((256, self.EMBED_DIM))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("payload").to_pylist()
-        digests = [hashlib.sha256(p).hexdigest() for p in payloads]
-        # byte-histogram -> projected fake embedding (deterministic)
-        embeds = []
-        for p in payloads:
-            hist = np.bincount(
-                np.frombuffer(p, dtype=np.uint8), minlength=256
-            ).astype(np.float64)
-            embeds.append(np.round(hist @ self.proj, 6).tolist())
+        n = batch.num_rows
+        offsets, data = _binary_buffer_view(batch.column("payload"))
+        lengths = np.diff(offsets)
+        view = data[offsets[0] : offsets[-1]]
+        # ONE bincount over (row, byte) pairs for all payloads at once, then
+        # one matmul for every embedding — no per-payload Python loop
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        combo = row_idx * 256 + view[: len(row_idx)].astype(np.int64)
+        hist = np.bincount(combo, minlength=n * 256).reshape(n, 256).astype(
+            np.float64
+        )
+        embeds = np.round(hist @ self.proj, 6)
+        # sha256 must see each payload's bytes: memoryview slices, no copies
+        digests = [
+            hashlib.sha256(data[offsets[i] : offsets[i + 1]]).hexdigest()
+            for i in range(n)
+        ]
+        emb_arr = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * self.EMBED_DIM, pa.int32()),
+            pa.array(embeds.ravel(), pa.float64()),
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "payload_len": batch.column("payload_len"),
                 "sha256": pa.array(digests, pa.string()),
-                "embedding": pa.array(embeds, pa.list_(pa.float64())),
+                "embedding": emb_arr,
             }
         )
 
@@ -104,20 +133,37 @@ class ImageResizer:
     TARGET_BYTES = 64
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch.column("payload").to_pylist()
-        thumbs = []
-        for p in payloads:
-            if len(p) == 0:
-                thumbs.append(b"")
-                continue
-            idx = np.linspace(0, len(p) - 1, num=min(self.TARGET_BYTES, len(p)))
-            thumbs.append(np.frombuffer(p, np.uint8)[idx.astype(np.int64)].tobytes())
+        n = batch.num_rows
+        offsets, data = _binary_buffer_view(batch.column("payload"))
+        lengths = np.diff(offsets)
+        m = np.minimum(self.TARGET_BYTES, lengths)  # samples per payload
+        # replicate np.linspace(0, L-1, m).astype(int64) exactly, for all
+        # payloads at once: pos_j = floor((j * (L-1)) / (m-1)), last forced
+        # to L-1 (linspace pins the endpoint), m==1 -> [0]
+        out_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(m, out=out_offs[1:])
+        M = int(out_offs[-1])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), m)
+        j = np.arange(M, dtype=np.int64) - np.repeat(out_offs[:-1], m)
+        L = lengths[doc_of]
+        mm = m[doc_of]
+        div = np.maximum(mm - 1, 1)
+        pos = (j.astype(np.float64) * (L - 1).astype(np.float64) / div).astype(
+            np.int64
+        )
+        pos[j == mm - 1] = (L - 1)[j == mm - 1]
+        sampled = data[offsets[:-1][doc_of] + pos]
+        thumb = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            n,
+            [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(sampled.tobytes())],
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "media_type": batch.column("media_type"),
-                "thumb": pa.array(thumbs, pa.large_binary()),
-                "thumb_len": pa.array([len(t) for t in thumbs], pa.int64()),
+                "thumb": thumb,
+                "thumb_len": pa.array(m.astype(np.int64), pa.int64()),
             }
         )
 
@@ -131,20 +177,39 @@ class FrameSampler:
     STRIDE = 4
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_no, frames = [], [], []
-        for doc_id, p in zip(
-            batch.column("doc_id").to_pylist(), batch.column("payload").to_pylist()
-        ):
-            n_frames = len(p) // self.FRAME_BYTES
-            for f in range(0, n_frames, self.STRIDE):
-                ids.append(doc_id)
-                frame_no.append(f)
-                frames.append(p[f * self.FRAME_BYTES : (f + 1) * self.FRAME_BYTES])
+        offsets, data = _binary_buffer_view(batch.column("payload"))
+        n = batch.num_rows
+        lengths = np.diff(offsets)
+        n_frames = lengths // self.FRAME_BYTES
+        n_sel = -(-n_frames // self.STRIDE)  # ceil: frames 0, S, 2S, ...
+        sel_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_sel, out=sel_offs[1:])
+        M = int(sel_offs[-1])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_sel)
+        frame_no = (
+            np.arange(M, dtype=np.int64) - np.repeat(sel_offs[:-1], n_sel)
+        ) * self.STRIDE
+        starts = offsets[:-1][doc_of] + frame_no * self.FRAME_BYTES
+        gathered = data[
+            starts[:, None] + np.arange(self.FRAME_BYTES, dtype=np.int64)[None, :]
+        ].ravel() if M else np.zeros(0, np.uint8)
+        frames = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(),
+            M,
+            [
+                None,
+                pa.py_buffer(
+                    (np.arange(M + 1, dtype=np.int64) * self.FRAME_BYTES).tobytes()
+                ),
+                pa.py_buffer(gathered.tobytes()),
+            ],
+        )
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[doc_of]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
                 "frame_no": pa.array(frame_no, pa.int64()),
-                "frame": pa.array(frames, pa.large_binary()),
+                "frame": frames,
             }
         )
 

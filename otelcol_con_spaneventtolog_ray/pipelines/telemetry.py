@@ -152,28 +152,60 @@ def read_pages(
 class ParseEnrich:
     """Fused parse+enrich callable: config rules compiled once per instance
     (connector.go:95-112 analog — eventNameSet / severity dicts / substring
-    rules), reused across batches via actor state or the process cache."""
+    rules), reused across batches via actor state or the process cache.
 
-    def __init__(self, cfg_dict: dict):
+    ``deadletter_dir`` turns on single-read audit mode: the SAME parse pass
+    collects malformed OTEL1 lines (parse_pages_batch collect_malformed) and
+    each batch's dead rows are written as one side-band parquet file whose
+    name is a content hash — task retries rewrite the identical file, so the
+    side channel stays idempotent without coordination."""
+
+    def __init__(self, cfg_dict: dict, deadletter_dir: str | None = None):
         self.cfg = PipelineConfig.from_dict(cfg_dict)
         self.include = tuple(self.cfg.include_event_names)
         self.enricher = Enricher(self.cfg)
+        self.deadletter_dir = deadletter_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self.enricher(parse_pages_batch(batch, self.include))
+        if self.deadletter_dir is None:
+            return self.enricher(parse_pages_batch(batch, self.include))
+        events, dead = parse_pages_batch(
+            batch, self.include, collect_malformed=True
+        )
+        if dead.num_rows:
+            self._write_dead(dead)
+        return self.enricher(events)
+
+    def _write_dead(self, dead: pa.Table) -> None:
+        import hashlib
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.deadletter_dir, exist_ok=True)
+        h = hashlib.sha1()
+        for r in dead.column("raw").to_pylist():
+            h.update(r.encode("utf-8", "surrogatepass"))
+            h.update(b"\x00")
+        key = h.hexdigest()[:20]
+        tmp = os.path.join(self.deadletter_dir, f".dead-{key}.tmp")
+        pq.write_table(dead, tmp)
+        os.replace(tmp, os.path.join(self.deadletter_dir, f"dead-{key}.parquet"))
 
 
 # worker-process-local cache: stateful setup once per worker, not per batch
 _PROCESS_CACHE: dict[str, ParseEnrich] = {}
 
 
-def make_fused_fn(cfg_dict: dict):
-    key = json.dumps(cfg_dict, sort_keys=True, default=str)
+def make_fused_fn(cfg_dict: dict, deadletter_dir: str | None = None):
+    key = json.dumps(cfg_dict, sort_keys=True, default=str) + (
+        f"|dl:{deadletter_dir}" if deadletter_dir else ""
+    )
 
     def _parse_enrich(batch: pa.Table) -> pa.Table:
         pe = _PROCESS_CACHE.get(key)
         if pe is None:
-            pe = _PROCESS_CACHE[key] = ParseEnrich(cfg_dict)
+            pe = _PROCESS_CACHE[key] = ParseEnrich(cfg_dict, deadletter_dir)
         return pe(batch)
 
     return _parse_enrich
@@ -197,6 +229,7 @@ def build_log_records(
     fused: bool = True,
     batch_size: int | None = 16384,
     enrich_concurrency: int | tuple[int, int] | None = None,
+    deadletter_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Lazy Dataset of log records (LOG_RECORDS_SCHEMA) from a pages Dataset.
 
@@ -218,9 +251,11 @@ def build_log_records(
     cd = _cfg_dict(cfg)
     if enrich_mode not in ("tasks", "actors"):
         raise ValueError(f"unknown enrich_mode: {enrich_mode!r} (tasks|actors)")
+    if deadletter_dir is not None and not fused:
+        raise ValueError("deadletter_dir requires the fused parse stage")
     if enrich_mode == "tasks":
         if fused:
-            return pages.map_batches(make_fused_fn(cd), **common)
+            return pages.map_batches(make_fused_fn(cd, deadletter_dir), **common)
         parsed = pages.map_batches(make_parse_fn(tuple(cfg.include_event_names)), **common)
         return parsed.map_batches(make_enrich_fn(cd), **common)
     if enrich_concurrency is None:
@@ -230,7 +265,9 @@ def build_log_records(
     actor_kwargs = dict(common)
     actor_kwargs["concurrency"] = enrich_concurrency
     if fused:
-        return pages.map_batches(ParseEnrich, fn_constructor_args=(cd,), **actor_kwargs)
+        return pages.map_batches(
+            ParseEnrich, fn_constructor_args=(cd, deadletter_dir), **actor_kwargs
+        )
     parsed = pages.map_batches(make_parse_fn(tuple(cfg.include_event_names)), **common)
     return parsed.map_batches(Enricher, fn_constructor_args=(cd,), **actor_kwargs)
 
@@ -265,14 +302,13 @@ def run_pipeline(
 
     Single streaming consumption: the write is the only full pass; counts
     come from the written files' parquet footers (stages/route.py).
-    ``deadletter=True`` adds an audit pass writing every malformed OTEL1
-    line to ``out_dir/_deadletter/`` (poison pills never kill the job; this
-    makes them inspectable too).
+    ``deadletter=True`` turns on single-read audit mode: the SAME parse pass
+    collects every malformed OTEL1 line and side-band-writes it to
+    ``out_dir/_deadletter/`` (poison pills never kill the job, stay
+    inspectable, and the input is not read twice).
     """
     import os
 
-    from ..rayenv import remote_kwargs
-    from ..stages.parse import make_deadletter_fn
     from ..stages.route import routed_counts_from_footers, write_routed
 
     cfg = cfg or PipelineConfig.default()
@@ -292,10 +328,10 @@ def run_pipeline(
                 " file(s); refusing to mix runs — use a fresh directory or the"
                 " resumable runner (state/checkpoint.py), which resumes safely"
             )
+    if deadletter:
+        build_kwargs.setdefault(
+            "deadletter_dir", os.path.join(out_dir, "_deadletter")
+        )
     records = build_log_records(read_pages(input_paths), cfg, **build_kwargs)
     write_routed(records, out_dir)
-    if deadletter:
-        read_pages(input_paths).map_batches(
-            make_deadletter_fn(), batch_format="pyarrow", **remote_kwargs()
-        ).write_parquet(os.path.join(out_dir, "_deadletter"))
     return routed_counts_from_footers(out_dir)

@@ -145,13 +145,31 @@ def parse_attrs_column(field_arr: pa.Array) -> pa.MapArray:
 
 
 def parse_pages_batch(
-    batch: pa.Table, include_event_names: tuple[str, ...] = ()
-) -> pa.Table:
+    batch: pa.Table,
+    include_event_names: tuple[str, ...] = (),
+    collect_malformed: bool = False,
+) -> pa.Table | tuple[pa.Table, pa.Table]:
     """Flat-map one pages batch -> events table (EVENTS_SCHEMA).
 
     Applies the include_event_names filter (reference connector.go:219-224)
     in the same pass via a vectorized is_in mask.
+
+    ``collect_malformed=True`` additionally returns the dead-letter table
+    (DEADLETTER_SCHEMA: url, raw, reason) of OTEL1 lines dropped by any
+    validity stage — gathered from the SAME pass, so audit mode never parses
+    the input twice. The include filter is NOT a validity stage: excluded
+    events are well-formed and never dead-lettered.
     """
+    dead_lines: list[pa.Array] = []
+    dead_parents: list[np.ndarray] = []
+    dead_reasons: list[tuple[str, int]] = []
+
+    def _collect(cur_lines: pa.Array, cur_parents: np.ndarray, bad: np.ndarray, reason: str):
+        if collect_malformed and bad.any():
+            dead_lines.append(_combine(cur_lines.filter(pa.array(bad))))
+            dead_parents.append(cur_parents[bad])
+            dead_reasons.append((reason, int(bad.sum())))
+
     text = batch.column("text").combine_chunks()
     if isinstance(text, pa.ChunkedArray):  # single-chunk after combine
         text = text.chunk(0) if text.num_chunks else pa.array([], pa.large_string())
@@ -172,6 +190,7 @@ def parse_pages_batch(
     tok_count_ok = pc.equal(pc.list_value_length(tokens), 11).to_numpy(
         zero_copy_only=False
     ).astype(bool)
+    _collect(lines, parents, ~tok_count_ok, "bad_token_count")
     lines = lines.filter(pa.array(tok_count_ok))
     tokens = tokens.filter(pa.array(tok_count_ok))
     parents = parents[tok_count_ok]
@@ -212,6 +231,7 @@ def parse_pages_batch(
         valid &= np.array(ok, dtype=bool)
         ts_int = pa.array(vals, pa.int64())
 
+    _collect(lines, parents, ~valid, "bad_field_or_ts")
     vmask = pa.array(valid)
     lines = lines.filter(vmask)
     parents = parents[valid]
@@ -221,6 +241,7 @@ def parse_pages_batch(
     trace_id, hex_ok1 = hex_to_fixed_binary(fields["trace"].combine_chunks() if isinstance(fields["trace"], pa.ChunkedArray) else fields["trace"], 16)
     span_id, hex_ok2 = hex_to_fixed_binary(fields["span"].combine_chunks() if isinstance(fields["span"], pa.ChunkedArray) else fields["span"], 8)
     hex_ok = hex_ok1 & hex_ok2
+    _collect(lines, parents, ~hex_ok, "bad_hex")
     if not hex_ok.all():
         hmask = pa.array(hex_ok)
         lines = lines.filter(hmask)
@@ -280,7 +301,31 @@ def parse_pages_batch(
         if isinstance(a, pa.ChunkedArray):
             a = a.combine_chunks()
         arrays.append(pc.cast(a, f.type) if a.type != f.type else a)
-    return pa.Table.from_arrays(arrays, schema=EVENTS_SCHEMA)
+    events = pa.Table.from_arrays(arrays, schema=EVENTS_SCHEMA)
+    if not collect_malformed:
+        return events
+    if dead_lines:
+        d_lines = pa.concat_arrays(dead_lines)
+        d_parents = np.concatenate(dead_parents)
+        d_reason = pa.array(
+            np.repeat(
+                np.array([r for r, _ in dead_reasons], dtype=object),
+                [c for _, c in dead_reasons],
+            ),
+            pa.string(),
+        )
+        dead = pa.table(
+            {
+                "url": _combine(
+                    pc.take(batch.column("url"), pa.array(d_parents))
+                ),
+                "raw": pc.cast(d_lines, pa.large_string()),
+                "reason": d_reason,
+            }
+        ).cast(DEADLETTER_SCHEMA)
+    else:
+        dead = DEADLETTER_SCHEMA.empty_table()
+    return events, dead
 
 
 def make_parse_fn(include_event_names: tuple[str, ...] = ()):
@@ -304,49 +349,14 @@ DEADLETTER_SCHEMA = pa.schema(
 def make_deadletter_fn():
     """map_batches fn extracting the MALFORMED OTEL1 lines (poison pills) as
     (url, raw, reason) rows — the dead-letter side channel (SURVEY §4: parse
-    failures must not kill the job, and must stay auditable). Run as its own
-    pass over the same pages and write to `out/_deadletter/`; the happy-path
-    parse never pays for it."""
+    failures must not kill the job, and must stay auditable). The rows come
+    from the SAME vectorized parse pass (collect_malformed=True), so audit
+    mode never parses a page twice; `reason` names the validity stage that
+    rejected the line (bad_token_count / bad_field_or_ts / bad_hex)."""
 
     def _dead(batch: pa.Table) -> pa.Table:
-        text = batch.column("text").combine_chunks()
-        lines_list = pc.split_pattern(text, pattern="\n")
-        if isinstance(lines_list, pa.ChunkedArray):
-            lines_list = lines_list.combine_chunks()
-        lines = lines_list.flatten()
-        parents = _parents_from_list(lines_list)
-        is_event = pc.starts_with(lines, "OTEL1 ").to_numpy(zero_copy_only=False)
-        is_event = np.nan_to_num(is_event, nan=False).astype(bool)
-        lines = lines.filter(pa.array(is_event))
-        parents = parents[is_event]
-        if len(lines) == 0:
-            return DEADLETTER_SCHEMA.empty_table()
-
-        # a line is malformed iff the real parser drops it: re-parse this
-        # batch's OTEL lines as one-line pages and diff the surviving raws
-        probe = pa.table(
-            {
-                "url": pc.take(batch.column("url"), pa.array(parents)),
-                "warc_ts": pc.take(batch.column("warc_ts"), pa.array(parents)),
-                "lang": pc.take(batch.column("lang"), pa.array(parents)),
-                "text": pc.cast(lines, pa.large_string()),
-            }
-        )
-        parsed = parse_pages_batch(probe)
-        ok_lines = set(parsed.column("raw").to_pylist())
-        keep = [ln not in ok_lines for ln in lines.to_pylist()]
-        mask = pa.array(np.array(keep, dtype=bool))
-        bad_lines = lines.filter(mask)
-        bad_parents = parents[np.array(keep, dtype=bool)]
-        return pa.table(
-            {
-                "url": pc.take(batch.column("url"), pa.array(bad_parents)),
-                "raw": pc.cast(bad_lines, pa.large_string()),
-                "reason": pa.array(
-                    ["malformed_line"] * len(bad_lines), pa.string()
-                ),
-            }
-        ).cast(DEADLETTER_SCHEMA)
+        _events, dead = parse_pages_batch(batch, collect_malformed=True)
+        return dead
 
     return _dead
 

@@ -471,3 +471,58 @@ def test_embedding_neardup_lsh_recall_and_precision(ray_session):
     es = {(a, b): s for a, b, s in zip(exact["id_a"], exact["id_b"], exact["score"])}
     for a, b, s in zip(lsh["id_a"], lsh["id_b"], lsh["score"]):
         assert es[(a, b)] == s
+
+
+def test_multimodal_vectorized_stages_match_per_row_reference():
+    """The vectorized media stages must be byte-identical to the per-payload
+    reference loops (sha256/histogram features, linspace thumbnail sampling
+    incl. the pinned endpoint, strided frame extraction), across edge sizes
+    (empty, sub-frame, exact-frame, >TARGET payloads) and an empty batch."""
+    import hashlib
+
+    from otelcol_con_spaneventtolog_ray.functions.multimodal import (
+        FrameSampler,
+        ImageResizer,
+        MediaFeatureExtractor,
+    )
+
+    rng = np.random.default_rng(7)
+    payloads = [rng.integers(0, 256, size=int(s)).astype(np.uint8).tobytes()
+                for s in [0, 1, 5, 31, 32, 63, 64, 65, 100, 1000, 4097]]
+    n = len(payloads)
+    batch = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "media_type": pa.array(["x"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+    fe = MediaFeatureExtractor()
+    out = fe(batch)
+    for i, p in enumerate(payloads):
+        assert out.column("sha256")[i].as_py() == hashlib.sha256(p).hexdigest()
+        hist = np.bincount(
+            np.frombuffer(p, dtype=np.uint8), minlength=256
+        ).astype(np.float64)
+        got = np.array(out.column("embedding")[i].as_py())
+        assert np.array_equal(got, np.round(hist @ fe.proj, 6)), i
+    out = ImageResizer()(batch)
+    for i, p in enumerate(payloads):
+        if len(p) == 0:
+            exp = b""
+        else:
+            idx = np.linspace(0, len(p) - 1, num=min(64, len(p)))
+            exp = np.frombuffer(p, np.uint8)[idx.astype(np.int64)].tobytes()
+        assert out.column("thumb")[i].as_py() == exp, (i, len(p))
+        assert out.column("thumb_len")[i].as_py() == len(exp)
+    out = FrameSampler()(batch).to_pylist()
+    exp_rows = []
+    for doc_id, p in enumerate(payloads):
+        for f in range(0, len(p) // 32, 4):
+            exp_rows.append(
+                {"doc_id": doc_id, "frame_no": f, "frame": p[f * 32:(f + 1) * 32]}
+            )
+    assert out == exp_rows
+    eb = batch.slice(0, 0)
+    assert fe(eb).num_rows == 0
+    assert ImageResizer()(eb).num_rows == 0
+    assert FrameSampler()(eb).num_rows == 0

@@ -93,8 +93,11 @@ def test_deadletter_captures_malformed_lines():
     ]
     text = "\n".join([bad[0], good, "prose", bad[1], bad[2]])
     out = make_deadletter_fn()(_page_with(text))
-    assert out.column("raw").to_pylist() == bad
-    assert set(out.column("reason").to_pylist()) == {"malformed_line"}
+    assert sorted(out.column("raw").to_pylist()) == sorted(bad)
+    # reasons name the rejecting validity stage (one-pass collection)
+    assert set(out.column("reason").to_pylist()) == {
+        "bad_token_count", "bad_field_or_ts",
+    }
     assert set(out.column("url").to_pylist()) == {"u"}
     # clean pages produce an empty dead-letter table with the right schema
     empty = make_deadletter_fn()(_page_with(good))
@@ -121,3 +124,48 @@ def test_run_pipeline_deadletter_sink(ray_session, tmp_path):
 
     dl = pads.dataset(f"{out}/_deadletter").to_table()
     assert dl.column("raw").to_pylist() == ["OTEL1 truncated line"]
+
+
+def test_one_pass_deadletter_matches_reparse_diff():
+    """The single-pass collected dead-letters must equal the reference
+    two-pass definition: an OTEL1 line is malformed iff re-parsing it as its
+    own page yields no event (the round-1 implementation's diff)."""
+    import pyarrow.compute as pc
+
+    from otelcol_con_spaneventtolog_ray.stages.parse import (
+        make_deadletter_fn,
+        parse_pages_batch,
+    )
+
+    good = (
+        "OTEL1 trace=000000000000000000000000000000ff span=00000000000000ff"
+        " span_name=s span_kind=Server ts=123 state= name=ok attrs= sattrs= rattrs="
+    )
+    lines = [
+        good,
+        "OTEL1 truncated",
+        good.replace("ts=123", "ts=12x"),
+        good.replace("ts=123", "ts=99999999999999999999999999"),
+        good.replace("trace=000000000000000000000000000000ff", "trace=" + "zz" * 16),
+        good.replace("span_kind=", "spankind="),
+        "OTEL1 " + " ".join(["x"] * 10),
+        good.replace("name=ok", "name=other"),
+        "prose OTEL1 not-at-start",
+    ]
+    batch = _page_with("\n".join(lines))
+    got = make_deadletter_fn()(batch)
+    # reference: re-parse each OTEL1 line as a one-line page, diff survivors
+    exp = []
+    for ln in lines:
+        if not ln.startswith("OTEL1 "):
+            continue
+        probe = _page_with(ln)
+        if parse_pages_batch(probe).num_rows == 0:
+            exp.append(ln)
+    assert sorted(got.column("raw").to_pylist()) == sorted(exp)
+    assert len(exp) == 6
+    # and parse itself is unaffected by the collection flag
+    ev_plain = parse_pages_batch(batch)
+    ev_col, dead = parse_pages_batch(batch, collect_malformed=True)
+    assert ev_plain.equals(ev_col)
+    assert dead.num_rows == len(exp)
