@@ -233,6 +233,61 @@ def _q_sink_counts_actor_pool(sf_dir: str):
     )
 
 
+def _q_nested_attr(sf_dir: str):
+    """Nested map/slice attribute values (reference connector.go:382-385 —
+    pcommon.Value Map/Slice copy path): pages whose event line carries
+    ``ctx=m:<nested map>`` and ``tags=l:<nested list>`` run through the REAL
+    parse+enrich, then the stored tagged payloads are decoded vectorized
+    (slice + unescape + regex extraction) back into typed fields."""
+    import ray.data
+
+    from otelcol_con_spaneventtolog_ray.escape import unescape_array
+    from otelcol_con_spaneventtolog_ray.sources.synth import (
+        embed_nested_pages_batch,
+    )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    pages = docs.map_batches(
+        embed_nested_pages_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+    cfg = dataclasses.replace(
+        PipelineConfig(log_attributes_from=("event.attributes",)),
+        observed_timestamp_ns=OBS_NS,
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        attrs = t.column("attributes").combine_chunks()
+        ctx = pc.map_lookup(attrs, query_key="ctx", occurrence="first")
+        tags = pc.map_lookup(attrs, query_key="tags", occurrence="first")
+        # stored payloads are 'm:<rendering>' / 'l:<rendering>': strip the
+        # tag, restore the nested rendering (one unescape), extract fields
+        ctx_r = unescape_array(pc.utf8_slice_codeunits(ctx, start=2, stop=1 << 30))
+        tags_r = unescape_array(pc.utf8_slice_codeunits(tags, start=2, stop=1 << 30))
+        retries = pc.struct_field(
+            pc.extract_regex(ctx_r, pattern=r"retries=i:(?P<v>-?[0-9]+)"), "v"
+        )
+        host = pc.struct_field(
+            pc.extract_regex(ctx_r, pattern=r"host=s:(?P<v>[^;]*)"), "v"
+        )
+        tag0 = pc.struct_field(
+            pc.extract_regex(tags_r, pattern=r"^s:(?P<v>[^;]*)"), "v"
+        )
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "retries": pc.cast(retries, pa.int64()),
+                "host": host,
+                "tag0": tag0,
+            }
+        )
+
+    return build_log_records(pages, cfg).map_batches(
+        project, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
 def _q_pipeline_stats(sf_dir: str):
     """Self-telemetry counters (op M analog): pages / lines / events found /
     processed / malformed, summed over per-batch counter rows."""
@@ -265,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_filtered_sink_counts": _q_filtered_sink_counts,
         "pipeline_level_attr": _q_level_attr,
         "pipeline_stats": _q_pipeline_stats,
+        "pipeline_nested_attr": _q_nested_attr,
         "pipeline_severity_attribute_counts": _q_severity_attribute_counts,
         "pipeline_sink_counts_actor_pool": _q_sink_counts_actor_pool,
         "events_severity_route": _q_events_severity_route,
@@ -425,6 +481,12 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_sink_counts_actor_pool": _EV_CTE
         + "SELECT CASE WHEN k = 0 THEN 'error' ELSE 'info' END AS sink,"
         " count(*) AS n FROM ev GROUP BY 1 ORDER BY 1",
+        "pipeline_nested_attr": "SELECT"
+        " 'https://docs.example/' || printf('%08d', doc_id) AS url,"
+        " CAST(doc_id % 5 AS BIGINT) AS retries,"
+        " 'h' || (doc_id % 3) AS host,"
+        " 't' || (doc_id % 2) AS tag0"
+        " FROM documents",
         "events_severity_route": "SELECT event_type,"
         f" {_EVENTS_ROUTE_CASE} AS severity_text, count(*) AS n FROM events"
         " GROUP BY 1, 2 ORDER BY 1, 2",

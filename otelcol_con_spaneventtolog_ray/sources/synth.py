@@ -16,9 +16,12 @@ Event-line grammar (one line inside the page ``text``):
           ts=<ns int> state=<esc> name=<esc> attrs=<p> sattrs=<p> rattrs=<p>
 
 (single spaces; ``<p>`` is ``key=t:value`` pairs ';'-joined, ``t`` in
-{s,i,d,b}; '%'/' '/'='/';'/newline percent-escaped in names and values so the
-line splits unambiguously on spaces). Extraction must round-trip the matched
-line byte-identically per url (BASELINE.json input_hint).
+{s,i,d,b,y,m,l} — see nested.py: ``m``/``l`` payloads are once-more-escaped
+nested map/list renderings, mirroring the reference's pcommon.Value
+Map/Slice copy path; '%'/' '/'='/';'/newline percent-escaped in names and
+values so the line splits unambiguously on spaces). Extraction must
+round-trip the matched line byte-identically per url (BASELINE.json
+input_hint).
 """
 
 from __future__ import annotations
@@ -203,6 +206,22 @@ def generate_pages_table(n_pages: int, seed: int = 42) -> pa.Table:
                 ("k.str", "s", f"v {i}-{j};=%"),  # escape-exercising value
                 ("k.int", "i", str(int(rng.integers(0, 1000)))),
             ]
+            if j % 3 == 0:  # nested map value (escape-exercising inner v)
+                from ..nested import encode_map
+
+                attrs.append(
+                    ("k.map", "m", encode_map(
+                        [("depth", "i", str(j)), ("note", "s", f"n;= {i}%")]
+                    ))
+                )
+            if j % 4 == 1:  # nested list/slice value
+                from ..nested import encode_list
+
+                attrs.append(
+                    ("k.list", "l", encode_list(
+                        [("s", f"item {j};"), ("i", str(i))]
+                    ))
+                )
             if name == "backend.db.write_item.success":
                 attrs += [
                     ("event.severity_number", "i", str(int(rng.integers(0, 30)))),
@@ -273,6 +292,43 @@ def embed_lines_for_doc(doc_id: int) -> list[str]:
             f" rattrs=service.name=s:svc-{doc_id % 4}"
         )
     return lines
+
+
+def embed_nested_pages_batch(batch: pa.Table) -> pa.Table:
+    """documents -> pages where each doc carries ONE event line with a
+    nested map attr (``ctx=m:...``) and a nested list attr (``tags=l:...``)
+    derived from pure doc_id arithmetic, so a DuckDB oracle reproduces the
+    decoded nested fields exactly (pipeline_nested_attr)."""
+    from ..escape import escape
+
+    doc_ids = batch.column("doc_id").to_numpy()
+    langs = batch.column("lang").to_pylist()
+    urls, warc, html, out_texts = [], [], [], []
+    for doc_id, lang in zip(doc_ids, langs):
+        doc_id = int(doc_id)
+        nested_map = f"retries=i:{doc_id % 5};host=s:h{doc_id % 3}"
+        nested_list = f"s:t{doc_id % 2};i:{doc_id % 7}"
+        line = (
+            f"OTEL1 trace={doc_id:032x} span={doc_id:016x}"
+            f" span_name=s span_kind=Internal"
+            f" ts={BASE_EVENT_TS_NS + doc_id} state= name=nested.evt"
+            f" attrs=ctx=m:{escape(nested_map)};tags=l:{escape(nested_list)}"
+            f" sattrs= rattrs="
+        )
+        urls.append(f"https://docs.example/{doc_id:08d}")
+        warc.append(BASE_WARC_TS_US + doc_id * 1_000_000)
+        html.append(b"<html/>")
+        out_texts.append(line)
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(warc, pa.timestamp("us")),
+            pa.array(html, pa.binary()),
+            pa.array(out_texts, pa.large_string()),
+            pa.array(langs, pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )
 
 
 def embed_docs_batch(batch: pa.Table) -> pa.Table:

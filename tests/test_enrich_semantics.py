@@ -338,3 +338,57 @@ def test_severity_number_int32_wrap_parity():
         assert exp[0].severity_number == want_num, payload
         assert exp[0].severity_text == want_txt, payload
         assert exp[0].sink == recs[0]["sink"], payload
+
+
+def test_nested_map_slice_values_round_trip_and_collide():
+    """Nested map/slice attr values (reference connector.go:382-385,
+    pcommon.Value Map/Slice copy path): the once-more-escaped rendering
+    survives parse byte-exactly, decodes back to the original pairs, and
+    participates in D4/D7 collision semantics (first-insertion position,
+    span-attr last-writer value) as an opaque tagged payload — identically
+    in the stage and the golden model."""
+    from otelcol_con_spaneventtolog_ray.nested import (
+        decode_list,
+        decode_map,
+        encode_list,
+        encode_map,
+    )
+
+    inner = [("depth", "i", "2"), ("note", "s", "a;b=c %20 d"),
+             ("deep", "m", encode_map([("x", "s", "y;=")]))]  # two levels
+    items = [("s", "it;em"), ("i", "42"), ("l", encode_list([("s", "in")]))]
+    ev_map = encode_map(inner)
+    sp_map = encode_map([("depth", "i", "9")])
+    line = build_line(
+        trace_hex32="00" * 16, span_hex16="00" * 8, span_name="s",
+        span_kind="Client", ts_ns=1, trace_state="", event_name="evt",
+        event_attrs=[("ctx", "m", ev_map), ("tags", "l", encode_list(items)),
+                     ("plain", "s", "keep")],
+        span_attrs=[("ctx", "m", sp_map)],  # collides with event attr 'ctx'
+        resource_attrs=[],
+    )
+    cfg = PipelineConfig(
+        log_attributes_from=("event.attributes", "span.attributes"),
+    )
+    recs = _run(cfg, [line])
+    attrs = dict(recs[0]["attributes"])
+    # D7: span attr wins the VALUE, event attr keeps the POSITION (first)
+    assert [k for k, _ in recs[0]["attributes"]] == ["ctx", "tags", "plain"]
+    assert attrs["ctx"] == f"m:{sp_map}"
+    assert attrs["tags"].startswith("l:")
+    # round-trip: stored payload decodes to the original nested pairs
+    assert decode_map(attrs["ctx"][2:]) == [("depth", "i", "9")]
+    assert decode_list(attrs["tags"][2:]) == items
+    # two-level nesting survives
+    ev_only = _run(
+        PipelineConfig(log_attributes_from=("event.attributes",)), [line]
+    )
+    ev_attrs = dict(ev_only[0]["attributes"])
+    got_inner = decode_map(ev_attrs["ctx"][2:])
+    assert got_inner == inner
+    assert decode_map(got_inner[2][2]) == [("x", "s", "y;=")]
+    # oracle parity
+    tbl = _pages([line])
+    pages = [(r["url"], 0, r["text"], r["lang"]) for r in tbl.to_pylist()]
+    exp = run_oracle(pages, dataclasses.replace(cfg, observed_timestamp_ns=OBS))
+    assert list(exp[0].attributes.items()) == recs[0]["attributes"]

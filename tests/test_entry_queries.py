@@ -63,6 +63,7 @@ PIPELINE_GATED = [
     "pipeline_mapped_severity_counts", "pipeline_body_mapping",
     "pipeline_filtered_sink_counts", "pipeline_level_attr", "pipeline_stats",
     "pipeline_severity_attribute_counts", "pipeline_sink_counts_actor_pool",
+    "pipeline_nested_attr",
     "events_severity_route", "events_hourly_counts",
 ]
 
