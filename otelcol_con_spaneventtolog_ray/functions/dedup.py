@@ -437,8 +437,137 @@ def q_simhash(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# near-dup clusters / keep-set: distributed connected components over the
+# verified pair list (hash-to-min, Rastogi et al. 2013) — each round is ONE
+# groupby(node).map_groups; a node's group computes m = min(neighbors ∪ self)
+# and re-emits edges (m <-> y), so stars collapse toward the component
+# minimum in O(log diameter) rounds. No joins, no driver-side graph: the
+# only driver traffic per round is the (count, checksum) convergence probe.
+# ---------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 12
+
+
+def _cc_round_group(group: pa.Table) -> pa.Table:
+    ys = group.column("y").to_numpy(zero_copy_only=False)
+    x = int(group.column("x")[0].as_py())
+    m = min(int(ys.min()), x)
+    nodes = np.unique(np.append(ys, x))
+    nodes = nodes[nodes != m]
+    both = np.concatenate([nodes, np.full(len(nodes), m, dtype=np.int64)])
+    return pa.table(
+        {
+            "x": pa.array(both, pa.int64()),
+            "y": pa.array(both[::-1].copy(), pa.int64()),
+        }
+    )
+
+
+def _cc_probe_batch(t: pa.Table) -> pa.Table:
+    """One (count, order-independent checksum) row per edge block."""
+    with np.errstate(over="ignore"):
+        mixed = _splitmix64(
+            t.column("x").to_numpy(zero_copy_only=False).astype(np.uint64)
+            * np.uint64(1315423911)
+            ^ t.column("y").to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        # exact Python-int arithmetic: uint64 sum shifted into int64 range
+        # (numpy uint64 - int silently promotes to float64 and loses bits)
+        chk = (int(mixed.sum(dtype=np.uint64)) - (1 << 63)) if len(mixed) else 0
+    return pa.table(
+        {
+            "n": pa.array([t.num_rows], pa.int64()),
+            "chk": pa.array([chk], pa.int64()),
+        }
+    )
+
+
+def connected_components(edges):
+    """(x, y) edge Dataset -> (node, component) Dataset where component is
+    the minimum node id reachable from `node`. Converges when a round leaves
+    the edge multiset unchanged (checked via tiny count+checksum aggregates),
+    bounded by CC_MAX_ROUNDS."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def dedup_edges(ds):
+        return ds.groupby(["x", "y"]).count().select_columns(["x", "y"])
+
+    edges = dedup_edges(edges)
+    prev = None
+    for _ in range(CC_MAX_ROUNDS):
+        edges = dedup_edges(
+            edges.groupby("x").map_groups(
+                _cc_round_group, batch_format="pyarrow", **remote_kwargs()
+            )
+        )
+        edges = edges.materialize()  # each round builds on the last
+        probe = edges.map_batches(
+            _cc_probe_batch, batch_format="pyarrow", **remote_kwargs()
+        ).aggregate(Sum("n"), Sum("chk"))
+        sig = (probe["sum(n)"], probe["sum(chk)"])
+        if sig == prev:
+            break
+        prev = sig
+    # after convergence every node's neighbor set contains its component min
+    def label_group(group: pa.Table) -> pa.Table:
+        ys = group.column("y").to_numpy(zero_copy_only=False)
+        x = int(group.column("x")[0].as_py())
+        return pa.table(
+            {
+                "node": pa.array([x], pa.int64()),
+                "component": pa.array([min(int(ys.min()), x)], pa.int64()),
+            }
+        )
+
+    return edges.groupby("x").map_groups(
+        label_group, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+def q_minhash_dedup_keep(sf_dir: str):
+    """Near-dup KEEP-SET: cluster the verified MinHash pairs with distributed
+    connected components and keep the minimum doc_id per cluster. Returns
+    (doc_id, cluster, keep) for every doc that appears in a near-dup pair;
+    docs in no pair are implicitly kept. Rows-only (clusters are not
+    SQL-expressible); planted-chain semantics pinned in pytest."""
+    import ray.data
+
+    pairs = q_minhash_near_dups(sf_dir)
+    if pairs.num_rows == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.bool_()),
+            }
+        )
+    a = pairs.column("id_a").to_numpy(zero_copy_only=False)
+    b = pairs.column("id_b").to_numpy(zero_copy_only=False)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "x": pa.array(np.concatenate([a, b]), pa.int64()),
+                "y": pa.array(np.concatenate([b, a]), pa.int64()),
+            }
+        )
+    )
+    labels = connected_components(edges).to_pandas().sort_values("node")
+    return pa.table(
+        {
+            "doc_id": pa.array(labels["node"].to_numpy(), pa.int64()),
+            "cluster": pa.array(labels["component"].to_numpy(), pa.int64()),
+            "keep": pa.array(
+                (labels["node"] == labels["component"]).to_numpy(), pa.bool_()
+            ),
+        }
+    )
+
+
 register("dedup_exact", q_exact_dedup, _EXACT_DEDUP_SQL)
 register("dedup_jaccard_pairs", q_jaccard_pairs, _JACCARD_SQL)
 register("dedup_minhash_buckets", q_minhash_buckets)  # rows-only
 register("dedup_minhash_near_dups", q_minhash_near_dups)  # rows-only
+register("dedup_minhash_keep", q_minhash_dedup_keep)  # rows-only
 register("dedup_simhash", q_simhash)  # rows-only

@@ -24,6 +24,7 @@ SQL_CHECKED = [
 # semantic tests exist for most; this guarantees none is dead-on-arrival)
 ROWS_ONLY_RUN = [
     "dedup_minhash_buckets", "dedup_minhash_near_dups", "dedup_simhash",
+    "dedup_minhash_keep",
     "similarity_lsh_buckets", "similarity_ivf_topk",
     "dedup_embedding_neardup_lsh",
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
@@ -526,3 +527,71 @@ def test_multimodal_vectorized_stages_match_per_row_reference():
     assert fe(eb).num_rows == 0
     assert ImageResizer()(eb).num_rows == 0
     assert FrameSampler()(eb).num_rows == 0
+
+
+def test_connected_components_chain_star_and_islands(ray_session):
+    """Hash-to-min CC over groupby.map_groups: a 9-node chain (worst-case
+    diameter), a star, and a 2-node island must all label to their component
+    minimum within the round bound."""
+    import ray.data
+
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 18)]          # 10..18 chain
+    star = [(30, k) for k in (31, 32, 33)]               # star at 30
+    island = [(50, 51)]
+    e = chain + star + island
+    edges = ray.data.from_items(
+        [{"x": a, "y": b} for a, b in e] + [{"x": b, "y": a} for a, b in e]
+    )
+    out = connected_components(edges).to_pandas().set_index("node")["component"]
+    for n in range(10, 19):
+        assert out[n] == 10, n
+    for n in (30, 31, 32, 33):
+        assert out[n] == 30, n
+    assert out[50] == 50 and out[51] == 50
+
+
+def test_minhash_keep_set_clusters_planted_chain(ray_session, tmp_path):
+    """Keep-set semantics over a planted near-dup CHAIN (0 ~ 100 ~ 101 where
+    0 and 101 may not pair directly): one cluster rooted at the min doc_id,
+    exactly one keeper per cluster."""
+    import pyarrow.parquet as pq
+
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        q_minhash_dedup_keep,
+        q_minhash_near_dups,
+    )
+
+    rng = np.random.default_rng(5)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    texts, ids = [], []
+    for i in range(40):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(words, size=60)))
+    # chain: 100 = copy of doc 0 with one edit; 101 = copy of 100 with one
+    # different edit; 102 = exact copy of doc 1
+    ids += [100, 101, 102]
+    texts += [
+        texts[0].replace("alpha", "omega", 1),
+        texts[0].replace("beta", "psi", 1),
+        texts[1],
+    ]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    pairs = {(p["id_a"], p["id_b"]) for p in q_minhash_near_dups(str(d)).to_pylist()}
+    assert (0, 100) in pairs and (0, 101) in pairs and (1, 102) in pairs
+    out = q_minhash_dedup_keep(str(d)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "cluster"] == 0 and out.loc[0, "keep"]
+    assert out.loc[100, "cluster"] == 0 and not out.loc[100, "keep"]
+    assert out.loc[101, "cluster"] == 0 and not out.loc[101, "keep"]
+    assert out.loc[1, "cluster"] == 1 and out.loc[1, "keep"]
+    assert out.loc[102, "cluster"] == 1 and not out.loc[102, "keep"]
+    # exactly one keeper per cluster
+    g = out.groupby("cluster")["keep"].sum()
+    assert (g == 1).all()
