@@ -55,21 +55,12 @@ def main(argv: list[str] | None = None) -> int:
             else PipelineConfig.default()
         )
         if args.resumable:
+            # deadletter=True collects malformed lines inside each shard's
+            # parse pass (single read; committed atomically with the shard)
             result = run_resumable(
-                args.input, args.output, cfg, shard_size=args.shard_size
+                args.input, args.output, cfg, shard_size=args.shard_size,
+                deadletter=args.deadletter,
             )
-            if args.deadletter:
-                # independent audit pass over the input (idempotent, so it
-                # simply re-runs after a resume)
-                import os as _os
-
-                from .pipelines.telemetry import read_pages
-                from .rayenv import remote_kwargs
-                from .stages.parse import make_deadletter_fn
-
-                read_pages(args.input).map_batches(
-                    make_deadletter_fn(), batch_format="pyarrow", **remote_kwargs()
-                ).write_parquet(_os.path.join(args.output, "_deadletter"))
         else:
             counts = run_pipeline(
                 args.input, args.output, cfg, deadletter=args.deadletter

@@ -553,6 +553,132 @@ def q_ivf_topk(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# kNN self-join — approximate top-k neighbors for EVERY vector, distributed:
+# each vector fans out as a "query" to its IVF_NPROBE nearest trained cells
+# and as a "member" to its own cell; groupby(cell).map_groups scores the
+# queries of a cell against its members (one matmul per cell) and emits
+# per-cell local top-k partials; a second groupby(qid).map_groups folds the
+# nprobe partials per query. The cell is the only partitioning key — no
+# broadcast of the corpus, no driver-side matrices, O(k) rows per
+# (query, probed cell) cross the second exchange.
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+#: the self-join probes more cells than the query path: on weakly clustered
+#: (synthetic near-uniform) data recall tracks the scanned fraction almost
+#: linearly — measured on sf0.001: nprobe 3/4/5/6 -> recall .654/.764/.851/.921
+KNN_NPROBE = 5
+
+
+def _knn_fanout_fn(cref):
+    import ray
+
+    def _fanout(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cref)
+        ids, mat = _batch_matrix(batch)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        own, _ = _assign_cells(mat, cn)
+        sims = np.round(_norm_rows(mat) @ cn.T, 6)
+        probes = np.argsort(-sims, kind="stable", axis=1)[:, :KNN_NPROBE]
+        parts = [
+            pa.table(
+                {
+                    "cell": pa.array(own, pa.int64()),
+                    "role": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+                    "vec_id": pa.array(ids, pa.int64()),
+                    "embedding": emb,
+                }
+            )
+        ]
+        for p in range(KNN_NPROBE):
+            parts.append(
+                pa.table(
+                    {
+                        "cell": pa.array(probes[:, p].astype(np.int64), pa.int64()),
+                        "role": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "embedding": emb,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return _fanout
+
+
+def _knn_cell_group(group: pa.Table) -> pa.Table:
+    roles = group.column("role").to_numpy(zero_copy_only=False)
+    ids, mat = _batch_matrix(group.select(["vec_id", "embedding"]))
+    nm = _norm_rows(mat)
+    mem = roles == 0
+    qry = roles == 1
+    if not mem.any() or not qry.any():
+        return pa.table(
+            {"qid": pa.array([], pa.int64()), "nid": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    mids, qids = ids[mem], ids[qry]
+    sims = np.round(nm[qry] @ nm[mem].T, 6)  # (Q, M)
+    out_q, out_n, out_s = [], [], []
+    for qi in range(len(qids)):
+        m = mids != qids[qi]
+        cids, csims = mids[m], sims[qi, m]
+        order = np.lexsort((cids, -csims))[:KNN_K]
+        out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+        out_n.append(cids[order])
+        out_s.append(csims[order])
+    return pa.table(
+        {
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "nid": pa.array(np.concatenate(out_n), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        }
+    )
+
+
+def _knn_fold_group(group: pa.Table) -> pa.Table:
+    qid = int(group.column("qid")[0].as_py())
+    nid = group.column("nid").to_numpy(zero_copy_only=False)
+    score = group.column("score").to_numpy(zero_copy_only=False)
+    # a neighbor can arrive from several probed cells: dedupe, then top-k
+    order = np.lexsort((nid, -score))
+    nid, score = nid[order], score[order]
+    _, first = np.unique(nid, return_index=True)
+    keep = np.zeros(len(nid), dtype=bool)
+    keep[first] = True
+    nid, score = nid[keep], score[keep]
+    order = np.lexsort((nid, -score))[:KNN_K]
+    return pa.table(
+        {
+            "qid": pa.array(np.full(len(order), qid, dtype=np.int64), pa.int64()),
+            "nid": pa.array(nid[order], pa.int64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            "score": pa.array(score[order], pa.float64()),
+        }
+    )
+
+
+def q_knn_join(sf_dir: str):
+    """Approximate kNN for every vector (rows-only; recall vs brute force is
+    pinned in tests)."""
+    import ray
+
+    cref = ray.put(train_ivf_centroids(sf_dir))
+    fan = _emb(sf_dir).map_batches(
+        _knn_fanout_fn(cref), batch_format="pyarrow", **remote_kwargs()
+    )
+    partials = fan.groupby("cell").map_groups(
+        _knn_cell_group, batch_format="pyarrow", **remote_kwargs()
+    )
+    return partials.groupby("qid").map_groups(
+        _knn_fold_group, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+register("similarity_knn_join", q_knn_join)  # rows-only (ANN self-join)
 register("similarity_cosine_topk", q_cosine_topk, _COSINE_SQL)
 register("similarity_lsh_buckets", q_lsh_ann)  # rows-only
 register("dedup_embedding_neardup", q_embedding_neardup, _NEARDUP_SQL)

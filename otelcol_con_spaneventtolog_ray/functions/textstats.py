@@ -361,6 +361,46 @@ SELECT rank, token, n FROM r WHERE rank <= {TOP_TOKENS} ORDER BY rank
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling — the training-data downsampling shape:
+# per-stratum (language) rates applied via a CONTENT hash of the key, so the
+# sample is reproducible across runs, machines, and partitionings (no RNG
+# state), composes with resume, and is exactly SQL-mirrorable. Embarrassingly
+# parallel: pure filter inside map_batches, no shuffle, no driver state.
+# ---------------------------------------------------------------------------
+
+#: per-language keep thresholds as 4-hex-digit prefixes of md5(doc_id):
+#: keep iff md5 < threshold, i.e. rate = int(threshold, 16) / 65536
+SAMPLE_THRESHOLDS = {"en": "8000", "de": "4000", "fr": "2000", "es": "1000"}
+
+
+def sample_stratified_batch(batch: pa.Table) -> pa.Table:
+    ids = batch.column("doc_id").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    h4 = np.array(
+        [hashlib.md5(str(i).encode()).hexdigest()[:4] for i in ids], dtype=object
+    )
+    thr = np.array([SAMPLE_THRESHOLDS.get(l, "0000") for l in langs], dtype=object)
+    return batch.filter(pa.array(h4 < thr)).select(["doc_id", "lang"])
+
+
+def q_sample_stratified(sf_dir: str):
+    return _docs(sf_dir, columns=("doc_id", "lang")).map_batches(
+        sample_stratified_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+_SAMPLE_SQL = (
+    "SELECT doc_id, lang FROM documents"
+    " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < CASE lang "
+    + " ".join(
+        f"WHEN '{l}' THEN '{t}'" for l, t in SAMPLE_THRESHOLDS.items()
+    )
+    + " ELSE '0000' END"
+)
+
+
+register("text_sample_stratified", q_sample_stratified, _SAMPLE_SQL)
 register("text_stats", q_text_stats, _TEXT_STATS_SQL)
 register("text_quality_filter", q_quality_filter, _QUALITY_FILTER_SQL)
 register("text_top_tokens", q_top_tokens, _TOP_TOKENS_SQL)

@@ -90,6 +90,7 @@ def run_resumable(
     *,
     shard_size: int = 16,
     fail_after_shards: int | None = None,
+    deadletter: bool = False,
     **build_kwargs: Any,
 ) -> dict[str, Any]:
     """Run the flagship pipeline shard-by-shard with commit manifests.
@@ -97,6 +98,11 @@ def run_resumable(
     Each shard is one streaming Dataset execution over its input files (the
     intra-shard parallelism is Ray Data's); `fail_after_shards` injects a
     crash for the resume test. Returns aggregate metrics from manifests.
+
+    ``deadletter=True`` collects malformed OTEL1 lines from the SAME parse
+    pass (single read) into each shard's ``_deadletter/`` subdir; the
+    side-band is written under the shard's tmp dir, so it commits atomically
+    with the shard's rename and resume semantics need no extra bookkeeping.
     """
     cfg = cfg or PipelineConfig.default()
     files = list_input_files(input_dir)
@@ -129,7 +135,12 @@ def run_resumable(
         # input row count from parquet footers — metadata only, so the shard's
         # data is read exactly ONCE (by the pipeline pass below)
         pages_in = _footer_rows(shard_files)
-        records = build_log_records(read_pages(shard_files), cfg, **build_kwargs)
+        shard_kwargs = dict(build_kwargs)
+        if deadletter:
+            shard_kwargs.setdefault(
+                "deadletter_dir", os.path.join(tmp_dir, "_deadletter")
+            )
+        records = build_log_records(read_pages(shard_files), cfg, **shard_kwargs)
         os.makedirs(tmp_dir, exist_ok=True)
         write_routed(records, tmp_dir)
         os.makedirs(os.path.dirname(final_dir), exist_ok=True)

@@ -17,7 +17,7 @@ SQL_CHECKED = [
     "events_topk_per_type", "events_value_deviation",
     "events_sliding_window_counts", "events_range_join_neighbors",
     "multimodal_resize", "multimodal_frame_sample",
-    "text_quality_filter", "text_top_tokens",
+    "text_quality_filter", "text_top_tokens", "text_sample_stratified",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
@@ -26,7 +26,7 @@ ROWS_ONLY_RUN = [
     "dedup_minhash_buckets", "dedup_minhash_near_dups", "dedup_simhash",
     "dedup_minhash_keep",
     "similarity_lsh_buckets", "similarity_ivf_topk",
-    "dedup_embedding_neardup_lsh",
+    "dedup_embedding_neardup_lsh", "similarity_knn_join",
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
 ]
 
@@ -595,3 +595,65 @@ def test_minhash_keep_set_clusters_planted_chain(ray_session, tmp_path):
     # exactly one keeper per cluster
     g = out.groupby("cluster")["keep"].sum()
     assert (g == 1).all()
+
+
+def test_knn_join_structure_and_recall(ray_session):
+    """kNN self-join: every vector gets <= KNN_K neighbors, scores equal the
+    exact cosine, every reported neighbor lies in a probed cell, and mean
+    recall vs exact brute-force kNN clears the floor (measured 0.851 on the
+    sf0.001 fixture with trained centroids at KNN_NPROBE=5; the synthetic
+    vectors are near-uniform, so recall ~ scanned fraction by construction)."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions.similarity import (
+        KNN_K,
+        KNN_NPROBE,
+        _assign_cells,
+        _batch_matrix,
+        _norm_rows,
+        train_ivf_centroids,
+    )
+
+    out = _to_df(e.queries()["similarity_knn_join"](SF_DIR))
+    full = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ids, mat = _batch_matrix(full)
+    nm = _norm_rows(mat)
+    sims = np.round(nm @ nm.T, 6)
+    idx_of = {v: i for i, v in enumerate(ids.tolist())}
+    cn = train_ivf_centroids(SF_DIR)
+    cell, _ = _assign_cells(mat, cn)
+    c_sims = np.round(nm @ cn.T, 6)
+    probes = np.argsort(-c_sims, kind="stable", axis=1)[:, :KNN_NPROBE]
+    assert out["qid"].nunique() == len(ids)
+    hits = total = 0
+    for qid, grp in out.groupby("qid"):
+        qi = idx_of[qid]
+        assert len(grp) <= KNN_K
+        for _, row in grp.iterrows():
+            assert row["score"] == sims[qi, idx_of[row["nid"]]]
+            assert cell[idx_of[row["nid"]]] in probes[qi]
+        row_sims = sims[qi].copy()
+        row_sims[qi] = -2
+        order = np.lexsort((ids, -row_sims))[:KNN_K]
+        exact = set(ids[order].tolist())
+        hits += len(exact & set(grp["nid"]))
+        total += len(exact)
+    assert hits / total >= 0.8, hits / total
+
+
+def test_sample_stratified_deterministic_rates(ray_session):
+    import hashlib
+
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions.textstats import (
+        SAMPLE_THRESHOLDS,
+    )
+
+    a = _to_df(e.queries()["text_sample_stratified"](SF_DIR))
+    b = _to_df(e.queries()["text_sample_stratified"](SF_DIR))
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # reproducible
+    for _, row in a.iterrows():
+        h4 = hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:4]
+        assert h4 < SAMPLE_THRESHOLDS[row["lang"]]

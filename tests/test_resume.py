@@ -115,3 +115,51 @@ def test_shrunk_input_listing_is_rejected(ray_session, tmp_path):
     (d / "p2.parquet").unlink()  # input listing shrinks
     with pytest.raises(RuntimeError, match="not in the current input plan"):
         run_resumable(str(d), out, shard_size=1)
+
+
+def test_resumable_deadletter_committed_with_shard(ray_session, tmp_path):
+    """deadletter=True collects malformed lines in the shard's own parse
+    pass; the side-band lives under shard=K/_deadletter and survives a
+    kill+resume without duplication (it commits with the shard rename)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+
+    from otelcol_con_spaneventtolog_ray.sources.synth import PAGES_SCHEMA
+
+    good = (
+        "OTEL1 trace=000000000000000000000000000000ff span=00000000000000ff"
+        " span_name=s span_kind=Server ts=123 state= name=ok attrs= sattrs= rattrs="
+    )
+    rows = []
+    for i in range(4):
+        rows.append(
+            {
+                "url": f"u{i}", "warc_ts": 0, "html": b"",
+                "text": "\n".join([good, f"OTEL1 broken {i}"]),
+                "lang": "en",
+            }
+        )
+    src = tmp_path / "pages"
+    src.mkdir()
+    for i, r in enumerate(rows):
+        pq.write_table(
+            pa.Table.from_pylist([r], schema=PAGES_SCHEMA),
+            str(src / f"part-{i}.parquet"),
+        )
+    cfg = dataclasses.replace(PipelineConfig.default(), observed_timestamp_ns=OBS)
+    out = str(tmp_path / "ckpt")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(str(src), out, cfg, shard_size=2, fail_after_shards=1,
+                      deadletter=True)
+    res = run_resumable(str(src), out, cfg, shard_size=2, deadletter=True)
+    assert res["records_out"] == 4
+    dl_dirs = sorted(
+        os.path.join(out, d, "_deadletter")
+        for d in os.listdir(out)
+        if d.startswith("shard=")
+    )
+    assert len(dl_dirs) == 2 and all(os.path.isdir(d) for d in dl_dirs)
+    dead = pa.concat_tables([pads.dataset(d).to_table() for d in dl_dirs])
+    assert sorted(dead.column("raw").to_pylist()) == [
+        f"OTEL1 broken {i}" for i in range(4)
+    ]
