@@ -438,6 +438,89 @@ def q_simhash(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# SimHash near-dup pairs: 16-bit chunk banding guarantees that any pair with
+# Hamming distance <= 3 shares at least one of the four chunks (pigeonhole),
+# so candidates come from groupby(chunk_idx, chunk_val) and are verified by
+# an in-group vectorized XOR popcount — the same bucketed-verify shape as
+# the MinHash path, signatures travel with the group.
+# ---------------------------------------------------------------------------
+
+SIMHASH_HAMMING_MAX = 3
+
+
+def simhash_chunk_fanout(batch: pa.Table) -> pa.Table:
+    sigs = simhash_batch(batch)
+    parts = []
+    for c in range(4):
+        parts.append(
+            pa.table(
+                {
+                    "chunk_idx": pa.array(
+                        np.full(sigs.num_rows, c, dtype=np.int8), pa.int8()
+                    ),
+                    "chunk_val": sigs.column(f"chunk{c}"),
+                    "doc_id": sigs.column("doc_id"),
+                    "simhash": sigs.column("simhash"),
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
+def _simhash_verify_group(group: pa.Table) -> pa.Table:
+    ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "hamming": pa.array([], pa.int64())}
+    )
+    if len(ids) < 2:
+        return empty
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    sigs = (
+        group.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
+    )[order].view(np.uint64)
+    xor = sigs[:, None] ^ sigs[None, :]
+    ham = np.unpackbits(xor.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2).sum(
+        axis=2
+    )
+    ai, bj = np.nonzero(
+        (ham <= SIMHASH_HAMMING_MAX) & (ids[:, None] < ids[None, :])
+    )
+    if len(ai) == 0:
+        return empty
+    return pa.table(
+        {
+            "id_a": pa.array(ids[ai], pa.int64()),
+            "id_b": pa.array(ids[bj], pa.int64()),
+            "hamming": pa.array(ham[ai, bj].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_simhash_near_dups(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= SIMHASH_HAMMING_MAX), candidates
+    from chunk-equality buckets, verified per bucket on the workers; a tiny
+    groupby collapses pairs found via multiple chunks. Rows-only."""
+    ds = _docs(sf_dir).map_batches(
+        simhash_chunk_fanout, batch_format="pyarrow", **remote_kwargs()
+    )
+    pairs = ds.groupby(["chunk_idx", "chunk_val"]).map_groups(
+        _simhash_verify_group, batch_format="pyarrow", **remote_kwargs()
+    )
+    df = pairs.groupby(["id_a", "id_b"]).min("hamming").to_pandas()
+    if len(df) == 0:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+    df = df.rename(columns={"min(hamming)": "hamming"}).sort_values(["id_a", "id_b"])
+    return pa.Table.from_pandas(
+        df.reset_index(drop=True)[["id_a", "id_b", "hamming"]], preserve_index=False
+    )
+
+
+# ---------------------------------------------------------------------------
 # near-dup clusters / keep-set: distributed connected components over the
 # verified pair list (hash-to-min, Rastogi et al. 2013) — each round is ONE
 # groupby(node).map_groups; a node's group computes m = min(neighbors ∪ self)
@@ -571,3 +654,4 @@ register("dedup_minhash_buckets", q_minhash_buckets)  # rows-only
 register("dedup_minhash_near_dups", q_minhash_near_dups)  # rows-only
 register("dedup_minhash_keep", q_minhash_dedup_keep)  # rows-only
 register("dedup_simhash", q_simhash)  # rows-only
+register("dedup_simhash_near_dups", q_simhash_near_dups)  # rows-only

@@ -124,4 +124,123 @@ def q_hll_distinct_users(sf_dir: str):
     return approx_distinct_by(ds, "event_type", "user_id")
 
 
+# ---------------------------------------------------------------------------
+# streaming quantile sketch: fixed-resolution histogram whose value range
+# comes from the parquet FOOTER min/max statistics (no extra data pass).
+# Per-batch (key, bin) count partials are the combiner — only
+# |keys| x Q_BINS tiny rows cross the exchange — and the driver interpolates
+# quantiles inside the winning bin. Deterministic (no sampling); the
+# estimate stays within one bin width of the exact enclosing order
+# statistics. Rows-only: approximate by construction; accuracy pinned in
+# pytest.
+# ---------------------------------------------------------------------------
+
+Q_BINS = 2048
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def _column_stats_bounds(path: str, column: str) -> tuple[float, float]:
+    """(min, max) of a numeric column from footer statistics; falls back to
+    a column scan only when no statistics were written."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    lo = hi = None
+    for rg in range(pf.metadata.num_row_groups):
+        meta = pf.metadata.row_group(rg)
+        for c in range(meta.num_columns):
+            col = meta.column(c)
+            if col.path_in_schema == column and col.statistics is not None:
+                s = col.statistics
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+    if lo is None:
+        vals = pq.read_table(path, columns=[column]).column(column)
+        lo, hi = pa.compute.min(vals).as_py(), pa.compute.max(vals).as_py()
+    return float(lo), float(hi)
+
+
+def histogram_partial_batch(key: str, value: str, lo: float, hi: float):
+    """map_batches combiner: (key, bin, n) rows; bin = clipped linear bin."""
+    width = (hi - lo) or 1.0
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key).to_numpy(zero_copy_only=False)
+        vals = batch.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
+        bins = np.clip(
+            ((vals - lo) / width * Q_BINS).astype(np.int64), 0, Q_BINS - 1
+        )
+        import pandas as pd_
+
+        df = pd_.DataFrame({key: keys, "bin": bins})
+        g = df.groupby([key, "bin"], sort=False).size().reset_index(name="n")
+        return pa.table(
+            {
+                key: pa.array(g[key], pa.string()),
+                "bin": pa.array(g["bin"].to_numpy(), pa.int32()),
+                "n": pa.array(g["n"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return _fold
+
+
+def quantiles_from_histogram(
+    bins: np.ndarray, counts: np.ndarray, lo: float, hi: float, qs
+) -> list[float]:
+    """Linear interpolation inside the bin containing each quantile rank."""
+    width = ((hi - lo) or 1.0) / Q_BINS
+    order = np.argsort(bins)
+    bins, counts = bins[order], counts[order]
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    out = []
+    for q in qs:
+        rank = q * (total - 1)
+        i = int(np.searchsorted(cum, rank + 1e-9, side="right"))
+        i = min(i, len(bins) - 1)
+        prev = int(cum[i - 1]) if i > 0 else 0
+        inside = (rank - prev) / max(int(counts[i]), 1)
+        out.append(round(lo + (bins[i] + min(inside, 1.0)) * width, 6))
+    return out
+
+
+def q_value_quantiles(sf_dir: str):
+    """Approximate per-event_type quantiles of `value` (p50/p90/p99) via the
+    histogram sketch. Accuracy: the estimate lies within one bin width of the
+    exact enclosing order statistics (a histogram tracks the data, not
+    quantile_cont's between-points interpolation, which on sparse data can
+    land many bins from any observation) — pinned in pytest."""
+    import ray.data
+
+    path = os.path.join(sf_dir, "events.parquet")
+    lo, hi = _column_stats_bounds(path, "value")
+    ds = ray.data.read_parquet(path, columns=["event_type", "value"])
+    parts = ds.map_batches(
+        histogram_partial_batch("event_type", "value", lo, hi),
+        batch_format="pyarrow",
+        **remote_kwargs(),
+    )
+    # phase B: merge partials per (key, bin) — tiny — then fold per key
+    merged = (
+        parts.groupby(["event_type", "bin"]).sum("n").to_pandas()
+    )
+    rows = []
+    for key, grp in merged.groupby("event_type", sort=True):
+        vals = quantiles_from_histogram(
+            grp["bin"].to_numpy(),
+            grp["sum(n)"].to_numpy(),
+            lo,
+            hi,
+            QUANTILES,
+        )
+        rows.append(
+            {"event_type": key, "p50": vals[0], "p90": vals[1], "p99": vals[2]}
+        )
+    import pandas as pd_
+
+    return pa.Table.from_pandas(pd_.DataFrame(rows), preserve_index=False)
+
+
 register("sketch_hll_distinct_users", q_hll_distinct_users)  # rows-only
+register("sketch_value_quantiles", q_value_quantiles)  # rows-only

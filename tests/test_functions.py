@@ -27,6 +27,7 @@ ROWS_ONLY_RUN = [
     "dedup_minhash_keep",
     "similarity_lsh_buckets", "similarity_ivf_topk",
     "dedup_embedding_neardup_lsh", "similarity_knn_join",
+    "dedup_simhash_near_dups", "sketch_value_quantiles",
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
 ]
 
@@ -657,3 +658,63 @@ def test_sample_stratified_deterministic_rates(ray_session):
     for _, row in a.iterrows():
         h4 = hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:4]
         assert h4 < SAMPLE_THRESHOLDS[row["lang"]]
+
+
+def test_simhash_near_dups_planted(ray_session, tmp_path):
+    """Chunk-banded SimHash pairs: a one-word edit of a 200-token doc stays
+    within Hamming<=3 and is found; unrelated docs are not paired. The
+    in-group verify agrees with the scalar popcount."""
+    import pyarrow.parquet as pq
+
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        q_simhash_near_dups,
+        simhash64,
+    )
+
+    texts = [" ".join(f"w{i}_{j}" for j in range(200)) for i in range(30)]
+    texts.append(texts[0].replace("w0_5 ", "wX_5 ", 1))  # doc 30 ~ doc 0
+    tbl = pa.table({"doc_id": pa.array(range(31), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    ham = bin(simhash64(texts[0]) ^ simhash64(texts[30])).count("1")
+    out = q_simhash_near_dups(str(d)).to_pylist()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in out}
+    if ham <= 3:  # banding guarantees discovery at <=3
+        assert found.get((0, 30)) == ham
+    for (a, b), h in found.items():
+        assert h <= 3
+        assert (a, b) == (0, 30), f"unexpected pair {(a, b)}"
+
+
+def test_value_quantiles_within_bin_width(ray_session):
+    """Histogram-sketch quantiles land within one bin width of the exact
+    enclosing ORDER STATISTICS per event_type. (quantile_cont interpolates
+    between neighboring order stats, which on sparse data can lie many bins
+    apart — a histogram sketch tracks the data, not that interpolation, so
+    the bound is [v_lower - w, v_upper + w].)"""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions.sketch import (
+        Q_BINS,
+        QUANTILES,
+        _column_stats_bounds,
+    )
+
+    out = _to_df(e.queries()["sketch_value_quantiles"](SF_DIR)).set_index(
+        "event_type"
+    )
+    lo, hi = _column_stats_bounds(f"{SF_DIR}/events.parquet", "value")
+    w = (hi - lo) / Q_BINS + 1e-9
+    t = pq.read_table(f"{SF_DIR}/events.parquet", columns=["event_type", "value"])
+    keys = t.column("event_type").to_numpy(zero_copy_only=False)
+    vals = t.column("value").to_numpy(zero_copy_only=False).astype(float)
+    assert len(out) == len(np.unique(keys))
+    for et, row in out.iterrows():
+        v = vals[keys == et]
+        for q, col in zip(QUANTILES, ("p50", "p90", "p99")):
+            v_lo = np.quantile(v, q, method="lower")
+            v_hi = np.quantile(v, q, method="higher")
+            assert v_lo - w <= row[col] <= v_hi + w, (et, col, row[col], v_lo, v_hi)
