@@ -1,0 +1,93 @@
+"""Property-based parity: the vectorized text-hash kernels against their
+scalar mirrors over randomized unicode documents and batch compositions.
+The batch kernels read raw Arrow buffers (offsets, slices, doc boundaries),
+so the risky surface is exactly batch composition — empty docs, whitespace
+runs at edges, multi-byte UTF-8, sliced/offset arrays."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from otelcol_con_spaneventtolog_ray.functions.dedup import (
+    _band_buckets,
+    _doc_shingles,
+    _minhash_sigs,
+    band_keys,
+    minhash_signature,
+    simhash64,
+    simhash_batch,
+    word_shingles,
+)
+from otelcol_con_spaneventtolog_ray.functions.texthash import (
+    batch_words,
+    word_hash_scalar,
+    words_scalar,
+)
+
+# documents: whitespace-heavy alphabet incl. multi-byte chars and ALL the
+# ASCII ws class members, plus unicode spaces that must NOT split
+_ALPHABET = "ab Ωé\t\n\r\x0b\x0c \xa0 xyz0;=%"
+_DOC = st.text(alphabet=_ALPHABET, max_size=60)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_DOC, min_size=0, max_size=12), st.integers(0, 5))
+def test_batch_kernels_match_scalar_mirrors(texts, offset):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    # exercise non-zero array offsets too: slice off the first `offset` rows
+    offset = min(offset, len(texts))
+    tbl = tbl.slice(offset)
+    texts = texts[offset:]
+
+    wh, _par, offs = batch_words(tbl.column("text"))
+    for d, t in enumerate(texts):
+        exp = np.array(
+            [word_hash_scalar(w) for w in words_scalar(t)], dtype=np.uint64
+        )
+        assert np.array_equal(wh[offs[d]:offs[d + 1]], exp), repr(t)
+
+    sh, soffs, n = _doc_shingles(tbl)
+    sigs = _minhash_sigs(sh, soffs, n)
+    bb = _band_buckets(sigs)
+    sims = simhash_batch(tbl).column("simhash").to_pylist()
+    for d, t in enumerate(texts):
+        shingles = word_shingles(t)
+        got = set(
+            int(x) & ((1 << 64) - 1) for x in sh[soffs[d]:soffs[d + 1]].tolist()
+        )
+        assert got == shingles, repr(t)
+        assert np.array_equal(sigs[d], minhash_signature(shingles)), repr(t)
+        exp_bands = [
+            k - (1 << 64) if k >= (1 << 63) else k
+            for k in band_keys(minhash_signature(shingles))
+        ]
+        assert bb[d].tolist() == exp_bands, repr(t)
+        assert sims[d] & ((1 << 64) - 1) == simhash64(t), repr(t)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(_DOC, min_size=1, max_size=10), st.integers(1, 5))
+def test_shingles_independent_of_batch_split(texts, cut):
+    """Splitting a batch at any point yields the same per-doc shingle sets
+    as one combined batch (no cross-document state)."""
+    cut = min(cut, len(texts))
+
+    def shingle_sets(ts):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(ts)), pa.int64()),
+                "text": pa.array(ts, pa.string()),
+            }
+        )
+        sh, offs, n = _doc_shingles(tbl)
+        return [set(sh[offs[d]:offs[d + 1]].tolist()) for d in range(n)]
+
+    whole = shingle_sets(texts)
+    parts = shingle_sets(texts[:cut]) + shingle_sets(texts[cut:])
+    assert whole == parts
