@@ -275,13 +275,18 @@ def q_jaccard_pairs(sf_dir: str):
     import ray
     import ray.data
 
-    docs = pa.Table.from_pandas(_docs(sf_dir).to_pandas(), preserve_index=False)
-    if docs.num_rows > JACCARD_MAX_DOCS:
+    from ..parquet_stats import file_num_rows
+
+    # guard from footer metadata BEFORE any document leaves storage — the
+    # whole point of the cap is to refuse the driver-side materialization
+    n_docs = file_num_rows(os.path.join(sf_dir, "documents.parquet"))
+    if n_docs > JACCARD_MAX_DOCS:
         raise ValueError(
             f"dedup_jaccard_pairs is the O(n^2) exact baseline and is capped"
-            f" at {JACCARD_MAX_DOCS} docs (got {docs.num_rows}); use"
+            f" at {JACCARD_MAX_DOCS} docs (got {n_docs}); use"
             " dedup_minhash_near_dups for large corpora"
         )
+    docs = pa.Table.from_pandas(_docs(sf_dir).to_pandas(), preserve_index=False)
     ids = docs.column("doc_id").to_pylist()
     # ASCII whitespace split — same class as the RE2 '\s+' in the SQL mirror
     sets = [frozenset(words_scalar(t)) for t in docs.column("text").to_pylist()]
@@ -579,6 +584,7 @@ def connected_components(edges):
 
     edges = dedup_edges(edges)
     prev = None
+    converged = False
     for _ in range(CC_MAX_ROUNDS):
         edges = dedup_edges(
             edges.groupby("x").map_groups(
@@ -591,8 +597,17 @@ def connected_components(edges):
         ).aggregate(Sum("n"), Sum("chk"))
         sig = (probe["sum(n)"], probe["sum(chk)"])
         if sig == prev:
+            converged = True
             break
         prev = sig
+    if not converged:
+        # no silent caps: truncated propagation would return split clusters
+        # (multiple "components" for one true cluster) with no indication
+        raise RuntimeError(
+            f"connected_components did not converge within {CC_MAX_ROUNDS}"
+            " rounds — raise CC_MAX_ROUNDS (hash-to-min needs O(log diameter)"
+            " rounds; 12 covers any realistic near-dup graph)"
+        )
     # after convergence every node's neighbor set contains its component min
     def label_group(group: pa.Table) -> pa.Table:
         ys = group.column("y").to_numpy(zero_copy_only=False)

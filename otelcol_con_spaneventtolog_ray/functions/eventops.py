@@ -194,9 +194,19 @@ def q_value_deviation(sf_dir: str):
 
     def enrich(batch: pa.Table) -> pa.Table:
         keys, mus = ray.get(ref)
-        idx = pc.index_in(batch.column("event_type"), value_set=keys).to_numpy(
-            zero_copy_only=False
+        idx_arr = pc.index_in(batch.column("event_type"), value_set=keys)
+        idx = idx_arr.to_numpy(zero_copy_only=False)
+        # rows whose key is absent from the broadcast means (e.g. a NULL
+        # event_type) are DROPPED, matching the SQL mirror's inner join —
+        # never silently scored against some other type's mean
+        valid = (
+            ~np.isnan(idx)
+            if idx.dtype.kind == "f"
+            else idx_arr.is_valid().to_numpy(zero_copy_only=False)
         )
+        if not valid.all():
+            batch = batch.filter(pa.array(valid))
+            idx = idx[valid]
         vals = batch.column("value").to_numpy(zero_copy_only=False)
         mu = mus[np.nan_to_num(idx, nan=0).astype(np.int64)]
         return pa.table(

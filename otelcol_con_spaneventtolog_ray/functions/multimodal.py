@@ -52,21 +52,7 @@ def attach_payload_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _binary_buffer_view(col: pa.Array | pa.ChunkedArray):
-    """(offsets:int64[n+1], data:uint8) raw view of a (large_)binary column."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = len(col)
-    off_dtype = (
-        np.int64
-        if pa.types.is_large_binary(col.type) or pa.types.is_large_string(col.type)
-        else np.int32
-    )
-    offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
-        col.offset : col.offset + n + 1
-    ].astype(np.int64)
-    data = np.frombuffer(col.buffers()[2], dtype=np.uint8) if col.buffers()[2] else np.zeros(0, np.uint8)
-    return offsets, data
+from .texthash import _string_buffer_view as _binary_buffer_view  # shared view helper
 
 
 def decode_image(payload: bytes):

@@ -59,21 +59,9 @@ def _emb_path(sf_dir: str) -> str:
 
 def _vec_id_bounds(path: str) -> tuple[int, int]:
     """(min, max) of vec_id from parquet FOOTER statistics — no data read."""
-    import pyarrow.parquet as pq
+    from ..parquet_stats import column_stats_bounds
 
-    pf = pq.ParquetFile(path)
-    lo, hi = None, None
-    for rg in range(pf.metadata.num_row_groups):
-        meta = pf.metadata.row_group(rg)
-        for c in range(meta.num_columns):
-            col = meta.column(c)
-            if col.path_in_schema == "vec_id" and col.statistics is not None:
-                s = col.statistics
-                lo = s.min if lo is None else min(lo, s.min)
-                hi = s.max if hi is None else max(hi, s.max)
-    if lo is None:  # no stats written: fall back to scanning the id column
-        ids = pq.read_table(path, columns=["vec_id"]).column("vec_id")
-        lo, hi = pa.compute.min(ids).as_py(), pa.compute.max(ids).as_py()
+    lo, hi = column_stats_bounds(path, "vec_id")
     return int(lo), int(hi)
 
 

@@ -140,23 +140,11 @@ QUANTILES = (0.5, 0.9, 0.99)
 
 
 def _column_stats_bounds(path: str, column: str) -> tuple[float, float]:
-    """(min, max) of a numeric column from footer statistics; falls back to
-    a column scan only when no statistics were written."""
-    import pyarrow.parquet as pq
+    """(min, max) of a numeric column from footer statistics (shared helper;
+    all-null row groups skipped); scan fallback only without any stats."""
+    from ..parquet_stats import column_stats_bounds
 
-    pf = pq.ParquetFile(path)
-    lo = hi = None
-    for rg in range(pf.metadata.num_row_groups):
-        meta = pf.metadata.row_group(rg)
-        for c in range(meta.num_columns):
-            col = meta.column(c)
-            if col.path_in_schema == column and col.statistics is not None:
-                s = col.statistics
-                lo = s.min if lo is None else min(lo, s.min)
-                hi = s.max if hi is None else max(hi, s.max)
-    if lo is None:
-        vals = pq.read_table(path, columns=[column]).column(column)
-        lo, hi = pa.compute.min(vals).as_py(), pa.compute.max(vals).as_py()
+    lo, hi = column_stats_bounds(path, column)
     return float(lo), float(hi)
 
 
@@ -165,6 +153,19 @@ def histogram_partial_batch(key: str, value: str, lo: float, hi: float):
     width = (hi - lo) or 1.0
 
     def _fold(batch: pa.Table) -> pa.Table:
+        # NULL/NaN values are EXCLUDED (SQL quantile semantics) — a NaN cast
+        # to int64 is INT64_MIN, which clip would silently fold into bin 0
+        import pyarrow.compute as pc
+
+        vcol = batch.column(value)
+        ok = pc.and_kleene(
+            pc.is_valid(vcol), pc.invert(pc.is_nan(pc.cast(vcol, pa.float64())))
+        )
+        okm = np.nan_to_num(
+            ok.to_numpy(zero_copy_only=False), nan=False
+        ).astype(bool)
+        if not okm.all():
+            batch = batch.filter(pa.array(okm))
         keys = batch.column(key).to_numpy(zero_copy_only=False)
         vals = batch.column(value).to_numpy(zero_copy_only=False).astype(np.float64)
         bins = np.clip(

@@ -51,15 +51,23 @@ ASCII_WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def _string_buffer_view(col: pa.Array | pa.ChunkedArray):
-    """(offsets:int64[n+1], data:uint8) view of a string column's buffers."""
+    """(offsets:int64[n+1], data:uint8) raw view of a (large_)string or
+    (large_)binary column's buffers. Shared by every buffer-level kernel
+    (tokenizer, media stages) so the null-data-buffer guard and offset
+    handling live in exactly one place."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
-    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_string(col.type) or pa.types.is_large_binary(col.type)
+        else np.int32
+    )
     offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
         col.offset : col.offset + n + 1
     ].astype(np.int64)
-    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    buf = col.buffers()[2]
+    data = np.frombuffer(buf, dtype=np.uint8) if buf is not None else np.zeros(0, np.uint8)
     return offsets, data
 
 

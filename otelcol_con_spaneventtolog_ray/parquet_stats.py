@@ -1,0 +1,44 @@
+"""Parquet footer-statistics helpers shared by the pushdown-planning ops.
+
+Reading bounds/row counts from footers is the zero-data-read planning
+primitive behind the chunk-pair near-dup scorer, the quantile sketch's bin
+range, query/centroid seed reads, and the Jaccard size guard.
+"""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def column_stats_bounds(path: str, column: str) -> tuple[float, float]:
+    """(min, max) of a column from footer statistics — no data read.
+
+    Row groups whose statistics lack min/max (e.g. all-null groups) are
+    skipped; falls back to a single-column scan only when NO row group
+    carries usable statistics.
+    """
+    pf = pq.ParquetFile(path)
+    lo = hi = None
+    for rg in range(pf.metadata.num_row_groups):
+        meta = pf.metadata.row_group(rg)
+        for c in range(meta.num_columns):
+            col = meta.column(c)
+            if col.path_in_schema != column or col.statistics is None:
+                continue
+            s = col.statistics
+            if not s.has_min_max or s.min is None or s.max is None:
+                continue  # e.g. an all-null row group
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+    if lo is None:
+        vals = pq.read_table(path, columns=[column]).column(column)
+        if len(vals) == 0 or vals.null_count == len(vals):
+            raise ValueError(f"column {column!r} of {path} has no values")
+        lo, hi = pc.min(vals).as_py(), pc.max(vals).as_py()
+    return lo, hi
+
+
+def file_num_rows(path: str) -> int:
+    """Total row count from the footer — no data read."""
+    return int(pq.ParquetFile(path).metadata.num_rows)

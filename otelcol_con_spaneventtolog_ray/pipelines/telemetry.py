@@ -183,8 +183,17 @@ class ParseEnrich:
         import pyarrow.parquet as pq
 
         os.makedirs(self.deadletter_dir, exist_ok=True)
+        # key over (url, raw) pairs: distinct batches holding the SAME poison
+        # line on different pages still get distinct files; only a literal
+        # retry of the same batch (or byte-identical duplicated input pages
+        # landing as one whole batch) maps to the same name, which is the
+        # idempotence we want
         h = hashlib.sha1()
-        for r in dead.column("raw").to_pylist():
+        for u, r in zip(
+            dead.column("url").to_pylist(), dead.column("raw").to_pylist()
+        ):
+            h.update(u.encode("utf-8", "surrogatepass"))
+            h.update(b"\x01")
             h.update(r.encode("utf-8", "surrogatepass"))
             h.update(b"\x00")
         key = h.hexdigest()[:20]

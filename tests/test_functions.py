@@ -718,3 +718,105 @@ def test_value_quantiles_within_bin_width(ray_session):
             v_lo = np.quantile(v, q, method="lower")
             v_hi = np.quantile(v, q, method="higher")
             assert v_lo - w <= row[col] <= v_hi + w, (et, col, row[col], v_lo, v_hi)
+
+
+def test_deadletter_sideband_distinct_batches_same_poison(tmp_path):
+    """Two batches whose dead rows carry the SAME raw line on different urls
+    must produce distinct side-band files (key covers url+raw), while a
+    literal retry of one batch overwrites its own file idempotently."""
+    import pyarrow.dataset as pads
+
+    from otelcol_con_spaneventtolog_ray.pipelines.telemetry import ParseEnrich
+    from otelcol_con_spaneventtolog_ray.sources.synth import PAGES_SCHEMA
+
+    dl = str(tmp_path / "dl")
+    pe = ParseEnrich({"observed_timestamp_ns": 1}, deadletter_dir=dl)
+
+    def page(url):
+        return pa.Table.from_pylist(
+            [{"url": url, "warc_ts": 0, "html": b"",
+              "text": "OTEL1 broken", "lang": "en"}],
+            schema=PAGES_SCHEMA,
+        )
+
+    pe(page("u1"))
+    pe(page("u2"))
+    pe(page("u1"))  # retry: same batch content -> same file, no duplication
+    dead = pads.dataset(dl).to_table()
+    assert sorted(dead.column("url").to_pylist()) == ["u1", "u2"]
+
+
+def test_value_deviation_drops_unknown_keys():
+    """A row whose event_type is absent from the broadcast means (e.g. NULL)
+    is dropped, matching the SQL mirror's inner join — never scored against
+    another type's mean."""
+    import ray
+
+    import pyarrow.compute as pc_
+
+    means_keys = pa.array(["a", "b"], pa.string())
+    mus = np.array([10.0, 20.0])
+    ref = ray.put((means_keys, mus))
+
+    def enrich(batch):  # replicate q_value_deviation's inner fn shape
+        keys, m = ray.get(ref)
+        idx_arr = pc_.index_in(batch.column("event_type"), value_set=keys)
+        idx = idx_arr.to_numpy(zero_copy_only=False)
+        valid = (
+            ~np.isnan(idx) if idx.dtype.kind == "f"
+            else idx_arr.is_valid().to_numpy(zero_copy_only=False)
+        )
+        if not valid.all():
+            batch = batch.filter(pa.array(valid))
+            idx = idx[valid]
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        mu = m[np.nan_to_num(idx, nan=0).astype(np.int64)]
+        return batch.column("event_id").to_pylist(), (vals - mu).tolist()
+
+    batch = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "event_type": pa.array(["a", None, "zzz"], pa.string()),
+            "value": pa.array([11.0, 5.0, 7.0], pa.float64()),
+        }
+    )
+    ids, dev = enrich(batch)
+    assert ids == [1] and dev == [1.0]
+
+
+def test_column_stats_bounds_skips_allnull_row_groups(tmp_path):
+    import pyarrow.parquet as pq
+
+    from otelcol_con_spaneventtolog_ray.parquet_stats import (
+        column_stats_bounds,
+        file_num_rows,
+    )
+
+    f = str(tmp_path / "t.parquet")
+    w = pq.ParquetWriter(f, pa.schema([("v", pa.float64())]))
+    w.write_table(pa.table({"v": pa.array([1.0, 5.0], pa.float64())}))
+    w.write_table(pa.table({"v": pa.array([None, None], pa.float64())}))
+    w.write_table(pa.table({"v": pa.array([0.5, 3.0], pa.float64())}))
+    w.close()
+    assert column_stats_bounds(f, "v") == (0.5, 5.0)
+    assert file_num_rows(f) == 6
+
+
+def test_histogram_partial_excludes_null_and_nan():
+    from otelcol_con_spaneventtolog_ray.functions.sketch import (
+        histogram_partial_batch,
+    )
+
+    fold = histogram_partial_batch("k", "v", 0.0, 10.0)
+    batch = pa.table(
+        {
+            "k": pa.array(["a"] * 4, pa.string()),
+            "v": pa.array([1.0, None, float("nan"), 9.0], pa.float64()),
+        }
+    )
+    out = fold(batch)
+    assert int(pa.compute.sum(out.column("n")).as_py()) == 2  # nulls/NaN gone
+    assert 0 not in [
+        b for b, n in zip(out.column("bin").to_pylist(), out.column("n").to_pylist())
+        if n > 1
+    ]
