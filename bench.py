@@ -140,6 +140,16 @@ def run_single(sf_dir: str, num_cpus: int, rep: int, timed_reps: int = 1) -> dic
             ).count()
             queries["parse_only"] = round(time.perf_counter() - t0, 3)
 
+            # q4: bucketed MinHash near-dup over $GRAFT_SF_DIR documents
+            # (vectorized shingle/signature kernels + in-bucket verify)
+            from otelcol_con_spaneventtolog_ray.functions.dedup import (
+                q_minhash_near_dups,
+            )
+
+            t0 = time.perf_counter()
+            q_minhash_near_dups(sf_dir)
+            queries["minhash_neardup"] = round(time.perf_counter() - t0, 3)
+
         total = queries["pipeline_full"]
         return {
             "metric": "flagship parse->enrich->route->aggregate wall sec",
