@@ -214,12 +214,14 @@ def simhash64(text: str) -> int:
     return out
 
 
+def _docs_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
 def _docs(sf_dir: str, columns=("doc_id", "text")):
     import ray.data
 
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
-    )
+    return ray.data.read_parquet(_docs_path(sf_dir), columns=list(columns))
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +281,7 @@ def q_jaccard_pairs(sf_dir: str):
 
     # guard from footer metadata BEFORE any document leaves storage — the
     # whole point of the cap is to refuse the driver-side materialization
-    n_docs = file_num_rows(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = file_num_rows(_docs_path(sf_dir))
     if n_docs > JACCARD_MAX_DOCS:
         raise ValueError(
             f"dedup_jaccard_pairs is the O(n^2) exact baseline and is capped"
@@ -585,7 +587,9 @@ def connected_components(edges):
     edges = dedup_edges(edges)
     prev = None
     converged = False
-    for _ in range(CC_MAX_ROUNDS):
+    # +1: a fixpoint first reached on the LAST transform round still needs
+    # one extra (no-op) round for the probe to observe an unchanged multiset
+    for _ in range(CC_MAX_ROUNDS + 1):
         edges = dedup_edges(
             edges.groupby("x").map_groups(
                 _cc_round_group, batch_format="pyarrow", **remote_kwargs()

@@ -177,8 +177,16 @@ def q_value_deviation(sf_dir: str):
 
     import pyarrow.compute as pc
 
+    def _drop_null_types(t: pa.Table) -> pa.Table:
+        # NULL keys match the SQL mirror's inner join (dropped); they must
+        # never reach the groupby (Ray's sort shuffle chokes on None keys)
+        # nor the broadcast means (index_in would match input NULLs to a
+        # null vocabulary entry instead of flagging them absent)
+        return t.filter(pc.is_valid(t.column("event_type")))
+
     means = (
         _events(sf_dir, ["event_type", "value"])
+        .map_batches(_drop_null_types, batch_format="pyarrow")
         .groupby("event_type")
         .mean("value")
         .to_pandas()
@@ -204,6 +212,10 @@ def q_value_deviation(sf_dir: str):
             if idx.dtype.kind == "f"
             else idx_arr.is_valid().to_numpy(zero_copy_only=False)
         )
+        valid &= np.nan_to_num(
+            pc.is_valid(batch.column("event_type")).to_numpy(zero_copy_only=False),
+            nan=False,
+        ).astype(bool)
         if not valid.all():
             batch = batch.filter(pa.array(valid))
             idx = idx[valid]

@@ -192,10 +192,14 @@ class ParseEnrich:
         for u, r in zip(
             dead.column("url").to_pylist(), dead.column("raw").to_pylist()
         ):
-            h.update(u.encode("utf-8", "surrogatepass"))
-            h.update(b"\x01")
-            h.update(r.encode("utf-8", "surrogatepass"))
-            h.update(b"\x00")
+            # length-prefixed fields: no separator ambiguity, and a NULL url
+            # (possible via json/csv ingest) must not kill the audit channel
+            ub = (u or "").encode("utf-8", "surrogatepass")
+            rb = (r or "").encode("utf-8", "surrogatepass")
+            h.update(len(ub).to_bytes(8, "little"))
+            h.update(ub)
+            h.update(len(rb).to_bytes(8, "little"))
+            h.update(rb)
         key = h.hexdigest()[:20]
         tmp = os.path.join(self.deadletter_dir, f".dead-{key}.tmp")
         pq.write_table(dead, tmp)

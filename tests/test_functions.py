@@ -746,42 +746,37 @@ def test_deadletter_sideband_distinct_batches_same_poison(tmp_path):
     assert sorted(dead.column("url").to_pylist()) == ["u1", "u2"]
 
 
-def test_value_deviation_drops_unknown_keys():
-    """A row whose event_type is absent from the broadcast means (e.g. NULL)
-    is dropped, matching the SQL mirror's inner join — never scored against
-    another type's mean."""
-    import ray
+def test_value_deviation_drops_null_event_type(ray_session, tmp_path):
+    """NULL event_type rows are dropped end-to-end (the SQL mirror's inner
+    join drops them), and the means groupby never sees a None key — runs
+    the REAL q_value_deviation over a multi-row-group fixture with NULLs."""
+    import pyarrow.parquet as pq
 
-    import pyarrow.compute as pc_
-
-    means_keys = pa.array(["a", "b"], pa.string())
-    mus = np.array([10.0, 20.0])
-    ref = ray.put((means_keys, mus))
-
-    def enrich(batch):  # replicate q_value_deviation's inner fn shape
-        keys, m = ray.get(ref)
-        idx_arr = pc_.index_in(batch.column("event_type"), value_set=keys)
-        idx = idx_arr.to_numpy(zero_copy_only=False)
-        valid = (
-            ~np.isnan(idx) if idx.dtype.kind == "f"
-            else idx_arr.is_valid().to_numpy(zero_copy_only=False)
-        )
-        if not valid.all():
-            batch = batch.filter(pa.array(valid))
-            idx = idx[valid]
-        vals = batch.column("value").to_numpy(zero_copy_only=False)
-        mu = m[np.nan_to_num(idx, nan=0).astype(np.int64)]
-        return batch.column("event_id").to_pylist(), (vals - mu).tolist()
-
-    batch = pa.table(
-        {
-            "event_id": pa.array([1, 2, 3], pa.int64()),
-            "event_type": pa.array(["a", None, "zzz"], pa.string()),
-            "value": pa.array([11.0, 5.0, 7.0], pa.float64()),
-        }
+    from otelcol_con_spaneventtolog_ray.functions.eventops import (
+        q_value_deviation,
     )
-    ids, dev = enrich(batch)
-    assert ids == [1] and dev == [1.0]
+
+    w = pq.ParquetWriter(
+        str(tmp_path / "events.parquet"),
+        pa.schema([("event_id", pa.int64()), ("event_type", pa.string()),
+                   ("value", pa.float64())]),
+    )
+    w.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "event_type": pa.array(["a", None, "b"], pa.string()),
+        "value": pa.array([10.0, 99.0, 30.0], pa.float64()),
+    }))
+    w.write_table(pa.table({
+        "event_id": pa.array([4, 5], pa.int64()),
+        "event_type": pa.array(["a", None], pa.string()),
+        "value": pa.array([20.0, 7.0], pa.float64()),
+    }))
+    w.close()
+    out = _to_df(q_value_deviation(str(tmp_path))).set_index("event_id")
+    assert sorted(out.index) == [1, 3, 4]  # NULL rows 2 and 5 dropped
+    assert out.loc[1, "deviation"] == -5.0  # mean(a) = 15
+    assert out.loc[4, "deviation"] == 5.0
+    assert out.loc[3, "deviation"] == 0.0
 
 
 def test_column_stats_bounds_skips_allnull_row_groups(tmp_path):
