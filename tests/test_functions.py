@@ -27,7 +27,7 @@ ROWS_ONLY_RUN = [
     "dedup_minhash_keep",
     "similarity_lsh_buckets", "similarity_ivf_topk",
     "dedup_embedding_neardup_lsh", "similarity_knn_join",
-    "dedup_simhash_near_dups", "sketch_value_quantiles",
+    "dedup_simhash_near_dups", "sketch_value_quantiles", "corpus_clean_keep",
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
 ]
 
@@ -815,3 +815,55 @@ def test_histogram_partial_excludes_null_and_nan():
         b for b, n in zip(out.column("bin").to_pylist(), out.column("n").to_pylist())
         if n > 1
     ]
+
+
+def test_corpus_clean_keep_composes_components(ray_session, tmp_path):
+    """The cleaning keep-set equals quality-pass minus exact-dup
+    non-survivors minus near-dup non-survivors, computed independently from
+    the component queries over a fixture with planted exact AND near dups."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(5)
+    words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    texts, ids = [], []
+    for i in range(30):
+        ids.append(i)
+        texts.append(" ".join(rng.choice(words, size=80)))
+    ids += [100, 101, 102]
+    texts += [
+        texts[0],                                # exact dup of 0
+        texts[1].replace("alpha", "omega", 1),   # near dup of 1
+        "short low quality",                     # fails the quality gate
+    ]
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    qs = e.queries()
+    kept = set(_to_df(qs["corpus_clean_keep"](str(d)))["doc_id"])
+    quality_ok = set(_to_df(qs["text_quality_filter"](str(d)))["doc_id"])
+    exact = _to_df(qs["dedup_exact"](str(d)))
+    exact_drop = set(
+        i for i in ids
+        for _, r in exact[exact["dup_count"] > 1].iterrows()
+        if i != r["keep_id"] and i in _dup_group(tbl, r["keep_id"])
+    )
+    near = _to_df(qs["dedup_minhash_keep"](str(d)))
+    near_drop = set(near.loc[~near["keep"], "doc_id"])
+    expected = quality_ok - exact_drop - near_drop
+    assert kept == expected
+    assert 100 not in kept and 102 not in kept  # exact dup + low quality out
+    assert 0 in kept  # the survivor stays
+    if 101 in near_drop:
+        assert 101 not in kept
+
+
+def _dup_group(tbl, keep_id):
+    """doc_ids sharing keep_id's exact text."""
+    texts = dict(zip(tbl.column("doc_id").to_pylist(),
+                     tbl.column("text").to_pylist()))
+    t = texts[keep_id]
+    return {i for i, x in texts.items() if x == t}
