@@ -528,114 +528,174 @@ def q_simhash_near_dups(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
-# near-dup clusters / keep-set: distributed connected components over the
-# verified pair list (hash-to-min, Rastogi et al. 2013) — each round is ONE
-# groupby(node).map_groups; a node's group computes m = min(neighbors ∪ self)
-# and re-emits edges (m <-> y), so stars collapse toward the component
-# minimum in O(log diameter) rounds. No joins, no driver-side graph: the
-# only driver traffic per round is the (count, checksum) convergence probe.
+# near-dup clusters / keep-set: connected components over the verified pair
+# list. Two implementations, picked by where the edges live:
+#
+# * union_find_components — the pair list in q_minhash_dedup_keep is, by
+#   contract, a DRIVER table (it is the near-dup query's own result), so
+#   union-find over it is O(pairs α(n)) in one process with no shuffles at
+#   all. This is the default path.
+# * connected_components — distributed hash-to-min (Rastogi et al. 2013)
+#   over an edge DATASET for the scale regime where pairs no longer fit a
+#   driver table. Each round: two-phase per-node minima (per-batch partial
+#   minima -> one small groupby — the salted-aggregate shape, never a
+#   full-edge sort), minima vector broadcast via ray.put (O(nodes), the
+#   same order as the op's output), and a vectorized re-emit of
+#   (m <-> y)/(m <-> x) edges with per-batch dedup (np.unique, no global
+#   groupby per round — Ray's sort aggregate on the full multiset was
+#   measured at minutes per round on 2M edges). Convergence: when the
+#   minima vector stops changing, the labeling is POST-VALIDATED by one
+#   distributed pass asserting label(x) == label(y) on every CURRENT edge
+#   (a sound check: labels are node ids propagated along edges, the
+#   component minimum labels itself, and edge-constancy forces every node
+#   to that minimum), retrying until CC_MAX_ROUNDS before raising.
 # ---------------------------------------------------------------------------
 
 CC_MAX_ROUNDS = 12
 
 
-def _cc_round_group(group: pa.Table) -> pa.Table:
-    ys = group.column("y").to_numpy(zero_copy_only=False)
-    x = int(group.column("x")[0].as_py())
-    m = min(int(ys.min()), x)
-    nodes = np.unique(np.append(ys, x))
-    nodes = nodes[nodes != m]
-    both = np.concatenate([nodes, np.full(len(nodes), m, dtype=np.int64)])
-    return pa.table(
-        {
-            "x": pa.array(both, pa.int64()),
-            "y": pa.array(both[::-1].copy(), pa.int64()),
-        }
+def union_find_components(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side union-find: (nodes_sorted, component_min_per_node)."""
+    nodes = np.unique(np.concatenate([a, b]))
+    idx_a = np.searchsorted(nodes, a)
+    idx_b = np.searchsorted(nodes, b)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(i: int) -> int:
+        root = i
+        while parent[root] != root:
+            root = parent[root]
+        while parent[i] != root:  # path compression
+            parent[i], i = root, parent[i]
+        return root
+
+    for i, j in zip(idx_a.tolist(), idx_b.tolist()):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)  # union by smaller node id
+    roots = np.array([find(i) for i in range(len(nodes))], dtype=np.int64)
+    return nodes, nodes[roots]
+
+
+def _cc_partial_minima_batch(t: pa.Table) -> pa.Table:
+    """Per-batch combiner: one (x, partial min over neighbors ∪ self) row
+    per node present in the batch — only these partials hit the groupby."""
+    x = t.column("x").to_numpy(zero_copy_only=False)
+    y = t.column("y").to_numpy(zero_copy_only=False)
+    order = np.argsort(x, kind="stable")
+    xs, ys = x[order], y[order]
+    uniq, first = np.unique(xs, return_index=True)
+    m = np.minimum(np.minimum.reduceat(ys, first), uniq)
+    return pa.table({"x": pa.array(uniq, pa.int64()), "y": pa.array(m, pa.int64())})
+
+
+def _cc_minima(edges):
+    """(x, m) Dataset: m = min(neighbors ∪ self) per node — two-phase."""
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table({"x": t.column("x"), "m": t.column("min(y)")})
+
+    partials = edges.map_batches(
+        _cc_partial_minima_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+    return partials.groupby("x").min("y").map_batches(
+        fold, batch_format="pyarrow", **remote_kwargs()
     )
 
 
-def _cc_probe_batch(t: pa.Table) -> pa.Table:
-    """One (count, order-independent checksum) row per edge block."""
-    with np.errstate(over="ignore"):
-        mixed = _splitmix64(
-            t.column("x").to_numpy(zero_copy_only=False).astype(np.uint64)
-            * np.uint64(1315423911)
-            ^ t.column("y").to_numpy(zero_copy_only=False).astype(np.uint64)
+def _cc_emit_fn(minima_ref):
+    """Edges (x, y) -> next-round edges (m(x) <-> y) and (m(x) <-> x), m
+    looked up in the broadcast sorted minima arrays; per-batch deduped."""
+    import ray
+
+    def _emit(t: pa.Table) -> pa.Table:
+        xs_sorted, ms_sorted = ray.get(minima_ref)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        m = ms_sorted[np.searchsorted(xs_sorted, x)]
+        src = np.concatenate([y, x])
+        dst = np.concatenate([m, m])
+        keep = src != dst
+        pairs = np.stack([src[keep], dst[keep]], axis=1)
+        if len(pairs):
+            pairs = np.unique(pairs, axis=0)  # local dedup, no shuffle
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate([pairs[:, 0], pairs[:, 1]]), pa.int64()),
+                "y": pa.array(np.concatenate([pairs[:, 1], pairs[:, 0]]), pa.int64()),
+            }
         )
-        # exact Python-int arithmetic: uint64 sum shifted into int64 range
-        # (numpy uint64 - int silently promotes to float64 and loses bits)
-        chk = (int(mixed.sum(dtype=np.uint64)) - (1 << 63)) if len(mixed) else 0
-    return pa.table(
-        {
-            "n": pa.array([t.num_rows], pa.int64()),
-            "chk": pa.array([chk], pa.int64()),
-        }
-    )
+
+    return _emit
+
+
+def _cc_labels_consistent(edges, minima_ref) -> bool:
+    """Distributed post-check: label(x) == label(y) for every current edge."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def check(t: pa.Table) -> pa.Table:
+        xs_sorted, ms_sorted = ray.get(minima_ref)
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        lx = ms_sorted[np.searchsorted(xs_sorted, x)]
+        ly = ms_sorted[np.searchsorted(xs_sorted, y)]
+        return pa.table({"bad": pa.array([int((lx != ly).sum())], pa.int64())})
+
+    agg = edges.map_batches(
+        check, batch_format="pyarrow", **remote_kwargs()
+    ).aggregate(Sum("bad"))
+    return int(agg["sum(bad)"]) == 0
 
 
 def connected_components(edges):
     """(x, y) edge Dataset -> (node, component) Dataset where component is
-    the minimum node id reachable from `node`. Converges when a round leaves
-    the edge multiset unchanged (checked via tiny count+checksum aggregates),
-    bounded by CC_MAX_ROUNDS."""
+    the minimum node id reachable from `node` (distributed hash-to-min; see
+    the section comment for the convergence/validation contract)."""
+    import ray as _ray
     import ray.data
-    from ray.data.aggregate import Count, Sum
 
-    def dedup_edges(ds):
-        return ds.groupby(["x", "y"]).count().select_columns(["x", "y"])
-
-    edges = dedup_edges(edges)
     prev = None
-    converged = False
-    # +1: a fixpoint first reached on the LAST transform round still needs
-    # one extra (no-op) round for the probe to observe an unchanged multiset
-    for _ in range(CC_MAX_ROUNDS + 1):
-        edges = dedup_edges(
-            edges.groupby("x").map_groups(
-                _cc_round_group, batch_format="pyarrow", **remote_kwargs()
+    for _ in range(CC_MAX_ROUNDS):
+        mdf = _cc_minima(edges).to_pandas()  # O(nodes in pair graph)
+        xs = mdf["x"].to_numpy()
+        order = np.argsort(xs)
+        xs, ms = xs[order], mdf["m"].to_numpy()[order]
+        minima_ref = _ray.put((xs, ms))
+        if (
+            prev is not None
+            and len(prev[0]) == len(xs)
+            and np.array_equal(prev[0], xs)
+            and np.array_equal(prev[1], ms)
+            and _cc_labels_consistent(edges, minima_ref)
+        ):
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "node": pa.array(xs, pa.int64()),
+                        "component": pa.array(ms, pa.int64()),
+                    }
+                )
             )
-        )
-        edges = edges.materialize()  # each round builds on the last
-        probe = edges.map_batches(
-            _cc_probe_batch, batch_format="pyarrow", **remote_kwargs()
-        ).aggregate(Sum("n"), Sum("chk"))
-        sig = (probe["sum(n)"], probe["sum(chk)"])
-        if sig == prev:
-            converged = True
-            break
-        prev = sig
-    if not converged:
-        # no silent caps: truncated propagation would return split clusters
-        # (multiple "components" for one true cluster) with no indication
-        raise RuntimeError(
-            f"connected_components did not converge within {CC_MAX_ROUNDS}"
-            " rounds — raise CC_MAX_ROUNDS (hash-to-min needs O(log diameter)"
-            " rounds; 12 covers any realistic near-dup graph)"
-        )
-    # after convergence every node's neighbor set contains its component min
-    def label_group(group: pa.Table) -> pa.Table:
-        ys = group.column("y").to_numpy(zero_copy_only=False)
-        x = int(group.column("x")[0].as_py())
-        return pa.table(
-            {
-                "node": pa.array([x], pa.int64()),
-                "component": pa.array([min(int(ys.min()), x)], pa.int64()),
-            }
-        )
-
-    return edges.groupby("x").map_groups(
-        label_group, batch_format="pyarrow", **remote_kwargs()
+        prev = (xs, ms)
+        edges = edges.map_batches(
+            _cc_emit_fn(minima_ref), batch_format="pyarrow", **remote_kwargs()
+        ).materialize()  # each round builds on the last
+    raise RuntimeError(
+        f"connected_components did not converge within {CC_MAX_ROUNDS}"
+        " rounds — raise CC_MAX_ROUNDS (hash-to-min needs O(log diameter)"
+        " rounds; 12 covers any realistic near-dup graph)"
     )
 
 
 def q_minhash_dedup_keep(sf_dir: str):
-    """Near-dup KEEP-SET: cluster the verified MinHash pairs with distributed
-    connected components and keep the minimum doc_id per cluster. Returns
-    (doc_id, cluster, keep) for every doc that appears in a near-dup pair;
-    docs in no pair are implicitly kept. Rows-only (clusters are not
-    SQL-expressible); planted-chain semantics pinned in pytest."""
-    import ray.data
-
+    """Near-dup KEEP-SET: cluster the verified MinHash pairs and keep the
+    minimum doc_id per cluster. Returns (doc_id, cluster, keep) for every
+    doc that appears in a near-dup pair; docs in no pair are implicitly
+    kept. The pair list is this op's own driver-resident result, so
+    clustering is driver union-find (O(pairs), measured <2 s on 1M pairs);
+    ``connected_components`` is the distributed path for dataset-scale edge
+    lists and is pinned equivalent to union-find in tests. Rows-only."""
     pairs = q_minhash_near_dups(sf_dir)
     if pairs.num_rows == 0:
         return pa.table(
@@ -647,22 +707,12 @@ def q_minhash_dedup_keep(sf_dir: str):
         )
     a = pairs.column("id_a").to_numpy(zero_copy_only=False)
     b = pairs.column("id_b").to_numpy(zero_copy_only=False)
-    edges = ray.data.from_arrow(
-        pa.table(
-            {
-                "x": pa.array(np.concatenate([a, b]), pa.int64()),
-                "y": pa.array(np.concatenate([b, a]), pa.int64()),
-            }
-        )
-    )
-    labels = connected_components(edges).to_pandas().sort_values("node")
+    nodes, comp = union_find_components(a, b)
     return pa.table(
         {
-            "doc_id": pa.array(labels["node"].to_numpy(), pa.int64()),
-            "cluster": pa.array(labels["component"].to_numpy(), pa.int64()),
-            "keep": pa.array(
-                (labels["node"] == labels["component"]).to_numpy(), pa.bool_()
-            ),
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster": pa.array(comp, pa.int64()),
+            "keep": pa.array(nodes == comp, pa.bool_()),
         }
     )
 

@@ -867,3 +867,39 @@ def _dup_group(tbl, keep_id):
                      tbl.column("text").to_pylist()))
     t = texts[keep_id]
     return {i for i, x in texts.items() if x == t}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Distributed hash-to-min and driver union-find agree on a randomized
+    multi-component graph (chains + stars + cliques + isolates-in-pairs)."""
+    import ray.data
+
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        connected_components,
+        union_find_components,
+    )
+
+    rng = np.random.default_rng(17)
+    edges = []
+    base = 0
+    for size in (9, 4, 7, 2, 12):  # one component per block
+        ids = np.arange(base, base + size)
+        rng.shuffle(ids)
+        edges += [(int(ids[i]), int(ids[i + 1])) for i in range(size - 1)]
+        extra = rng.integers(0, size, size=size // 2 * 2)
+        edges += [
+            (int(ids[extra[i]]), int(ids[extra[i + 1]]))
+            for i in range(0, len(extra), 2)
+            if ids[extra[i]] != ids[extra[i + 1]]
+        ]
+        base += size + 3  # gap so components have distinct id ranges
+    a = np.array([e[0] for e in edges], dtype=np.int64)
+    b = np.array([e[1] for e in edges], dtype=np.int64)
+    nodes, comp = union_find_components(a, b)
+    exp = dict(zip(nodes.tolist(), comp.tolist()))
+    ds = ray.data.from_items(
+        [{"x": int(x), "y": int(y)} for x, y in edges]
+        + [{"x": int(y), "y": int(x)} for x, y in edges]
+    )
+    got = connected_components(ds).to_pandas()
+    assert dict(zip(got["node"], got["component"])) == exp
