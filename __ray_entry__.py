@@ -261,18 +261,25 @@ def _q_nested_attr(sf_dir: str):
         attrs = t.column("attributes").combine_chunks()
         ctx = pc.map_lookup(attrs, query_key="ctx", occurrence="first")
         tags = pc.map_lookup(attrs, query_key="tags", occurrence="first")
-        # stored payloads are 'm:<rendering>' / 'l:<rendering>': strip the
-        # tag, restore the nested rendering (one unescape), extract fields
-        ctx_r = unescape_array(pc.utf8_slice_codeunits(ctx, start=2, stop=1 << 30))
-        tags_r = unescape_array(pc.utf8_slice_codeunits(tags, start=2, stop=1 << 30))
+        # stored payloads are 'm:<rendering>' / 'l:<rendering>' where the
+        # RENDERING is already restored by the pipeline's single unescape
+        # (its per-field inner escapes intact — nested.py contract). So:
+        # strip the tag, split fields on the STILL-ESCAPED rendering, then
+        # unescape each extracted field value — never the whole rendering.
+        ctx_r = pc.utf8_slice_codeunits(ctx, start=2, stop=1 << 30)
+        tags_r = pc.utf8_slice_codeunits(tags, start=2, stop=1 << 30)
         retries = pc.struct_field(
             pc.extract_regex(ctx_r, pattern=r"retries=i:(?P<v>-?[0-9]+)"), "v"
         )
-        host = pc.struct_field(
-            pc.extract_regex(ctx_r, pattern=r"host=s:(?P<v>[^;]*)"), "v"
+        host = unescape_array(
+            pc.struct_field(
+                pc.extract_regex(ctx_r, pattern=r"host=s:(?P<v>[^;]*)"), "v"
+            )
         )
-        tag0 = pc.struct_field(
-            pc.extract_regex(tags_r, pattern=r"^s:(?P<v>[^;]*)"), "v"
+        tag0 = unescape_array(
+            pc.struct_field(
+                pc.extract_regex(tags_r, pattern=r"^s:(?P<v>[^;]*)"), "v"
+            )
         )
         return pa.table(
             {

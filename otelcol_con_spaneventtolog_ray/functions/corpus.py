@@ -5,12 +5,16 @@
 their near-dup cluster's survivor — the canonical "clean the crawl" recipe
 composed entirely from this repo's operators.
 
-Composition shape (Ray Data has no join; the anti-join is a flag-union
-groupby): every component emits tiny (doc_id, flag) rows — quality keeps,
-exact-dup drops, near-dup drops — and one ``groupby(doc_id).map_groups``
-decides membership. Only flags cross the exchange, never documents, and
-each component keeps its own scale shape (two-phase exact dedup, bucketed
-MinHash verify + connected components).
+Composition shape (the anti-join is a flag-union groupby): every component
+emits tiny (doc_id, flag-indicator) rows — quality keeps, exact-dup drops,
+near-dup drops — and membership is decided by per-batch indicator partials
+folded through one Arrow-native ``groupby(doc_id).max`` plus a vectorized
+filter (NO per-doc Python; the tiny-group map_groups antipattern is
+measured at minutes per 100k groups elsewhere in this repo). Only flags
+cross the exchange, never documents. Exact-dup drops come from the
+two-phase (hash -> min,count) aggregate with the DUPLICATED groups (a far
+smaller set than the corpus; degenerate all-duplicate corpora bound it at
+docs/2, noted) broadcast for a vectorized membership check.
 """
 
 from __future__ import annotations
@@ -53,24 +57,53 @@ def _quality_flags(sf_dir: str):
 
 
 def _exact_drop_flags(sf_dir: str):
-    """Non-survivors of each exact-duplicate group (groupby(hash), emit every
-    id except the min) — only (hash, id) partials ever shuffle."""
-
-    def drops(group: pa.Table) -> pa.Table:
-        ids = np.sort(group.column("doc_id").to_numpy(zero_copy_only=False))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[1:], pa.int64()),
-                "flag": pa.array([FLAG_EXACT_DROP] * (len(ids) - 1), pa.string()),
-            }
-        )
+    """Non-survivors of each exact-duplicate group. Two-phase: an
+    Arrow-native groupby(hash) -> (min doc_id, count) aggregate, then ONLY
+    the duplicated groups (count > 1) are broadcast and each hashed batch
+    checks membership vectorized (index_in + take) — no per-group Python,
+    no second shuffle."""
+    import ray
+    from ray.data.aggregate import Count, Min
 
     hashed = _dedup._docs(sf_dir).map_batches(
         _dedup.exact_hash_batch, batch_format="pyarrow", **remote_kwargs()
     )
-    return hashed.groupby("h").map_groups(
-        drops, batch_format="pyarrow", **remote_kwargs()
+    groups = hashed.groupby("h").aggregate(Min("doc_id"), Count()).to_pandas()
+    dups = groups[groups["count()"] > 1]
+    dup_ref = ray.put(
+        (
+            pa.array(dups["h"], pa.string()),
+            dups["min(doc_id)"].to_numpy().astype(np.int64),
+        )
     )
+
+    def drops(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keys, keeps = ray.get(dup_ref)
+        if len(keys) == 0:  # no duplicated text anywhere
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "flag": pa.array([], pa.string())}
+            )
+        idx_arr = pc.index_in(batch.column("h"), value_set=keys)
+        idx = idx_arr.to_numpy(zero_copy_only=False)
+        hit = (
+            ~np.isnan(idx)
+            if idx.dtype.kind == "f"
+            else idx_arr.is_valid().to_numpy(zero_copy_only=False)
+        )
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep_of = keeps[np.nan_to_num(idx, nan=0).astype(np.int64)]
+        drop = hit & (ids != keep_of)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[drop], pa.int64()),
+                "flag": pa.array([FLAG_EXACT_DROP] * int(drop.sum()), pa.string()),
+            }
+        )
+
+    return hashed.map_batches(drops, batch_format="pyarrow", **remote_kwargs())
 
 
 def q_corpus_clean_keep(sf_dir: str):
@@ -95,17 +128,52 @@ def q_corpus_clean_keep(sf_dir: str):
     )
     flags = _quality_flags(sf_dir).union(_exact_drop_flags(sf_dir)).union(near_ds)
 
-    def decide(group: pa.Table) -> pa.Table:
-        fl = set(group.column("flag").to_pylist())
-        if FLAG_QUALITY in fl and FLAG_EXACT_DROP not in fl and FLAG_NEAR_DROP not in fl:
-            return pa.table(
-                {"doc_id": pa.array([group.column("doc_id")[0].as_py()], pa.int64())}
-            )
-        return pa.table({"doc_id": pa.array([], pa.int64())})
+    def pivot(batch: pa.Table) -> pa.Table:
+        """Per-batch partial: one row per doc with indicator columns."""
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        fl = np.asarray(batch.column("flag").to_pylist(), dtype=object)
+        order = np.argsort(ids, kind="stable")
+        ids, fl = ids[order], fl[order]
+        uniq, first = np.unique(ids, return_index=True)
+        seg = np.append(first, len(ids))
+        cols = {}
+        for name, flag in (("q", FLAG_QUALITY), ("x", FLAG_EXACT_DROP),
+                           ("n", FLAG_NEAR_DROP)):
+            ind = (fl == flag).astype(np.int8)
+            cols[name] = np.array(
+                [ind[seg[i]:seg[i + 1]].max(initial=0) for i in range(len(uniq))],
+                dtype=np.int8,
+            ) if len(uniq) else np.zeros(0, np.int8)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "q": pa.array(cols["q"], pa.int8()),
+                "x": pa.array(cols["x"], pa.int8()),
+                "n": pa.array(cols["n"], pa.int8()),
+            }
+        )
 
-    kept = flags.groupby("doc_id").map_groups(
-        decide, batch_format="pyarrow", **remote_kwargs()
+    folded = (
+        flags.map_batches(pivot, batch_format="pyarrow", **remote_kwargs())
+        .groupby("doc_id")
+        .max(["q", "x", "n"])
     )
+
+    def keep_filter(t: pa.Table) -> pa.Table:
+        q = t.column("max(q)").to_numpy(zero_copy_only=False)
+        x = t.column("max(x)").to_numpy(zero_copy_only=False)
+        nn = t.column("max(n)").to_numpy(zero_copy_only=False)
+        mask = (q == 1) & (x == 0) & (nn == 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    t.column("doc_id").to_numpy(zero_copy_only=False)[mask],
+                    pa.int64(),
+                )
+            }
+        )
+
+    kept = folded.map_batches(keep_filter, batch_format="pyarrow", **remote_kwargs())
     df = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 

@@ -457,6 +457,13 @@ SIMHASH_HAMMING_MAX = 3
 
 def simhash_chunk_fanout(batch: pa.Table) -> pa.Table:
     sigs = simhash_batch(batch)
+    # word-less documents all hash to 0: excluding them mirrors the MinHash
+    # path's empty-shingle skip and prevents a quadratic pair blowup from
+    # one giant all-zero bucket (identical docs are dedup_exact's job)
+    wh, _parents, woffs = batch_words(batch.column("text"))
+    has_words = np.diff(woffs) > 0
+    if not has_words.all():
+        sigs = sigs.filter(pa.array(has_words))
     parts = []
     for c in range(4):
         parts.append(

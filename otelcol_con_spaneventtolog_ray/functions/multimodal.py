@@ -124,8 +124,10 @@ class ImageResizer:
         lengths = np.diff(offsets)
         m = np.minimum(self.TARGET_BYTES, lengths)  # samples per payload
         # replicate np.linspace(0, L-1, m).astype(int64) exactly, for all
-        # payloads at once: pos_j = floor((j * (L-1)) / (m-1)), last forced
-        # to L-1 (linspace pins the endpoint), m==1 -> [0]
+        # payloads at once. np.linspace evaluates y = arange(m) * step with
+        # step = (L-1)/(m-1) COMPUTED FIRST — floor((j*(L-1))/(m-1)) differs
+        # on 679 lengths under 20000 (first: L=154, j=21) — and pins the
+        # endpoint y[-1] = L-1; m==1 -> [0]
         out_offs = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(m, out=out_offs[1:])
         M = int(out_offs[-1])
@@ -134,9 +136,8 @@ class ImageResizer:
         L = lengths[doc_of]
         mm = m[doc_of]
         div = np.maximum(mm - 1, 1)
-        pos = (j.astype(np.float64) * (L - 1).astype(np.float64) / div).astype(
-            np.int64
-        )
+        step = (L - 1).astype(np.float64) / div
+        pos = (j.astype(np.float64) * step).astype(np.int64)
         pos[j == mm - 1] = (L - 1)[j == mm - 1]
         sampled = data[offsets[:-1][doc_of] + pos]
         thumb = pa.LargeBinaryArray.from_buffers(

@@ -112,10 +112,15 @@ _WS_RE = re.compile(r"\s+", re.ASCII)
 
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
-    """md5 fingerprint over lower(whitespace-normalized text)."""
-    texts = batch.column("text").to_pylist()
+    """md5 fingerprint over lower(whitespace-normalized text).
+
+    Lowering goes through Arrow's utf8_lower (simple per-rune mapping) so
+    non-ASCII documents ('İ' -> 'i', not 'i'+combining-dot as Python's
+    full-mapping str.lower() would give) hash identically to the DuckDB
+    mirror's lower()."""
+    texts = pc.utf8_lower(batch.column("text")).to_pylist()
     fps = [
-        hashlib.md5(_WS_RE.sub(" ", t.lower()).encode("utf-8")).hexdigest()
+        hashlib.md5(_WS_RE.sub(" ", t).encode("utf-8")).hexdigest()
         for t in texts
     ]
     return pa.table(

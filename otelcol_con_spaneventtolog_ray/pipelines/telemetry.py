@@ -173,37 +173,64 @@ class ParseEnrich:
             batch, self.include, collect_malformed=True
         )
         if dead.num_rows:
-            self._write_dead(dead)
+            self._write_dead(dead, batch)
         return self.enricher(events)
 
-    def _write_dead(self, dead: pa.Table) -> None:
+    def _write_dead(self, dead: pa.Table, batch: pa.Table) -> None:
         import hashlib
         import os
 
         import pyarrow.parquet as pq
 
-        os.makedirs(self.deadletter_dir, exist_ok=True)
-        # key over (url, raw) pairs: distinct batches holding the SAME poison
-        # line on different pages still get distinct files; only a literal
-        # retry of the same batch (or byte-identical duplicated input pages
-        # landing as one whole batch) maps to the same name, which is the
-        # idempotence we want
+        # key = identity of the INPUT BATCH (every page url, in order) plus
+        # the dead rows: a task retry re-parses the identical batch and
+        # rewrites the identical file (idempotent), while the same poison
+        # line arriving on other pages — or on byte-identical recrawled
+        # pages split into a different batch — gets a distinct file. Only
+        # two fully identical input batches collapse, which is the dedup we
+        # want. Fields are length-prefixed (no separator ambiguity) and a
+        # NULL url (possible via json/csv ingest) must not kill the channel.
         h = hashlib.sha1()
+
+        def upd(v):
+            b = (v or "").encode("utf-8", "surrogatepass")
+            h.update(len(b).to_bytes(8, "little"))
+            h.update(b)
+
+        for u in batch.column("url").to_pylist():
+            upd(u)
+        h.update(b"\xff")
         for u, r in zip(
             dead.column("url").to_pylist(), dead.column("raw").to_pylist()
         ):
-            # length-prefixed fields: no separator ambiguity, and a NULL url
-            # (possible via json/csv ingest) must not kill the audit channel
-            ub = (u or "").encode("utf-8", "surrogatepass")
-            rb = (r or "").encode("utf-8", "surrogatepass")
-            h.update(len(ub).to_bytes(8, "little"))
-            h.update(ub)
-            h.update(len(rb).to_bytes(8, "little"))
-            h.update(rb)
+            upd(u)
+            upd(r)
         key = h.hexdigest()[:20]
-        tmp = os.path.join(self.deadletter_dir, f".dead-{key}.tmp")
+        self._write_dead_file(dead, f"dead-{key}.parquet")
+
+    def _write_dead_file(self, dead: pa.Table, name: str) -> None:
+        """Filesystem-aware side-band write: local paths get tmp+rename
+        atomicity; URI paths (s3://, ...) resolve through pyarrow.fs and
+        write the final name directly (same-content overwrite is the
+        idempotence contract). Multi-node clusters writing to a plain local
+        path need it shared — the same requirement the main write_parquet
+        output has."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        if "://" in self.deadletter_dir:
+            from pyarrow import fs as pafs
+
+            fsys, base = pafs.FileSystem.from_uri(self.deadletter_dir)
+            fsys.create_dir(base, recursive=True)
+            with fsys.open_output_stream(f"{base}/{name}") as sink:
+                pq.write_table(dead, sink)
+            return
+        os.makedirs(self.deadletter_dir, exist_ok=True)
+        tmp = os.path.join(self.deadletter_dir, f".{name}.tmp")
         pq.write_table(dead, tmp)
-        os.replace(tmp, os.path.join(self.deadletter_dir, f"dead-{key}.parquet"))
+        os.replace(tmp, os.path.join(self.deadletter_dir, name))
 
 
 # worker-process-local cache: stateful setup once per worker, not per batch

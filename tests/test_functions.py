@@ -490,7 +490,7 @@ def test_multimodal_vectorized_stages_match_per_row_reference():
 
     rng = np.random.default_rng(7)
     payloads = [rng.integers(0, 256, size=int(s)).astype(np.uint8).tobytes()
-                for s in [0, 1, 5, 31, 32, 63, 64, 65, 100, 1000, 4097]]
+                for s in [0, 1, 5, 31, 32, 63, 64, 65, 100, 154, 162, 260, 1000, 4097]]
     n = len(payloads)
     batch = pa.table({
         "doc_id": pa.array(range(n), pa.int64()),
@@ -903,3 +903,45 @@ def test_connected_components_matches_union_find(ray_session):
     )
     got = connected_components(ds).to_pandas()
     assert dict(zip(got["node"], got["component"])) == exp
+
+
+def test_fingerprint_unicode_simple_lowering():
+    """fingerprint_batch lowers via Arrow simple mapping, matching the
+    DuckDB mirror's lower() on non-ASCII documents (İ -> 'i', not
+    'i'+combining dot)."""
+    import duckdb
+
+    from otelcol_con_spaneventtolog_ray.functions.textstats import (
+        _FINGERPRINT_SQL,
+        fingerprint_batch,
+    )
+
+    texts = ["İstanbul  Deneme", "ＷＡＲＮ\ttext", "plain ascii", "ǅungla"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    got = fingerprint_batch(tbl).column("fingerprint").to_pylist()
+    con = duckdb.connect()
+    con.register("documents", tbl.to_pandas())
+    exp = con.execute(_FINGERPRINT_SQL + " ORDER BY doc_id").df()
+    assert got == exp["fingerprint"].tolist()
+
+
+def test_simhash_near_dups_skips_wordless_docs(ray_session, tmp_path):
+    """Empty/whitespace-only documents (simhash 0) never pair with each
+    other — mirrors the MinHash empty-shingle skip; identical docs are
+    dedup_exact's job."""
+    import pyarrow.parquet as pq
+
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        q_simhash_near_dups,
+    )
+
+    texts = ["", "   ", "\t\n", "real words here now", "other text entirely"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = q_simhash_near_dups(str(d)).to_pylist()
+    for r in out:
+        assert r["id_a"] not in (0, 1, 2) and r["id_b"] not in (0, 1, 2), r
