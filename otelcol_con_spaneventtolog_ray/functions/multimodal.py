@@ -201,6 +201,47 @@ class FrameSampler:
         )
 
 
+class AudioEnergy:
+    """Actor-pool audio stage: payload bytes interpreted as little-endian
+    int16 PCM (the deterministic stand-in for a real decoder, pending
+    codecs), windowed into fixed non-overlapping frames; each frame emits
+    its RMS energy — the feature-extraction shape of an audio pipeline
+    (VAD, silence trimming, loudness filtering). Fully vectorized: one
+    gather builds the (windows, samples) matrix per batch."""
+
+    WINDOW_SAMPLES = 256  # 512 bytes per window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        offsets, data = _binary_buffer_view(batch.column("payload"))
+        n = batch.num_rows
+        lengths = np.diff(offsets)
+        win_bytes = self.WINDOW_SAMPLES * 2
+        n_win = lengths // win_bytes
+        out_offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_win, out=out_offs[1:])
+        M = int(out_offs[-1])
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), n_win)
+        win_no = np.arange(M, dtype=np.int64) - np.repeat(out_offs[:-1], n_win)
+        starts = offsets[:-1][doc_of] + win_no * win_bytes
+        if M:
+            # gather into a fresh contiguous matrix, then reinterpret as
+            # int16 (gathering first sidesteps odd alignment of payload
+            # starts inside the concatenated buffer)
+            raw = data[starts[:, None] + np.arange(win_bytes, dtype=np.int64)[None, :]]
+            pcm = raw.view("<i2").astype(np.float64)
+            rms = np.round(np.sqrt(np.mean(pcm * pcm, axis=1)), 6)
+        else:
+            rms = np.zeros(0)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[doc_of]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "window_no": pa.array(win_no, pa.int64()),
+                "rms": pa.array(rms, pa.float64()),
+            }
+        )
+
+
 def _media_ds(sf_dir: str):
     import ray.data
 
@@ -274,6 +315,20 @@ _MEDIA_SQL = (
     " sha256(text) AS sha256 FROM documents"
 )
 
+def q_media_audio_energy(sf_dir: str):
+    """(doc_id, window_no, rms) through the actor-pool audio stage
+    (rows-only: sqrt/mean float parity is not SQL-stable; pinned against an
+    exact per-payload Python oracle in tests)."""
+    return _media_ds(sf_dir).map_batches(
+        AudioEnergy,
+        batch_format="pyarrow",
+        batch_size=MEDIA_BATCH_SIZE,
+        concurrency=(1, 4),
+        **remote_kwargs(),
+    )
+
+
+register("multimodal_audio_energy", q_media_audio_energy)  # rows-only
 register("multimodal_features", q_media_features, _MEDIA_SQL)
 register("multimodal_resize", q_media_resize, _RESIZE_SQL)
 register("multimodal_frame_sample", q_media_frames, _FRAMES_SQL)

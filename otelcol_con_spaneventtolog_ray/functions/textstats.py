@@ -405,6 +405,199 @@ _SAMPLE_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# global top-N by score — the "pick the best documents" shape: per-block
+# partial top-N over the streamed quality scores, tiny driver fold; no
+# global sort ever runs (the same partial/fold pattern as text_top_tokens)
+# ---------------------------------------------------------------------------
+
+TOP_QUALITY_N = 50
+
+
+def q_top_quality(sf_dir: str):
+    import pandas as pd
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        stats = text_stats_batch(batch)
+        df = stats.to_pandas().sort_values(
+            ["quality", "doc_id"], ascending=[False, True], kind="stable"
+        ).head(TOP_QUALITY_N)
+        return pa.Table.from_pandas(
+            df[["doc_id", "quality"]], preserve_index=False
+        )
+
+    partials = _docs(sf_dir).map_batches(
+        local_top, batch_format="pyarrow", **remote_kwargs()
+    ).to_pandas()
+    df = partials.sort_values(
+        ["quality", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(TOP_QUALITY_N).reset_index(drop=True)
+    df["rank"] = range(1, len(df) + 1)
+    return pa.Table.from_pandas(
+        df[["rank", "doc_id", "quality"]], preserve_index=False
+    )
+
+
+_TOP_QUALITY_SQL = f"""
+WITH q AS ({_TEXT_STATS_SQL}),
+r AS (SELECT doc_id, quality,
+             row_number() OVER (ORDER BY quality DESC, doc_id) AS rank FROM q)
+SELECT rank, doc_id, quality FROM r WHERE rank <= {TOP_QUALITY_N} ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus-vocabulary features: per-doc vocab coverage (SQL-gated — a ratio of
+# integer counts, so float division is bit-identical across engines) and a
+# unigram language-model score (rows-only — mean-of-logs is summation-order
+# sensitive at the 6th decimal, so it is pinned against an exact Python
+# oracle instead of DuckDB). The top-K vocabulary is built with the same
+# distributed partial-top-k fold as text_top_tokens and broadcast ONCE via
+# ray.put; scoring is index_in + take + reduceat per batch.
+# ---------------------------------------------------------------------------
+
+LM_VOCAB_K = 500
+LM_OOV_COUNT = 0.5  # pseudo-count for out-of-vocabulary tokens
+
+
+def _words_flat(batch: pa.Table):
+    """(flat tokens array, parents, doc_ids) for a documents batch."""
+    toks = pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    parents = np.repeat(np.arange(batch.num_rows), counts)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
+    return flat.filter(pa.array(keep)), parents[keep]
+
+
+def corpus_vocab(sf_dir: str, k: int = LM_VOCAB_K):
+    """(vocab tokens pa.array, counts float64[k], corpus total tokens) —
+    vocabulary = top-k tokens by count with (count desc, token asc) order."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.aggregate import counts_by
+
+    def words(batch: pa.Table) -> pa.Table:
+        flat, _parents = _words_flat(batch)
+        return pa.table({"token": pc.cast(flat, pa.string())})
+
+    counts = counts_by(
+        _docs(sf_dir).map_batches(words, batch_format="pyarrow", **remote_kwargs()),
+        ["token"],
+    ).materialize()
+    total = int(counts.aggregate(Sum("n"))["sum(n)"])
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = counts.map_batches(
+        local_top, batch_format="pyarrow", **remote_kwargs()
+    ).to_pandas()
+    top = partials.sort_values(
+        ["n", "token"], ascending=[False, True], kind="stable"
+    ).head(k)
+    return (
+        pa.array(top["token"], pa.string()),
+        top["n"].to_numpy().astype(np.float64),
+        total,
+    )
+
+
+def _vocab_score_fn(vocab_ref, want_lm: bool):
+    import ray
+
+    def _score(batch: pa.Table) -> pa.Table:
+        vocab, vcounts, total = ray.get(vocab_ref)
+        flat, parents = _words_flat(batch)
+        doc_tok = np.bincount(parents, minlength=batch.num_rows)
+        has = doc_tok > 0  # token-less docs are absent (SQL: no w rows)
+        idx_arr = pc.index_in(flat, value_set=vocab)
+        idx = idx_arr.to_numpy(zero_copy_only=False)
+        valid = (
+            ~np.isnan(idx)
+            if idx.dtype.kind == "f"
+            else idx_arr.is_valid().to_numpy(zero_copy_only=False)
+        )
+        offs = np.zeros(batch.num_rows + 1, dtype=np.int64)
+        np.cumsum(doc_tok, out=offs[1:])
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[has]
+        if want_lm:
+            cnt = np.where(
+                valid,
+                vcounts[np.nan_to_num(idx, nan=0).astype(np.int64)],
+                LM_OOV_COUNT,
+            )
+            logs = np.log(cnt / total)
+            sums = np.add.reduceat(logs, offs[:-1][has]) if has.any() else np.zeros(0)
+            score = np.round(-sums / doc_tok[has], 6)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "lm_score": pa.array(score, pa.float64()),
+                }
+            )
+        inv = valid.astype(np.int64)
+        n_in = np.add.reduceat(inv, offs[:-1][has]) if has.any() else np.zeros(0, np.int64)
+        # integer counts, not a rounded ratio: round-half semantics differ
+        # between numpy (banker's) and DuckDB (half-away), so a doc with
+        # e.g. 1 in-vocab token out of 128 would hash-mismatch at 6 dp
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(doc_tok[has], pa.int64()),
+                "n_in_vocab": pa.array(n_in, pa.int64()),
+            }
+        )
+
+    return _score
+
+
+def q_vocab_coverage(sf_dir: str):
+    import ray
+
+    ref = ray.put(corpus_vocab(sf_dir))
+    return _docs(sf_dir).map_batches(
+        _vocab_score_fn(ref, want_lm=False), batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+def q_lm_score(sf_dir: str):
+    import ray
+
+    ref = ray.put(corpus_vocab(sf_dir))
+    return _docs(sf_dir).map_batches(
+        _vocab_score_fn(ref, want_lm=True), batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+_VOCAB_CTE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x != '')) AS token
+  FROM documents),
+c AS (SELECT token, count(*) AS n FROM w GROUP BY 1),
+v AS (SELECT token, n FROM (
+        SELECT token, n, row_number() OVER (ORDER BY n DESC, token) AS r
+        FROM c) WHERE r <= {LM_VOCAB_K})
+"""
+
+_COVERAGE_SQL = (
+    _VOCAB_CTE
+    + "SELECT w.doc_id, count(*) AS n_tokens, count(v.token) AS n_in_vocab"
+    " FROM w LEFT JOIN v USING (token) GROUP BY 1"
+)
+
+
+register("text_vocab_coverage", q_vocab_coverage, _COVERAGE_SQL)
+register("text_lm_score", q_lm_score)  # rows-only (float-summation order)
+register("text_top_quality", q_top_quality, _TOP_QUALITY_SQL)
 register("text_sample_stratified", q_sample_stratified, _SAMPLE_SQL)
 register("text_stats", q_text_stats, _TEXT_STATS_SQL)
 register("text_quality_filter", q_quality_filter, _QUALITY_FILTER_SQL)

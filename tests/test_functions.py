@@ -18,6 +18,7 @@ SQL_CHECKED = [
     "events_sliding_window_counts", "events_range_join_neighbors",
     "multimodal_resize", "multimodal_frame_sample",
     "text_quality_filter", "text_top_tokens", "text_sample_stratified",
+    "text_vocab_coverage", "text_top_quality",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
@@ -28,6 +29,7 @@ ROWS_ONLY_RUN = [
     "similarity_lsh_buckets", "similarity_ivf_topk",
     "dedup_embedding_neardup_lsh", "similarity_knn_join",
     "dedup_simhash_near_dups", "sketch_value_quantiles", "corpus_clean_keep",
+    "text_lm_score", "multimodal_audio_energy",
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
 ]
 
@@ -945,3 +947,70 @@ def test_simhash_near_dups_skips_wordless_docs(ray_session, tmp_path):
     out = q_simhash_near_dups(str(d)).to_pylist()
     for r in out:
         assert r["id_a"] not in (0, 1, 2) and r["id_b"] not in (0, 1, 2), r
+
+
+def test_lm_score_matches_python_oracle(ray_session):
+    """Unigram LM score: exact per-doc recomputation from the corpus vocab
+    (same top-K rule) must match the distributed query to the last rounded
+    digit, OOV smoothing included."""
+    import math
+    import re
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions.textstats import (
+        LM_OOV_COUNT,
+        corpus_vocab,
+    )
+
+    out = _to_df(e.queries()["text_lm_score"](SF_DIR)).set_index("doc_id")
+    vocab, counts, total = corpus_vocab(SF_DIR)
+    cnt_of = dict(zip(vocab.to_pylist(), counts.tolist()))
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ws = re.compile(r"\s+", re.ASCII)
+    for doc_id, text in zip(docs.column("doc_id").to_pylist(),
+                            docs.column("text").to_pylist()):
+        toks = [t for t in ws.split(text) if t]
+        if not toks:
+            assert doc_id not in out.index
+            continue
+        logs = [math.log(cnt_of.get(t, LM_OOV_COUNT) / total) for t in toks]
+        exp = round(-(np.add.reduce(np.array(logs)) / len(toks)), 6)
+        assert out.loc[doc_id, "lm_score"] == exp, doc_id
+
+
+def test_audio_energy_matches_python_oracle(ray_session):
+    """Windowed PCM RMS: per-payload Python recomputation (int16 LE frames,
+    256-sample windows) matches the vectorized stage exactly."""
+    import struct
+
+    from otelcol_con_spaneventtolog_ray.functions.multimodal import (
+        AudioEnergy,
+        attach_payload_batch,
+    )
+
+    rng = np.random.default_rng(23)
+    payloads = [rng.integers(0, 256, size=int(sz)).astype(np.uint8).tobytes()
+                for sz in (0, 100, 512, 513, 1024, 2049, 5000)]
+    n = len(payloads)
+    batch = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "media_type": pa.array(["audio/pcm"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+    })
+    out = AudioEnergy()(batch).to_pylist()
+    exp = []
+    W = AudioEnergy.WINDOW_SAMPLES
+    for doc_id, p in enumerate(payloads):
+        for w in range(len(p) // (W * 2)):
+            frame = p[w * W * 2:(w + 1) * W * 2]
+            samples = struct.unpack(f"<{W}h", frame)
+            rms = round(
+                float(np.sqrt(np.mean(np.array(samples, dtype=np.float64) ** 2))),
+                6,
+            )
+            exp.append({"doc_id": doc_id, "window_no": w, "rms": rms})
+    assert out == exp
