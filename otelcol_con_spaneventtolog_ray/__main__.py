@@ -8,6 +8,16 @@ partitioned Parquet plus per-sink counts.
     python -m otelcol_con_spaneventtolog_ray INPUT OUT [--config cfg.yaml]
         [--resumable] [--shard-size N] [--num-cpus N]
 
+Any registered analysis pipeline (the functions/ registry — dedup,
+similarity, text, multimodal, events, sketches, corpus; full inventory in
+COVERAGE.md) runs directly against a scale-factor table directory:
+
+    python -m otelcol_con_spaneventtolog_ray --query NAME SF_DIR OUT
+    python -m otelcol_con_spaneventtolog_ray --list-queries - -
+
+writing the result as Parquet to OUT (one file; results are small) and
+printing a one-line JSON summary.
+
 Owns its Ray session (guarded init; the driver/test contract never imports
 this module).
 """
@@ -19,10 +29,39 @@ import json
 import sys
 
 
+def _run_query(name: str, sf_dir: str, out: str) -> dict:
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .functions import entry_queries
+
+    if name not in entry_queries.QUERIES:
+        raise SystemExit(
+            f"unknown query {name!r}; --list-queries shows the inventory"
+        )
+    res = entry_queries.QUERIES[name](sf_dir)
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        res = res.to_pandas()
+    if isinstance(res, pd.DataFrame):
+        res = pa.Table.from_pandas(res, preserve_index=False)
+    pq.write_table(res, out)
+    return {"query": name, "rows": res.num_rows, "columns": res.schema.names,
+            "out": out}
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="otelcol_con_spaneventtolog_ray")
-    ap.add_argument("input", help="pages Parquet file or directory")
-    ap.add_argument("output", help="output directory (partitioned by sink)")
+    ap.add_argument("input", help="pages Parquet file or directory"
+                    " (for --query: the scale-factor table directory)")
+    ap.add_argument("output", help="output directory (partitioned by sink);"
+                    " for --query: the output parquet file path")
+    ap.add_argument("--query", help="run a registered analysis pipeline by"
+                    " name instead of the flagship telemetry pipeline")
+    ap.add_argument("--list-queries", action="store_true",
+                    help="print the registered query names and exit")
     ap.add_argument("--config", help="YAML pipeline config (connector vocabulary)")
     ap.add_argument("--resumable", action="store_true",
                     help="manifest-per-shard checkpointing; re-running skips "
@@ -33,6 +72,14 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--deadletter", action="store_true",
                     help="also write malformed OTEL1 lines to OUT/_deadletter/")
     args = ap.parse_args(argv)
+
+    if args.list_queries:
+        from .functions import entry_queries
+
+        for name in sorted(entry_queries.QUERIES):
+            kind = "sql-gated" if name in entry_queries.ORACLE_SQL else "rows-only"
+            print(f"{name}\t{kind}")
+        return 0
 
     import ray
 
@@ -49,6 +96,9 @@ def main(argv: list[str] | None = None) -> int:
         )
         started = True
     try:
+        if args.query:
+            print(json.dumps(_run_query(args.query, args.input, args.output)))
+            return 0
         cfg = (
             PipelineConfig.from_yaml(args.config)
             if args.config

@@ -69,7 +69,10 @@ def _exact_drop_flags(sf_dir: str):
         _dedup.exact_hash_batch, batch_format="pyarrow", **remote_kwargs()
     )
     groups = hashed.groupby("h").aggregate(Min("doc_id"), Count()).to_pandas()
-    dups = groups[groups["count()"] > 1]
+    if len(groups) == 0:  # empty corpus
+        dups = pd.DataFrame({"h": [], "min(doc_id)": []})
+    else:
+        dups = groups[groups["count()"] > 1]
     dup_ref = ray.put(
         (
             pa.array(dups["h"], pa.string()),
@@ -174,7 +177,10 @@ def q_corpus_clean_keep(sf_dir: str):
         )
 
     kept = folded.map_batches(keep_filter, batch_format="pyarrow", **remote_kwargs())
-    df = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df = kept.to_pandas()
+    if len(df) == 0:  # empty corpus (or nothing survives the gates)
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 

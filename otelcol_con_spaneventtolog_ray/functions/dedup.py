@@ -248,7 +248,14 @@ def q_exact_dedup(sf_dir: str):
         exact_hash_batch, batch_format="pyarrow", **remote_kwargs()
     )
     agg = ds.groupby("h").aggregate(Min("doc_id"), Count())
-    tbl = pa.Table.from_pandas(agg.to_pandas(), preserve_index=False)
+    df = agg.to_pandas()
+    if len(df) == 0:  # empty corpus -> typed empty result
+        return pa.table(
+            {"h": pa.array([], pa.string()),
+             "keep_id": pa.array([], pa.int64()),
+             "dup_count": pa.array([], pa.int64())}
+        )
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
     tbl = tbl.rename_columns(["h", "keep_id", "dup_count"])
     return tbl.sort_by([("h", "ascending")])
 
@@ -287,6 +294,11 @@ def q_jaccard_pairs(sf_dir: str):
             f"dedup_jaccard_pairs is the O(n^2) exact baseline and is capped"
             f" at {JACCARD_MAX_DOCS} docs (got {n_docs}); use"
             " dedup_minhash_near_dups for large corpora"
+        )
+    if n_docs == 0:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jac": pa.array([], pa.float64())}
         )
     docs = pa.Table.from_pandas(_docs(sf_dir).to_pandas(), preserve_index=False)
     ids = docs.column("doc_id").to_pylist()
@@ -354,6 +366,12 @@ def q_minhash_buckets(sf_dir: str):
         minhash_bands_batch, batch_format="pyarrow", **remote_kwargs()
     )
     tbl = counts_table(ds, ["band", "bucket"])
+    if tbl.num_rows == 0 or "n" not in tbl.schema.names:  # empty corpus
+        return pa.table(
+            {"band": pa.array([], pa.int32()),
+             "bucket": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
     return tbl.filter(pc.greater(tbl.column("n"), 1))
 
 

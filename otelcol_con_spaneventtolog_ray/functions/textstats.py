@@ -344,6 +344,12 @@ def q_top_tokens(sf_dir: str):
     partials = counts.map_batches(
         _local_topk_block, batch_format="pyarrow", **remote_kwargs()
     ).to_pandas()
+    if len(partials) == 0:  # empty corpus
+        return pa.table(
+            {"rank": pa.array([], pa.int64()),
+             "token": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
     # fold the tiny partials with the same deterministic order
     df = partials.sort_values(
         ["n", "token"], ascending=[False, True], kind="stable"
@@ -429,6 +435,12 @@ def q_top_quality(sf_dir: str):
     partials = _docs(sf_dir).map_batches(
         local_top, batch_format="pyarrow", **remote_kwargs()
     ).to_pandas()
+    if len(partials) == 0:  # empty corpus
+        return pa.table(
+            {"rank": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()),
+             "quality": pa.array([], pa.float64())}
+        )
     df = partials.sort_values(
         ["quality", "doc_id"], ascending=[False, True], kind="stable"
     ).head(TOP_QUALITY_N).reset_index(drop=True)
@@ -489,7 +501,10 @@ def corpus_vocab(sf_dir: str, k: int = LM_VOCAB_K):
         _docs(sf_dir).map_batches(words, batch_format="pyarrow", **remote_kwargs()),
         ["token"],
     ).materialize()
-    total = int(counts.aggregate(Sum("n"))["sum(n)"])
+    total_raw = counts.aggregate(Sum("n"))["sum(n)"]
+    if total_raw is None:  # empty corpus: no tokens anywhere
+        return pa.array([], pa.string()), np.zeros(0), 0
+    total = int(total_raw)
 
     def local_top(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().sort_values(

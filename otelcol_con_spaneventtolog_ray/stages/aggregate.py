@@ -56,8 +56,14 @@ def counts_by(
 
 
 def counts_table(ds: "ray.data.Dataset", keys: list[str], num_salts: int = 8) -> pa.Table:
-    """Materialize counts (small result) sorted by keys for stable comparison."""
+    """Materialize counts (small result) sorted by keys for stable comparison.
+
+    An empty input yields an empty table (possibly schema-less — Ray's
+    aggregate drops the schema with zero groups); callers needing a typed
+    empty result build their own."""
     tbl = pa.Table.from_pandas(
         counts_by(ds, keys, num_salts).to_pandas(), preserve_index=False
     )
+    if tbl.num_rows == 0:
+        return tbl
     return tbl.sort_by([(k, "ascending") for k in keys])

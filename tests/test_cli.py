@@ -46,3 +46,35 @@ def test_cli_resumable(ray_session, tmp_path, capsys):
     assert main([pages, out, "--resumable", "--shard-size", "1"]) == 0
     r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r2["counts_by_sink"] == r1["counts_by_sink"]
+
+
+def test_cli_query_runner(ray_session, tmp_path):
+    """--query runs any registered pipeline against a table dir and writes
+    parquet; --list-queries prints the inventory with gate kinds."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    import pyarrow.parquet as pq
+
+    from otelcol_con_spaneventtolog_ray.__main__ import main
+
+    out = str(tmp_path / "res.parquet")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--query", "text_stats", "/root/testdata/sf0.001", out])
+    assert rc == 0
+    info = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert info["rows"] == 500 and "quality" in info["columns"]
+    assert pq.read_table(out).num_rows == 500
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["--list-queries", "-", "-"])
+    assert rc == 0
+    lines = dict(l.split("\t") for l in buf.getvalue().strip().splitlines())
+    assert lines["text_stats"] == "sql-gated"
+    assert lines["dedup_minhash_keep"] == "rows-only"
+    # the functions/ registry (the telemetry pipeline itself is the CLI's
+    # default mode; pipeline_* variants live in the driver contract)
+    assert len(lines) >= 35

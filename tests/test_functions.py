@@ -1014,3 +1014,34 @@ def test_audio_energy_matches_python_oracle(ray_session):
             )
             exp.append({"doc_id": doc_id, "window_no": w, "rms": rms})
     assert out == exp
+
+
+def test_document_queries_handle_empty_corpus(ray_session, tmp_path):
+    """Every documents-table query degrades to an empty (or guard-raising)
+    result on a zero-row corpus instead of crashing mid-pipeline."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string()),
+                  "lang": pa.array([], pa.string())}),
+        str(d / "documents.parquet"),
+    )
+    qs = e.queries()
+    for name in ["text_stats", "text_fingerprint", "text_lang_id",
+                 "text_quality_filter", "text_top_tokens", "text_top_quality",
+                 "text_sample_stratified", "text_vocab_coverage",
+                 "text_lm_score", "text_rolling_fingerprint",
+                 "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_buckets",
+                 "dedup_minhash_near_dups", "dedup_minhash_keep",
+                 "dedup_simhash", "dedup_simhash_near_dups",
+                 "corpus_clean_keep", "multimodal_features",
+                 "multimodal_resize", "multimodal_frame_sample",
+                 "multimodal_audio_energy"]:
+        out = qs[name](str(d))
+        out = _to_df(out)
+        assert len(out) == 0, name
