@@ -13,7 +13,7 @@ similarity, text, multimodal, events, sketches, corpus; full inventory in
 COVERAGE.md) runs directly against a scale-factor table directory:
 
     python -m otelcol_con_spaneventtolog_ray --query NAME SF_DIR OUT
-    python -m otelcol_con_spaneventtolog_ray --list-queries - -
+    python -m otelcol_con_spaneventtolog_ray --list-queries
 
 writing the result as Parquet to OUT (one file; results are small) and
 printing a one-line JSON summary.
@@ -54,10 +54,10 @@ def _run_query(name: str, sf_dir: str, out: str) -> dict:
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="otelcol_con_spaneventtolog_ray")
-    ap.add_argument("input", help="pages Parquet file or directory"
+    ap.add_argument("input", nargs="?", help="pages Parquet file or directory"
                     " (for --query: the scale-factor table directory)")
-    ap.add_argument("output", help="output directory (partitioned by sink);"
-                    " for --query: the output parquet file path")
+    ap.add_argument("output", nargs="?", help="output directory (partitioned"
+                    " by sink); for --query: the output parquet file path")
     ap.add_argument("--query", help="run a registered analysis pipeline by"
                     " name instead of the flagship telemetry pipeline")
     ap.add_argument("--list-queries", action="store_true",
@@ -80,6 +80,16 @@ def main(argv: list[str] | None = None) -> int:
             kind = "sql-gated" if name in entry_queries.ORACLE_SQL else "rows-only"
             print(f"{name}\t{kind}")
         return 0
+    if args.input is None or args.output is None:
+        ap.error("input and output are required (except with --list-queries)")
+    if args.query:  # validate BEFORE paying Ray startup
+        from .functions import entry_queries
+
+        if args.query not in entry_queries.QUERIES:
+            ap.error(
+                f"unknown query {args.query!r}; --list-queries shows the"
+                " inventory"
+            )
 
     import ray
 

@@ -366,7 +366,7 @@ def q_minhash_buckets(sf_dir: str):
         minhash_bands_batch, batch_format="pyarrow", **remote_kwargs()
     )
     tbl = counts_table(ds, ["band", "bucket"])
-    if tbl.num_rows == 0 or "n" not in tbl.schema.names:  # empty corpus
+    if tbl.num_rows == 0:  # zero blocks: rebuild the known types
         return pa.table(
             {"band": pa.array([], pa.int32()),
              "bucket": pa.array([], pa.int64()),

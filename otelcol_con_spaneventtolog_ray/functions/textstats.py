@@ -307,17 +307,21 @@ _QUALITY_FILTER_SQL = (
 )
 
 
-def _local_topk_block(batch: pa.Table) -> pa.Table:
+def make_local_topk_block(k: int):
     """Per-block partial top-k over final (token, n) rows by (n desc, token
     asc). Each token appears in exactly ONE block after the two-phase count,
     so the union of the blocks' local top-k always contains the global top-k
-    — the driver folds |blocks| x k rows, never the vocabulary."""
-    import pandas as pd
+    — the driver folds |blocks| x k rows, never the vocabulary. Shared by
+    text_top_tokens (k=TOP_TOKENS) and corpus_vocab (k=LM_VOCAB_K) so the
+    tie-break order cannot drift between them."""
 
-    df = batch.to_pandas().sort_values(
-        ["n", "token"], ascending=[False, True], kind="stable"
-    ).head(TOP_TOKENS)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    def _local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "token"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return _local
 
 
 def q_top_tokens(sf_dir: str):
@@ -329,20 +333,14 @@ def q_top_tokens(sf_dir: str):
     the workers."""
     from ..stages.aggregate import counts_by
 
-    def words(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
-        flat = toks.combine_chunks().flatten() if isinstance(
-            toks, pa.ChunkedArray
-        ) else toks.flatten()
-        flat = flat.filter(pc.not_equal(flat, ""))
-        return pa.table({"token": pc.cast(flat, pa.string())})
-
     counts = counts_by(
-        _docs(sf_dir).map_batches(words, batch_format="pyarrow", **remote_kwargs()),
+        _docs(sf_dir).map_batches(
+            _words_token_table, batch_format="pyarrow", **remote_kwargs()
+        ),
         ["token"],
     )
     partials = counts.map_batches(
-        _local_topk_block, batch_format="pyarrow", **remote_kwargs()
+        make_local_topk_block(TOP_TOKENS), batch_format="pyarrow", **remote_kwargs()
     ).to_pandas()
     if len(partials) == 0:  # empty corpus
         return pa.table(
@@ -421,8 +419,6 @@ TOP_QUALITY_N = 50
 
 
 def q_top_quality(sf_dir: str):
-    import pandas as pd
-
     def local_top(batch: pa.Table) -> pa.Table:
         stats = text_stats_batch(batch)
         df = stats.to_pandas().sort_values(
@@ -472,8 +468,14 @@ LM_VOCAB_K = 500
 LM_OOV_COUNT = 0.5  # pseudo-count for out-of-vocabulary tokens
 
 
+def _words_token_table(batch: pa.Table) -> pa.Table:
+    """documents batch -> one (token) row per whitespace token (flat-map)."""
+    flat, _parents = _words_flat(batch)
+    return pa.table({"token": pc.cast(flat, pa.string())})
+
+
 def _words_flat(batch: pa.Table):
-    """(flat tokens array, parents, doc_ids) for a documents batch."""
+    """(flat tokens array, parents row indices) for a documents batch."""
     toks = pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -487,18 +489,14 @@ def _words_flat(batch: pa.Table):
 def corpus_vocab(sf_dir: str, k: int = LM_VOCAB_K):
     """(vocab tokens pa.array, counts float64[k], corpus total tokens) —
     vocabulary = top-k tokens by count with (count desc, token asc) order."""
-    import pandas as pd
-
     from ray.data.aggregate import Sum
 
     from ..stages.aggregate import counts_by
 
-    def words(batch: pa.Table) -> pa.Table:
-        flat, _parents = _words_flat(batch)
-        return pa.table({"token": pc.cast(flat, pa.string())})
-
     counts = counts_by(
-        _docs(sf_dir).map_batches(words, batch_format="pyarrow", **remote_kwargs()),
+        _docs(sf_dir).map_batches(
+            _words_token_table, batch_format="pyarrow", **remote_kwargs()
+        ),
         ["token"],
     ).materialize()
     total_raw = counts.aggregate(Sum("n"))["sum(n)"]
@@ -506,14 +504,8 @@ def corpus_vocab(sf_dir: str, k: int = LM_VOCAB_K):
         return pa.array([], pa.string()), np.zeros(0), 0
     total = int(total_raw)
 
-    def local_top(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas().sort_values(
-            ["n", "token"], ascending=[False, True], kind="stable"
-        ).head(k)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
     partials = counts.map_batches(
-        local_top, batch_format="pyarrow", **remote_kwargs()
+        make_local_topk_block(k), batch_format="pyarrow", **remote_kwargs()
     ).to_pandas()
     top = partials.sort_values(
         ["n", "token"], ascending=[False, True], kind="stable"

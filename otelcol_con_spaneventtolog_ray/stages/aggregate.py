@@ -58,12 +58,21 @@ def counts_by(
 def counts_table(ds: "ray.data.Dataset", keys: list[str], num_salts: int = 8) -> pa.Table:
     """Materialize counts (small result) sorted by keys for stable comparison.
 
-    An empty input yields an empty table (possibly schema-less — Ray's
-    aggregate drops the schema with zero groups); callers needing a typed
-    empty result build their own."""
+    An empty input yields a TYPED empty table (key types from the input
+    dataset's schema, ``n`` int64) — Ray's aggregate drops the schema with
+    zero groups, which would otherwise poison every downstream column
+    lookup."""
     tbl = pa.Table.from_pandas(
         counts_by(ds, keys, num_salts).to_pandas(), preserve_index=False
     )
     if tbl.num_rows == 0:
-        return tbl
+        sch = ds.schema()
+        if sch is None or any(k not in sch.names for k in keys):
+            # zero blocks flowed: Ray cannot infer the transform's schema.
+            # Return the schema-less empty; callers that know their key
+            # types build a typed one (e.g. dedup.q_minhash_buckets).
+            return tbl
+        type_of = dict(zip(sch.names, sch.types))
+        fields = [(k, type_of[k]) for k in keys] + [("n", pa.int64())]
+        return pa.schema(fields).empty_table()
     return tbl.sort_by([(k, "ascending") for k in keys])

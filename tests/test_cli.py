@@ -70,7 +70,7 @@ def test_cli_query_runner(ray_session, tmp_path):
 
     buf = io.StringIO()
     with redirect_stdout(buf):
-        rc = main(["--list-queries", "-", "-"])
+        rc = main(["--list-queries"])
     assert rc == 0
     lines = dict(l.split("\t") for l in buf.getvalue().strip().splitlines())
     assert lines["text_stats"] == "sql-gated"
