@@ -602,6 +602,70 @@ _COVERAGE_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# repetition signal (Gopher-style): the most frequent token's count per doc
+# vs the doc's token total — high ratios flag boilerplate/spam. Integer
+# outputs, so the SQL mirror is exact. Vectorized: Arrow dictionary_encode
+# hashes tokens in C++, one lexsort + two reduceats do the per-(doc, token)
+# counting and per-doc max/sum.
+# ---------------------------------------------------------------------------
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    flat, parents = _words_flat(batch)
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "n_tokens": pa.array([], pa.int64()),
+         "top_token_count": pa.array([], pa.int64())}
+    )
+    if len(parents) == 0:
+        return empty
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    K = max(len(enc.dictionary), 1)
+    key = parents * K + codes
+    order = np.argsort(key, kind="stable")
+    sk = key[order]
+    grp_start = np.ones(len(sk), dtype=bool)
+    grp_start[1:] = sk[1:] != sk[:-1]
+    starts = np.flatnonzero(grp_start)
+    kcounts = np.diff(np.append(starts, len(sk)))
+    grp_parent = parents[order][starts]
+    doc_start = np.ones(len(grp_parent), dtype=bool)
+    doc_start[1:] = grp_parent[1:] != grp_parent[:-1]
+    dstarts = np.flatnonzero(doc_start)
+    top = np.maximum.reduceat(kcounts, dstarts)
+    total = np.add.reduceat(kcounts, dstarts)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[grp_parent[dstarts]]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(total.astype(np.int64), pa.int64()),
+            "top_token_count": pa.array(top.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_repetition(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        repetition_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x != '')) AS token
+  FROM documents),
+c AS (SELECT doc_id, token, count(*) AS k FROM w GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+       CAST(max(k) AS BIGINT) AS top_token_count
+FROM c GROUP BY 1
+"""
+
+
+register("text_repetition", q_repetition, _REPETITION_SQL)
 register("text_vocab_coverage", q_vocab_coverage, _COVERAGE_SQL)
 register("text_lm_score", q_lm_score)  # rows-only (float-summation order)
 register("text_top_quality", q_top_quality, _TOP_QUALITY_SQL)

@@ -18,7 +18,7 @@ SQL_CHECKED = [
     "events_sliding_window_counts", "events_range_join_neighbors",
     "multimodal_resize", "multimodal_frame_sample",
     "text_quality_filter", "text_top_tokens", "text_sample_stratified",
-    "text_vocab_coverage", "text_top_quality",
+    "text_vocab_coverage", "text_top_quality", "text_repetition",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
@@ -1035,7 +1035,7 @@ def test_document_queries_handle_empty_corpus(ray_session, tmp_path):
     for name in ["text_stats", "text_fingerprint", "text_lang_id",
                  "text_quality_filter", "text_top_tokens", "text_top_quality",
                  "text_sample_stratified", "text_vocab_coverage",
-                 "text_lm_score", "text_rolling_fingerprint",
+                 "text_lm_score", "text_rolling_fingerprint", "text_repetition",
                  "dedup_exact", "dedup_jaccard_pairs", "dedup_minhash_buckets",
                  "dedup_minhash_near_dups", "dedup_minhash_keep",
                  "dedup_simhash", "dedup_simhash_near_dups",
