@@ -90,6 +90,21 @@ def main(argv: list[str] | None = None) -> int:
                 f"unknown query {args.query!r}; --list-queries shows the"
                 " inventory"
             )
+        # flags below only configure the flagship telemetry pipeline; a
+        # silent ignore would let a user think their YAML applied to a query
+        conflicting = [
+            flag for flag, on in (
+                ("--config", args.config),
+                ("--resumable", args.resumable),
+                ("--deadletter", args.deadletter),
+                ("--shard-size", args.shard_size != 16),
+            ) if on
+        ]
+        if conflicting:
+            ap.error(
+                f"--query does not take {', '.join(conflicting)} (those"
+                " apply only to the flagship telemetry pipeline)"
+            )
 
     import ray
 

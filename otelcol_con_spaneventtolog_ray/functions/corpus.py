@@ -58,46 +58,56 @@ def _quality_flags(sf_dir: str):
 
 def _exact_drop_flags(sf_dir: str):
     """Non-survivors of each exact-duplicate group. Two-phase: an
-    Arrow-native groupby(hash) -> (min doc_id, count) aggregate, then ONLY
-    the duplicated groups (count > 1) are broadcast and each hashed batch
-    checks membership vectorized (index_in + take) — no per-group Python,
-    no second shuffle."""
+    Arrow-native groupby(h1, h2) -> (min doc_id, count) aggregate over the
+    128-bit content key, then ONLY the duplicated groups (count > 1) are
+    broadcast (sorted by key) and each hashed batch checks membership
+    vectorized (searchsorted range probe on the two sorted key columns) —
+    no per-group Python, no second shuffle."""
     import ray
     from ray.data.aggregate import Count, Min
 
     hashed = _dedup._docs(sf_dir).map_batches(
         _dedup.exact_hash_batch, batch_format="pyarrow", **remote_kwargs()
     )
-    groups = hashed.groupby("h").aggregate(Min("doc_id"), Count()).to_pandas()
+    groups = (
+        hashed.groupby(["h1", "h2"]).aggregate(Min("doc_id"), Count()).to_pandas()
+    )
     if len(groups) == 0:  # empty corpus
-        dups = pd.DataFrame({"h": [], "min(doc_id)": []})
+        dups = pd.DataFrame({"h1": [], "h2": [], "min(doc_id)": []})
     else:
         dups = groups[groups["count()"] > 1]
-    dup_ref = ray.put(
-        (
-            pa.array(dups["h"], pa.string()),
-            dups["min(doc_id)"].to_numpy().astype(np.int64),
-        )
-    )
+    dh1 = dups["h1"].to_numpy().astype(np.int64)
+    dh2 = dups["h2"].to_numpy().astype(np.int64)
+    keeps = dups["min(doc_id)"].to_numpy().astype(np.int64)
+    order = np.lexsort((dh2, dh1))
+    dup_ref = ray.put((dh1[order], dh2[order], keeps[order]))
 
     def drops(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keys, keeps = ray.get(dup_ref)
-        if len(keys) == 0:  # no duplicated text anywhere
+        dh1, dh2, keeps = ray.get(dup_ref)
+        if len(dh1) == 0:  # no duplicated text anywhere
             return pa.table(
                 {"doc_id": pa.array([], pa.int64()),
                  "flag": pa.array([], pa.string())}
             )
-        idx_arr = pc.index_in(batch.column("h"), value_set=keys)
-        idx = idx_arr.to_numpy(zero_copy_only=False)
-        hit = (
-            ~np.isnan(idx)
-            if idx.dtype.kind == "f"
-            else idx_arr.is_valid().to_numpy(zero_copy_only=False)
-        )
+        h1 = batch.column("h1").to_numpy(zero_copy_only=False)
+        h2 = batch.column("h2").to_numpy(zero_copy_only=False)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        keep_of = keeps[np.nan_to_num(idx, nan=0).astype(np.int64)]
+        lo = np.searchsorted(dh1, h1, side="left")
+        hi = np.searchsorted(dh1, h1, side="right")
+        hit = np.zeros(len(ids), dtype=bool)
+        keep_of = np.zeros(len(ids), dtype=np.int64)
+        one = hi - lo == 1  # the overwhelmingly common case: unique h1
+        li = lo[one]
+        m = dh2[li] == h2[one]
+        sub = np.flatnonzero(one)[m]
+        hit[sub] = True
+        keep_of[sub] = keeps[li[m]]
+        for i in np.flatnonzero(hi - lo > 1):  # h1 collision: rare, tiny range
+            rng = np.arange(lo[i], hi[i])
+            eq = rng[dh2[rng] == h2[i]]
+            if len(eq):
+                hit[i] = True
+                keep_of[i] = keeps[eq[0]]
         drop = hit & (ids != keep_of)
         return pa.table(
             {
@@ -138,15 +148,15 @@ def q_corpus_clean_keep(sf_dir: str):
         order = np.argsort(ids, kind="stable")
         ids, fl = ids[order], fl[order]
         uniq, first = np.unique(ids, return_index=True)
-        seg = np.append(first, len(ids))
         cols = {}
         for name, flag in (("q", FLAG_QUALITY), ("x", FLAG_EXACT_DROP),
                            ("n", FLAG_NEAR_DROP)):
             ind = (fl == flag).astype(np.int8)
-            cols[name] = np.array(
-                [ind[seg[i]:seg[i + 1]].max(initial=0) for i in range(len(uniq))],
-                dtype=np.int8,
-            ) if len(uniq) else np.zeros(0, np.int8)
+            # segment max per doc run — reduceat, not a per-doc comprehension
+            cols[name] = (
+                np.maximum.reduceat(ind, first) if len(uniq)
+                else np.zeros(0, np.int8)
+            )
         return pa.table(
             {
                 "doc_id": pa.array(uniq, pa.int64()),

@@ -21,7 +21,6 @@ Scale shapes (documented per-op):
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 import numpy as np
@@ -35,6 +34,7 @@ from .texthash import (
     WORD_BASE,
     ASCII_WS_RE,
     _splitmix64_scalar,
+    batch_content_hash,
     batch_shingles,
     batch_words,
     shingle_hash_scalar,
@@ -130,10 +130,20 @@ def _band_buckets(sig: np.ndarray) -> np.ndarray:
 
 
 def minhash_bands_batch(batch: pa.Table) -> pa.Table:
-    """flat-map: one row per (doc, band) -> (band, bucket, doc_id)."""
+    """flat-map: one row per (doc, band) -> (band, bucket, doc_id).
+
+    Word-less (empty/whitespace-only) documents are dropped BEFORE the
+    fan-out: they all carry the U64_MAX sentinel signature, so keeping them
+    would pile every such doc into one identical giant bucket per band — a
+    straggler/memory hazard and a spurious n>1 candidate group. This mirrors
+    simhash_chunk_fanout's explicit word-less filter; identical empty docs
+    are dedup_exact's job (verify always skipped them anyway)."""
     sh, offs, n = _doc_shingles(batch)
     buckets = _band_buckets(_minhash_sigs(sh, offs, n))
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    present = np.diff(offs) > 0
+    if not present.all():
+        buckets, ids, n = buckets[present], ids[present], int(present.sum())
     return pa.table(
         {
             "band": pa.array(
@@ -149,10 +159,18 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
 def minhash_bands_shingles_batch(batch: pa.Table) -> pa.Table:
     """Band fan-out that carries each doc's distinct shingle hashes, so the
     exact-Jaccard verify can run inside the (band, bucket) group without any
-    driver-side lookup of the documents table."""
+    driver-side lookup of the documents table. Word-less documents are
+    dropped before the fan-out (see minhash_bands_batch)."""
     sh, offs, n = _doc_shingles(batch)
     buckets = _band_buckets(_minhash_sigs(sh, offs, n))
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    present = np.diff(offs) > 0
+    if not present.all():
+        # empty docs own zero-length segments, so dropping them keeps the
+        # value array intact: new starts are the kept docs' old starts
+        offs = np.append(offs[:-1][present], offs[-1])
+        buckets, ids = buckets[present], ids[present]
+        n = int(present.sum())
     shingle_list = pa.LargeListArray.from_arrays(
         pa.array(offs, pa.int64()), pa.array(sh.view(np.int64), pa.int64())
     )
@@ -229,40 +247,52 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
 # ---------------------------------------------------------------------------
 
 def exact_hash_batch(batch: pa.Table) -> pa.Table:
-    hashes = [
-        hashlib.md5(t.encode("utf-8")).hexdigest()
-        for t in batch.column("text").to_pylist()
-    ]
+    """(h1, h2, doc_id) per row — the internal 128-bit content key.
+
+    The key is two independent vectorized polynomial hashes over the raw
+    UTF-8 bytes (texthash.batch_content_hash — numpy over the Arrow buffer,
+    no per-row Python). It never appears in any query output, so it does not
+    need an SQL mirror: the dedup_exact oracle groups by the text itself,
+    and any collision-resistant key yields the same groups (~128 bits =>
+    birthday bound ~2^64 documents)."""
+    h1, h2 = batch_content_hash(batch.column("text"))
     return pa.table(
-        {"h": pa.array(hashes, pa.string()), "doc_id": batch.column("doc_id")}
+        {
+            "h1": pa.array(h1.view(np.int64), pa.int64()),
+            "h2": pa.array(h2.view(np.int64), pa.int64()),
+            "doc_id": batch.column("doc_id"),
+        }
     )
 
 
 def q_exact_dedup(sf_dir: str):
     """Surviving doc per distinct text + duplicate count (hash-partitioned,
-    per-group first by min doc_id)."""
+    per-group first by min doc_id). Only (h1, h2, doc_id) rows ever shuffle;
+    the output is (keep_id, dup_count) so the internal hash stays internal
+    and the DuckDB oracle can group by text directly."""
     import ray.data
     from ray.data.aggregate import Count, Min
 
     ds = _docs(sf_dir).map_batches(
         exact_hash_batch, batch_format="pyarrow", **remote_kwargs()
     )
-    agg = ds.groupby("h").aggregate(Min("doc_id"), Count())
+    agg = ds.groupby(["h1", "h2"]).aggregate(Min("doc_id"), Count())
     df = agg.to_pandas()
     if len(df) == 0:  # empty corpus -> typed empty result
         return pa.table(
-            {"h": pa.array([], pa.string()),
-             "keep_id": pa.array([], pa.int64()),
+            {"keep_id": pa.array([], pa.int64()),
              "dup_count": pa.array([], pa.int64())}
         )
     tbl = pa.Table.from_pandas(df, preserve_index=False)
-    tbl = tbl.rename_columns(["h", "keep_id", "dup_count"])
-    return tbl.sort_by([("h", "ascending")])
+    tbl = tbl.rename_columns(["h1", "h2", "keep_id", "dup_count"])
+    return tbl.select(["keep_id", "dup_count"]).sort_by(
+        [("keep_id", "ascending")]
+    )
 
 
 _EXACT_DEDUP_SQL = (
-    "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count"
-    " FROM documents GROUP BY 1 ORDER BY 1"
+    "SELECT min(doc_id) AS keep_id, count(*) AS dup_count"
+    " FROM documents GROUP BY text ORDER BY 1"
 )
 
 
@@ -375,16 +405,28 @@ def q_minhash_buckets(sf_dir: str):
     return tbl.filter(pc.greater(tbl.column("n"), 1))
 
 
-def _verify_bucket_group(group: pa.Table) -> pa.Table:
+def _verify_bucket_group(group: pa.Table, _cap: int | None = None) -> pa.Table:
     """All-pairs exact Jaccard within one (band, bucket) LSH group.
 
     The group carries each member's distinct shingle hashes, so verification
     is local to the worker holding the group. Groups are candidate near-dup
     clusters (tiny by construction for honest buckets; an adversarial
     all-identical corpus degenerates to one giant group, which exact-verify
-    inherently can't avoid — dedup_exact handles that case in O(n)).
+    inherently can't avoid — dedup_exact handles that case in O(n)). The
+    degeneracy is ENFORCED, not just documented: a group past
+    VERIFY_MAX_GROUP fails fast instead of doing quadratic work.
     """
+    cap = VERIFY_MAX_GROUP if _cap is None else _cap
     ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) > cap:
+        raise ValueError(
+            f"near-dup verify group has {len(ids)} members (cap"
+            f" {cap}): the corpus has a mass of"
+            " (near-)identical documents collapsing into one LSH bucket,"
+            " which makes exact in-bucket verification quadratic. Run"
+            " dedup_exact first to collapse identical texts, or raise"
+            " dedup.VERIFY_MAX_GROUP deliberately."
+        )
     if len(ids) < 2:
         return pa.table(
             {
@@ -435,8 +477,10 @@ def q_minhash_near_dups(sf_dir: str):
     ds = _docs(sf_dir).map_batches(
         minhash_bands_shingles_batch, batch_format="pyarrow", **remote_kwargs()
     )
+    cap = VERIFY_MAX_GROUP  # captured driver-side so overrides reach workers
     pairs = ds.groupby(["band", "bucket"]).map_groups(
-        _verify_bucket_group, batch_format="pyarrow", **remote_kwargs()
+        lambda g: _verify_bucket_group(g, cap),
+        batch_format="pyarrow", **remote_kwargs()
     )
     # a pair verified in k bands appears k times with the same jac -> max()
     # collapses them; the surviving table is the (small) query result itself
@@ -499,8 +543,16 @@ def simhash_chunk_fanout(batch: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
-def _simhash_verify_group(group: pa.Table) -> pa.Table:
+def _simhash_verify_group(group: pa.Table, _cap: int | None = None) -> pa.Table:
+    cap = VERIFY_MAX_GROUP if _cap is None else _cap
     ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) > cap:
+        raise ValueError(
+            f"simhash verify group has {len(ids)} members (cap"
+            f" {cap}): a mass of (near-)identical documents"
+            " collapsed into one chunk bucket. Run dedup_exact first, or"
+            " raise dedup.VERIFY_MAX_GROUP deliberately."
+        )
     empty = pa.table(
         {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
          "hamming": pa.array([], pa.int64())}
@@ -537,8 +589,10 @@ def q_simhash_near_dups(sf_dir: str):
     ds = _docs(sf_dir).map_batches(
         simhash_chunk_fanout, batch_format="pyarrow", **remote_kwargs()
     )
+    cap = VERIFY_MAX_GROUP  # captured driver-side so overrides reach workers
     pairs = ds.groupby(["chunk_idx", "chunk_val"]).map_groups(
-        _simhash_verify_group, batch_format="pyarrow", **remote_kwargs()
+        lambda g: _simhash_verify_group(g, cap),
+        batch_format="pyarrow", **remote_kwargs()
     )
     df = pairs.groupby(["id_a", "id_b"]).min("hamming").to_pandas()
     if len(df) == 0:
@@ -577,6 +631,19 @@ def q_simhash_near_dups(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 CC_MAX_ROUNDS = 12
+
+#: hard cap on a single in-bucket exact verify (MinHash and SimHash paths):
+#: a group of g members is O(g^2) pairwise work, so a degenerate corpus must
+#: fail fast with a pointer at dedup_exact rather than stall a worker
+VERIFY_MAX_GROUP = 20_000
+
+#: connected_components broadcasts the per-round minima vector (two int64
+#: arrays, one entry per node IN A PAIR) via ray.put and folds it on the
+#: driver — O(nodes-in-pairs), the same order as the op's own output. 16
+#: bytes/node => ~1.6 GB at 10^8 nodes; beyond that the broadcast (not the
+#: algorithm) is the bottleneck and the minima must be hash-sharded. The
+#: bound is asserted so the failure is a clear error, not an OOM.
+CC_MAX_BROADCAST_NODES = 100_000_000
 
 
 def union_find_components(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -673,16 +740,50 @@ def _cc_labels_consistent(edges, minima_ref) -> bool:
     return int(agg["sum(bad)"]) == 0
 
 
+def _cc_symmetrize_batch(t: pa.Table) -> pa.Table:
+    """Emit both directions of every edge, deduped per batch — hash-to-min
+    requires a symmetric edge list (a y-only node would be absent from the
+    minima vector and searchsorted would return a NEIGHBOR's minimum)."""
+    x = t.column("x").to_numpy(zero_copy_only=False)
+    y = t.column("y").to_numpy(zero_copy_only=False)
+    pairs = np.stack(
+        [np.concatenate([x, y]), np.concatenate([y, x])], axis=1
+    )
+    if len(pairs):
+        pairs = np.unique(pairs, axis=0)
+    return pa.table(
+        {"x": pa.array(pairs[:, 0], pa.int64()),
+         "y": pa.array(pairs[:, 1], pa.int64())}
+    )
+
+
 def connected_components(edges):
     """(x, y) edge Dataset -> (node, component) Dataset where component is
     the minimum node id reachable from `node` (distributed hash-to-min; see
-    the section comment for the convergence/validation contract)."""
+    the section comment for the convergence/validation contract).
+
+    Edges are symmetrized on entry (one pass emitting both directions,
+    per-batch deduped), so callers may pass a directed pair list such as a
+    near-dup (id_a < id_b) result directly. Driver/broadcast memory is
+    O(nodes-in-pairs) and asserted against CC_MAX_BROADCAST_NODES."""
     import ray as _ray
     import ray.data
 
+    edges = edges.map_batches(
+        _cc_symmetrize_batch, batch_format="pyarrow", **remote_kwargs()
+    )
     prev = None
     for _ in range(CC_MAX_ROUNDS):
         mdf = _cc_minima(edges).to_pandas()  # O(nodes in pair graph)
+        if len(mdf) > CC_MAX_BROADCAST_NODES:
+            raise ValueError(
+                f"connected_components: {len(mdf)} nodes exceed the"
+                f" broadcast-minima bound ({CC_MAX_BROADCAST_NODES});"
+                " the per-round minima vector would no longer be"
+                " broadcastable — shard the graph (e.g. per near-dup"
+                " partition) or raise dedup.CC_MAX_BROADCAST_NODES on a"
+                " driver with the memory to hold it."
+            )
         xs = mdf["x"].to_numpy()
         order = np.argsort(xs)
         xs, ms = xs[order], mdf["m"].to_numpy()[order]

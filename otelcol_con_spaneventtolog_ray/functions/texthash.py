@@ -106,6 +106,34 @@ def window_hash(prefix: np.ndarray, pw: np.ndarray, lo: np.ndarray, hi: np.ndarr
         return prefix[hi] - prefix[lo] * pw[hi - lo]
 
 
+#: second byte-level base for the 128-bit content hash (odd => invertible)
+BYTE_BASE2 = np.uint64(1000000007)
+
+
+def batch_content_hash(text: pa.Array | pa.ChunkedArray):
+    """Two independent 64-bit content hashes per row -> (h1, h2) uint64.
+
+    Each is a polynomial fold over the row's raw UTF-8 bytes with a leading
+    1-sentinel (h = fold(1 || bytes), i.e. raw + base^len — so a leading NUL
+    byte cannot alias a shorter string), splitmix64-finalized. Fully
+    vectorized via prefix_hash over the column's single data buffer; the two
+    bases are independent, giving ~128 bits against collisions (birthday
+    bound ~2^64 documents). Scalar mirror: :func:`content_hash_scalar`.
+    """
+    offsets, data = _string_buffer_view(text)
+    lo_all = offsets[0]
+    view = data[lo_all:offsets[-1]]
+    lo = offsets[:-1] - lo_all
+    hi = offsets[1:] - lo_all
+    out = []
+    for base in (BYTE_BASE, BYTE_BASE2):
+        prefix, pw = prefix_hash(view, base)
+        with np.errstate(over="ignore"):
+            raw = window_hash(prefix, pw, lo, hi) + pw[hi - lo]
+        out.append(_splitmix64(raw))
+    return out[0], out[1]
+
+
 def batch_words(text: pa.Array | pa.ChunkedArray):
     """Tokenize a string column into hashed words, fully vectorized.
 
@@ -210,3 +238,16 @@ def shingle_hash_scalar(word_hashes: list[int]) -> int:
 
 def words_scalar(text: str) -> list[str]:
     return [w for w in ASCII_WS_RE.split(text) if w]
+
+
+def content_hash_scalar(text: str) -> tuple[int, int]:
+    """Scalar mirror of :func:`batch_content_hash` for one string."""
+    M = (1 << 64) - 1
+    bs = text.encode("utf-8")
+    out = []
+    for base in (int(BYTE_BASE), int(BYTE_BASE2)):
+        h = 1  # leading sentinel: fold(1 || bytes)
+        for b in bs:
+            h = (h * base + b) & M
+        out.append(_splitmix64_scalar(h))
+    return out[0], out[1]

@@ -117,7 +117,13 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     Lowering goes through Arrow's utf8_lower (simple per-rune mapping) so
     non-ASCII documents ('İ' -> 'i', not 'i'+combining-dot as Python's
     full-mapping str.lower() would give) hash identically to the DuckDB
-    mirror's lower()."""
+    mirror's lower().
+
+    md5 is retained DELIBERATELY (hashlib releases the GIL and runs C, so
+    the per-row loop is not catastrophic): the fingerprint string IS this
+    op's output contract and the DuckDB mirror must reproduce it with its
+    own md5() — a faster internal hash (texthash.batch_content_hash, used
+    by dedup_exact where the key stays internal) would break the mirror."""
     texts = pc.utf8_lower(batch.column("text")).to_pylist()
     fps = [
         hashlib.md5(_WS_RE.sub(" ", t).encode("utf-8")).hexdigest()
@@ -384,6 +390,11 @@ SAMPLE_THRESHOLDS = {"en": "8000", "de": "4000", "fr": "2000", "es": "1000"}
 
 
 def sample_stratified_batch(batch: pa.Table) -> pa.Table:
+    """md5 is retained DELIBERATELY here: the keep decision is the hash
+    prefix itself and must be byte-reproducible by the DuckDB mirror's
+    substr(md5(...)) — an internal vectorized hash would change which
+    documents are sampled. hashlib is C (and the input is a short id
+    string), so the loop is cheap relative to the scan it filters."""
     ids = batch.column("doc_id").to_pylist()
     langs = batch.column("lang").to_pylist()
     h4 = np.array(

@@ -78,3 +78,19 @@ def test_cli_query_runner(ray_session, tmp_path):
     # the functions/ registry (the telemetry pipeline itself is the CLI's
     # default mode; pipeline_* variants live in the driver contract)
     assert len(lines) >= 35
+
+
+def test_cli_query_rejects_flagship_only_flags(tmp_path):
+    """--query with flags that only configure the flagship pipeline must
+    error loudly instead of silently ignoring them."""
+    import pytest
+
+    from otelcol_con_spaneventtolog_ray.__main__ import main
+
+    out = str(tmp_path / "res.parquet")
+    for extra in (["--config", "x.yaml"], ["--resumable"],
+                  ["--deadletter"], ["--shard-size", "4"]):
+        with pytest.raises(SystemExit) as ei:
+            main(["--query", "text_stats", "/root/testdata/sf0.001", out]
+                 + extra)
+        assert ei.value.code == 2

@@ -1045,3 +1045,86 @@ def test_document_queries_handle_empty_corpus(ray_session, tmp_path):
         out = qs[name](str(d))
         out = _to_df(out)
         assert len(out) == 0, name
+
+
+def test_minhash_bands_drop_wordless_docs():
+    """Word-less docs share the sentinel signature; they must be excluded
+    from the band fan-out (no spurious giant shared bucket), in BOTH fanout
+    variants, without disturbing the surviving docs' rows."""
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        NUM_BANDS,
+        minhash_bands_batch,
+        minhash_bands_shingles_batch,
+        word_shingles,
+    )
+
+    texts = ["alpha beta gamma", "", "   \t\n", "delta epsilon zeta", ""]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    out = minhash_bands_batch(tbl)
+    assert set(out.column("doc_id").to_pylist()) == {0, 3}
+    assert out.num_rows == 2 * NUM_BANDS
+    outs = minhash_bands_shingles_batch(tbl)
+    assert set(outs.column("doc_id").to_pylist()) == {0, 3}
+    assert outs.num_rows == 2 * NUM_BANDS
+    # the carried shingle sets still belong to the right docs
+    by_doc = {}
+    for r in outs.to_pylist():
+        by_doc.setdefault(r["doc_id"], set()).update(
+            x & ((1 << 64) - 1) for x in r["shingles"]
+        )
+    assert by_doc[0] == word_shingles(texts[0])
+    assert by_doc[3] == word_shingles(texts[3])
+    # word-full-only batches are unchanged by the filter path
+    full = pa.table({"doc_id": pa.array([7], pa.int64()),
+                     "text": pa.array(["a b c d"], pa.string())})
+    assert minhash_bands_batch(full).num_rows == NUM_BANDS
+
+
+def test_connected_components_symmetrizes_directed_input(ray_session):
+    """A directed pair list (id_a < id_b only — the near-dup output shape)
+    must label correctly: edges are symmetrized on entry."""
+    import ray.data
+
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        connected_components,
+        union_find_components,
+    )
+
+    # chain 1->2->3, star 10->{11,12}, all edges one direction only
+    a = np.array([1, 2, 10, 10], dtype=np.int64)
+    b = np.array([2, 3, 11, 12], dtype=np.int64)
+    edges = ray.data.from_arrow(
+        pa.table({"x": pa.array(a, pa.int64()), "y": pa.array(b, pa.int64())})
+    )
+    got = connected_components(edges).to_pandas().sort_values("node")
+    nodes, comp = union_find_components(a, b)
+    assert got["node"].tolist() == nodes.tolist()
+    assert got["component"].tolist() == comp.tolist()
+
+
+def test_verify_group_cap_fails_fast_on_degenerate_corpus(ray_session, tmp_path):
+    """An all-identical corpus collapses into one giant LSH bucket; the
+    in-bucket exact verify must refuse with a pointer at dedup_exact
+    instead of doing quadratic work."""
+    import pyarrow.parquet as pq
+
+    from otelcol_con_spaneventtolog_ray.functions import dedup
+
+    n = 300
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(["the same exact document body"] * n, pa.string()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    old = dedup.VERIFY_MAX_GROUP
+    dedup.VERIFY_MAX_GROUP = 100
+    try:
+        with pytest.raises(Exception, match="dedup_exact"):
+            dedup.q_minhash_near_dups(str(d))
+        with pytest.raises(Exception, match="dedup_exact"):
+            dedup.q_simhash_near_dups(str(d))
+    finally:
+        dedup.VERIFY_MAX_GROUP = old

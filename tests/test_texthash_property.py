@@ -91,3 +91,35 @@ def test_shingles_independent_of_batch_split(texts, cut):
     whole = shingle_sets(texts)
     parts = shingle_sets(texts[:cut]) + shingle_sets(texts[cut:])
     assert whole == parts
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_DOC, min_size=0, max_size=12), st.integers(0, 5))
+def test_content_hash_matches_scalar_mirror(texts, offset):
+    from otelcol_con_spaneventtolog_ray.functions.texthash import (
+        batch_content_hash,
+        content_hash_scalar,
+    )
+
+    offset = min(offset, len(texts))
+    col = pa.array(texts, pa.string()).slice(offset)
+    texts = texts[offset:]
+    h1, h2 = batch_content_hash(col)
+    for d, t in enumerate(texts):
+        assert (int(h1[d]), int(h2[d])) == content_hash_scalar(t), repr(t)
+
+
+def test_content_hash_leading_nul_is_not_an_alias():
+    """The leading-1 sentinel: '\\x00a' must not hash like 'a' (a plain
+    polynomial fold would alias them, since the NUL contributes 0*B), and
+    empty vs single-NUL strings must differ too."""
+    from otelcol_con_spaneventtolog_ray.functions.texthash import (
+        batch_content_hash,
+        content_hash_scalar,
+    )
+
+    col = pa.array(["a", "\x00a", "", "\x00", "\x00\x00"], pa.string())
+    h1, h2 = batch_content_hash(col)
+    pairs = list(zip(h1.tolist(), h2.tolist()))
+    assert len(set(pairs)) == len(pairs)
+    assert content_hash_scalar("a") != content_hash_scalar("\x00a")
