@@ -78,7 +78,10 @@ def prepare_input(sf_dir: str, rep: int) -> str:
     return out
 
 
-def run_single(sf_dir: str, num_cpus: int, rep: int, timed_reps: int = 1) -> dict:
+def run_single(
+    sf_dir: str, num_cpus: int, rep: int, timed_reps: int = 3,
+    secondary: bool = True,
+) -> dict:
     import dataclasses
 
     import ray
@@ -111,23 +114,23 @@ def run_single(sf_dir: str, num_cpus: int, rep: int, timed_reps: int = 1) -> dic
         ).count()
 
         # q1: full DAG — read -> parse -> enrich -> routed write -> counts.
-        # best-of-N timed runs: wall time on this box is ~20% noisy run-to-run
-        # (page-cache state, kcompactd), so the scaling mode — where a single
-        # outlier corrupts the ratio — takes the best of three (explicit
-        # --timed-reps, never an ambient env var); the default single run
-        # stays one-shot.
+        # best-of-N timed runs (default 3): wall time on this box is ~20-50%
+        # noisy run-to-run (page-cache state, kcompactd), which made a
+        # single-run flagship number unjudgeable across rounds — so BOTH the
+        # default and the scaling mode take best-of-3 and report every run,
+        # making regression vs box noise decidable from one artifact.
         out_dir = "/tmp/graft_bench_out"
-        best = None
-        for _ in range(timed_reps):
+        runs: list[float] = []
+        for _ in range(max(timed_reps, 1)):
             shutil.rmtree(out_dir, ignore_errors=True)
             t0 = time.perf_counter()
             counts = run_pipeline(pages_dir, out_dir, cfg)
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            runs.append(time.perf_counter() - t0)
+        best = min(runs)
         queries["pipeline_full"] = round(best, 3)
         events = int(sum(counts.values()))
 
-        if timed_reps == 1:  # scaling subprocesses skip the secondary queries
+        if secondary:  # scaling subprocesses skip the secondary queries
             # q2: parse+enrich -> salted two-phase aggregate (no write)
             t0 = time.perf_counter()
             sink_counts(build_log_records(read_pages(pages_dir), cfg))
@@ -152,7 +155,8 @@ def run_single(sf_dir: str, num_cpus: int, rep: int, timed_reps: int = 1) -> dic
 
         total = queries["pipeline_full"]
         return {
-            "metric": "flagship parse->enrich->route->aggregate wall sec",
+            "metric": "flagship parse->enrich->route->aggregate wall sec"
+                      f" (best of {len(runs)})",
             "value": total,
             "unit": "sec",
             "queries": queries,
@@ -160,6 +164,10 @@ def run_single(sf_dir: str, num_cpus: int, rep: int, timed_reps: int = 1) -> dic
             "num_cpus": num_cpus,
             "events": events,
             "events_per_sec": int(events / total) if total else 0,
+            # per-run walls so regression vs box noise is decidable from the
+            # artifact alone (this box's spread is real: see BASELINE.md)
+            "pipeline_full_runs": [round(r, 3) for r in runs],
+            "spread_sec": round(max(runs) - min(runs), 3),
         }
     finally:
         ray.shutdown()
@@ -173,7 +181,8 @@ def run_scaling(sf_dir: str, rep: int, n_low: int, n_high: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
                    RAY_GRAFT_BENCH_REP=str(rep))
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--timed-reps", "3"],
+            [sys.executable, os.path.abspath(__file__), "--timed-reps", "3",
+             "--skip-secondary"],
             env=env, capture_output=True, text=True, timeout=3600,
         )
         if proc.returncode != 0 or not proc.stdout.strip():
@@ -240,7 +249,11 @@ def main() -> None:
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--stats", action="store_true",
                     help="print per-stage ds.stats() for the flagship DAG")
-    ap.add_argument("--timed-reps", type=int, default=1, help=argparse.SUPPRESS)
+    ap.add_argument("--timed-reps", type=int, default=3,
+                    help="timed flagship runs; best-of is reported, every"
+                         " run's wall is in pipeline_full_runs")
+    ap.add_argument("--skip-secondary", action="store_true",
+                    help=argparse.SUPPRESS)
     # accepted for backwards compatibility; output is already one JSON line
     ap.add_argument("--json-only", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--rep", type=int, default=None)
@@ -263,7 +276,9 @@ def main() -> None:
     if args.scaling:
         result = run_scaling(sf_dir, args.rep, args.low, args.high)
     else:
-        result = run_single(sf_dir, num_cpus, args.rep, timed_reps=args.timed_reps)
+        result = run_single(sf_dir, num_cpus, args.rep,
+                            timed_reps=args.timed_reps,
+                            secondary=not args.skip_secondary)
     print(json.dumps(result))
 
 

@@ -256,23 +256,27 @@ def q_embedding_neardup(sf_dir: str):
     )
 
 
-# --- approximate scale path: multi-table hyperplane LSH + in-bucket verify ---
+# --- approximate scale path: multi-table hyperplane LSH, id-only fan-out,
+# candidate-pair dedup, then chunk-pair pushdown verify ---
 
 NEARDUP_LSH_TABLES = 24
 NEARDUP_LSH_PLANES = 3  # few planes/table at test scale; log-scale with corpus
+
+#: cap on one (table, bucket) candidate group — a group of g emits O(g^2)
+#: candidate pairs, so a degenerate all-similar corpus must fail fast
+NEARDUP_MAX_BUCKET = 10_000
 
 _lsh_rng_seed = 246813579
 
 
 def _neardup_lsh_batch(batch: pa.Table) -> pa.Table:
-    """flat-map: (table, bucket, vec_id, embedding) — T hash tables of P
-    random hyperplanes each. The embedding rides along so the exact verify
-    runs inside the (table, bucket) group."""
+    """flat-map: (table, bucket, vec_id) — T hash tables of P random
+    hyperplanes each. ONLY ids fan out (14 bytes/row): the round-2 version
+    shipped the embedding with every one of the 24 table rows, so 24x the
+    corpus's vector bytes crossed the shuffle; vectors are now re-read once
+    per chunk pair in the verify stage via filter pushdown instead."""
     ids, mat = _batch_matrix(batch)
     n = len(ids)
-    emb = batch.column("embedding")
-    if isinstance(emb, pa.ChunkedArray):
-        emb = emb.combine_chunks()
     rng = np.random.RandomState(_lsh_rng_seed)
     planes = rng.standard_normal(
         (NEARDUP_LSH_TABLES, mat.shape[1], NEARDUP_LSH_PLANES)
@@ -287,51 +291,127 @@ def _neardup_lsh_batch(batch: pa.Table) -> pa.Table:
                     "table": pa.array(np.full(n, t, dtype=np.int32), pa.int32()),
                     "bucket": pa.array(bucket.astype(np.int32), pa.int32()),
                     "vec_id": pa.array(ids, pa.int64()),
-                    "embedding": emb,
                 }
             )
         )
     return pa.concat_tables(parts)
 
 
-def _neardup_verify_group(group: pa.Table) -> pa.Table:
-    """Exact all-pairs cosine within one (table, bucket) group."""
-    ids, mat = _batch_matrix(
-        group.select(["vec_id", "embedding"])
+def _neardup_candidate_pairs(group: pa.Table, _cap: int | None = None) -> pa.Table:
+    """One (table, bucket) group -> its candidate pairs (id_a < id_b)."""
+    cap = NEARDUP_MAX_BUCKET if _cap is None else _cap
+    ids = np.unique(
+        group.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
     )
-    order = np.argsort(ids, kind="stable")
-    ids, mat = ids[order], mat[order]
-    sims = np.round(_norm_rows(mat) @ _norm_rows(mat).T, 6)
-    ai, bj = np.nonzero((sims >= NEARDUP_THRESHOLD) & (ids[:, None] < ids[None, :]))
+    g = len(ids)
+    if g > cap:
+        raise ValueError(
+            f"embedding near-dup LSH bucket has {g} members (cap {cap}):"
+            " a mass of near-identical vectors collapsed into one bucket,"
+            " making the candidate set quadratic. Deduplicate exact copies"
+            " first or raise similarity.NEARDUP_MAX_BUCKET deliberately."
+        )
+    if g < 2:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    ai, bj = np.triu_indices(g, k=1)
     return pa.table(
-        {
-            "id_a": pa.array(ids[ai], pa.int64()),
-            "id_b": pa.array(ids[bj], pa.int64()),
-            "score": pa.array(sims[ai, bj], pa.float64()),
-        }
+        {"id_a": pa.array(ids[ai], pa.int64()),
+         "id_b": pa.array(ids[bj], pa.int64())}
     )
+
+
+def _neardup_chunk_verify_fn(path: str, lo: int, chunk: int):
+    """Verify one (chunk_a, chunk_b) group of candidate pairs: pushdown-read
+    the two CONTIGUOUS id ranges (2 x chunk vectors max, regardless of
+    corpus size — the exact path's _read_id_range shape), score the listed
+    pairs from one chunk x chunk matmul, keep score >= threshold."""
+
+    def _verify(group: pa.Table) -> pa.Table:
+        a = group.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = int((a[0] - lo) // chunk)
+        cb = int((b[0] - lo) // chunk)
+        ta = _read_id_range(path, lo + ca * chunk, lo + (ca + 1) * chunk)
+        tb = (
+            ta if cb == ca
+            else _read_id_range(path, lo + cb * chunk, lo + (cb + 1) * chunk)
+        )
+        aids, amat = _batch_matrix(ta)
+        bids, bmat = _batch_matrix(tb)
+        oa = np.argsort(aids, kind="stable")  # searchsorted needs sorted ids
+        ob = np.argsort(bids, kind="stable")
+        aids, amat = aids[oa], amat[oa]
+        bids, bmat = bids[ob], bmat[ob]
+        sims = np.round(_norm_rows(amat) @ _norm_rows(bmat).T, 6)
+        ia = np.searchsorted(aids, a)
+        ib = np.searchsorted(bids, b)
+        s = sims[ia, ib]
+        keep = s >= NEARDUP_THRESHOLD
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "score": pa.array(s[keep], pa.float64()),
+            }
+        )
+
+    return _verify
 
 
 def q_embedding_neardup_lsh(sf_dir: str):
     """Approximate near-dup pairs: candidates = pairs sharing ANY of the
-    NEARDUP_LSH_TABLES buckets, exact-verified inside the bucket group —
-    the (table, bucket) key is the partitioning key, so cost tracks bucket
-    sizes instead of n^2 and nothing is broadcast. Precision is exact by
-    construction; recall vs the exact query is pinned in pytest (1.0 on the
-    sf0.01 fixture at the current threshold)."""
+    NEARDUP_LSH_TABLES buckets, exact-verified against the threshold.
+
+    Scale shape (round-3 rework): the fan-out carries (table, bucket,
+    vec_id) ONLY — the heavy exchange moves 14-byte rows, never vectors
+    (previously the embedding itself was replicated into all 24 table rows).
+    Candidate pairs are deduped with a tiny groupby, keyed by their
+    (id_a chunk, id_b chunk) cell, and each chunk-pair group pushdown-reads
+    its two contiguous id ranges to score its pairs — per-task memory is
+    2 x NEARDUP_CHUNK_ROWS vectors at any corpus size, and each occupied
+    chunk pair is read once. Precision is exact by construction; recall vs
+    the exact query is pinned in pytest (1.0 on the sf0.01 fixture at the
+    current threshold)."""
+    path = _emb_path(sf_dir)
+    lo, _hi = _vec_id_bounds(path)
+    chunk = NEARDUP_CHUNK_ROWS
+    cap = NEARDUP_MAX_BUCKET  # captured driver-side so overrides reach workers
     ds = _emb(sf_dir).map_batches(
         _neardup_lsh_batch, batch_format="pyarrow", **remote_kwargs()
     )
-    pairs = ds.groupby(["table", "bucket"]).map_groups(
-        _neardup_verify_group, batch_format="pyarrow", **remote_kwargs()
+    cand = ds.groupby(["table", "bucket"]).map_groups(
+        lambda g: _neardup_candidate_pairs(g, cap),
+        batch_format="pyarrow", **remote_kwargs()
     )
-    df = pairs.groupby(["id_a", "id_b"]).max("score").to_pandas()
+    # dedup pairs found via several tables, then key by chunk cell
+    uniq = cand.groupby(["id_a", "id_b"]).count()
+
+    def chunk_keys(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ca": pa.array((a - lo) // chunk, pa.int64()),
+                "cb": pa.array((b - lo) // chunk, pa.int64()),
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+            }
+        )
+
+    keyed = uniq.map_batches(chunk_keys, batch_format="pyarrow", **remote_kwargs())
+    pairs = keyed.groupby(["ca", "cb"]).map_groups(
+        _neardup_chunk_verify_fn(path, lo, chunk),
+        batch_format="pyarrow", **remote_kwargs()
+    )
+    df = pairs.to_pandas()
     if len(df) == 0:
         return pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
              "score": pa.array([], pa.float64())}
         )
-    df = df.rename(columns={"max(score)": "score"}).sort_values(["id_a", "id_b"])
+    df = df.sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(
         df.reset_index(drop=True)[["id_a", "id_b", "score"]], preserve_index=False
     )
@@ -543,13 +623,18 @@ def q_ivf_topk(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 # kNN self-join — approximate top-k neighbors for EVERY vector, distributed:
-# each vector fans out as a "query" to its IVF_NPROBE nearest trained cells
-# and as a "member" to its own cell; groupby(cell).map_groups scores the
-# queries of a cell against its members (one matmul per cell) and emits
-# per-cell local top-k partials; a second groupby(qid).map_groups folds the
-# nprobe partials per query. The cell is the only partitioning key — no
-# broadcast of the corpus, no driver-side matrices, O(k) rows per
-# (query, probed cell) cross the second exchange.
+# each vector fans out to its KNN_NPROBE nearest trained cells (the row for
+# its OWN cell — always the nearest centroid — doubles as the "member" row,
+# so the fan-out is x nprobe, not x(nprobe+1)); groupby(cell).map_groups
+# scores the queries of a cell against its members (one matmul per cell,
+# flattened lexsort top-k — no per-query Python) and emits per-cell local
+# top-k partials; the final per-query fold is sort("qid") followed by a
+# VECTORIZED segment fold inside map_batches (lexsort + run-boundary rank —
+# one Python call per BLOCK, never per query; Ray's range-partitioned sort
+# co-locates equal keys in one block, the same property map_groups relies
+# on). The cell is the only partitioning key — no broadcast of the corpus,
+# no driver-side matrices, O(k) rows per (query, probed cell) cross the
+# second exchange.
 # ---------------------------------------------------------------------------
 
 KNN_K = 5
@@ -568,25 +653,19 @@ def _knn_fanout_fn(cref):
         emb = batch.column("embedding")
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
-        own, _ = _assign_cells(mat, cn)
         sims = np.round(_norm_rows(mat) @ cn.T, 6)
         probes = np.argsort(-sims, kind="stable", axis=1)[:, :KNN_NPROBE]
-        parts = [
-            pa.table(
-                {
-                    "cell": pa.array(own, pa.int64()),
-                    "role": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
-                    "vec_id": pa.array(ids, pa.int64()),
-                    "embedding": emb,
-                }
-            )
-        ]
+        # probes[:, 0] IS the own cell (argmax == first of the stable
+        # descending argsort), so probe 0 carries role=2 (member AND query)
+        # and the embedding ships x nprobe, not x(nprobe+1)
+        parts = []
         for p in range(KNN_NPROBE):
+            role = np.full(len(ids), 2 if p == 0 else 1, dtype=np.int8)
             parts.append(
                 pa.table(
                     {
                         "cell": pa.array(probes[:, p].astype(np.int64), pa.int64()),
-                        "role": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+                        "role": pa.array(role, pa.int8()),
                         "vec_id": pa.array(ids, pa.int64()),
                         "embedding": emb,
                     }
@@ -597,12 +676,24 @@ def _knn_fanout_fn(cref):
     return _fanout
 
 
+def _segment_rank(keys: np.ndarray) -> np.ndarray:
+    """1-based rank within each run of equal values in a SORTED key array."""
+    n = len(keys)
+    starts = np.flatnonzero(np.concatenate([[True], keys[1:] != keys[:-1]]))
+    lens = np.diff(np.append(starts, n))
+    return np.arange(n) - np.repeat(starts, lens) + 1
+
+
 def _knn_cell_group(group: pa.Table) -> pa.Table:
+    """Score a cell's queries against its members — ONE matmul + one
+    flattened lexsort for the whole group; the per-query local top-k comes
+    from segment ranks over (qid, score desc, nid) order, no Python loop
+    over queries."""
     roles = group.column("role").to_numpy(zero_copy_only=False)
     ids, mat = _batch_matrix(group.select(["vec_id", "embedding"]))
     nm = _norm_rows(mat)
-    mem = roles == 0
-    qry = roles == 1
+    mem = roles != 1  # member-only (0, legacy) or member+query (2)
+    qry = roles != 0  # query-only (1) or member+query (2)
     if not mem.any() or not qry.any():
         return pa.table(
             {"qid": pa.array([], pa.int64()), "nid": pa.array([], pa.int64()),
@@ -610,48 +701,65 @@ def _knn_cell_group(group: pa.Table) -> pa.Table:
         )
     mids, qids = ids[mem], ids[qry]
     sims = np.round(nm[qry] @ nm[mem].T, 6)  # (Q, M)
-    out_q, out_n, out_s = [], [], []
-    for qi in range(len(qids)):
-        m = mids != qids[qi]
-        cids, csims = mids[m], sims[qi, m]
-        order = np.lexsort((cids, -csims))[:KNN_K]
-        out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
-        out_n.append(cids[order])
-        out_s.append(csims[order])
+    Q, M = sims.shape
+    flat = sims.ravel()
+    qrep = np.repeat(qids, M)
+    ntile = np.tile(mids, Q)
+    valid = qrep != ntile  # a vector is never its own neighbor
+    flat, qrep, ntile = flat[valid], qrep[valid], ntile[valid]
+    order = np.lexsort((ntile, -flat, qrep))  # qid, score desc, nid asc
+    qrep, ntile, flat = qrep[order], ntile[order], flat[order]
+    keep = _segment_rank(qrep) <= KNN_K
     return pa.table(
         {
-            "qid": pa.array(np.concatenate(out_q), pa.int64()),
-            "nid": pa.array(np.concatenate(out_n), pa.int64()),
-            "score": pa.array(np.concatenate(out_s), pa.float64()),
+            "qid": pa.array(qrep[keep], pa.int64()),
+            "nid": pa.array(ntile[keep], pa.int64()),
+            "score": pa.array(flat[keep], pa.float64()),
         }
     )
 
 
-def _knn_fold_group(group: pa.Table) -> pa.Table:
-    qid = int(group.column("qid")[0].as_py())
-    nid = group.column("nid").to_numpy(zero_copy_only=False)
-    score = group.column("score").to_numpy(zero_copy_only=False)
-    # a neighbor can arrive from several probed cells: dedupe, then top-k
-    order = np.lexsort((nid, -score))
-    nid, score = nid[order], score[order]
-    _, first = np.unique(nid, return_index=True)
-    keep = np.zeros(len(nid), dtype=bool)
-    keep[first] = True
-    nid, score = nid[keep], score[keep]
-    order = np.lexsort((nid, -score))[:KNN_K]
+def _knn_fold_batch(t: pa.Table) -> pa.Table:
+    """Vectorized per-query fold over one sorted block: dedupe (qid, nid)
+    keeping the max score, then global top-KNN_K per qid via segment ranks.
+    Runs under map_batches(batch_size=None) after sort("qid"), whose
+    range-partitioned shuffle co-locates every row of a qid in one block
+    (the same guarantee groupby().map_groups builds on) — so this is exact,
+    with one Python call per BLOCK instead of per query."""
+    qid = t.column("qid").to_numpy(zero_copy_only=False)
+    nid = t.column("nid").to_numpy(zero_copy_only=False)
+    score = t.column("score").to_numpy(zero_copy_only=False)
+    if len(qid) == 0:
+        return pa.table(
+            {"qid": pa.array([], pa.int64()), "nid": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    # dedupe: a neighbor can arrive from several probed cells — sort each
+    # (qid, nid) run by score desc and keep its first (max-score) row
+    order = np.lexsort((-score, nid, qid))
+    qid, nid, score = qid[order], nid[order], score[order]
+    first = np.concatenate([[True], (qid[1:] != qid[:-1]) | (nid[1:] != nid[:-1])])
+    qid, nid, score = qid[first], nid[first], score[first]
+    # rank: score desc, nid asc within each qid
+    order = np.lexsort((nid, -score, qid))
+    qid, nid, score = qid[order], nid[order], score[order]
+    rank = _segment_rank(qid)
+    keep = rank <= KNN_K
     return pa.table(
         {
-            "qid": pa.array(np.full(len(order), qid, dtype=np.int64), pa.int64()),
-            "nid": pa.array(nid[order], pa.int64()),
-            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
-            "score": pa.array(score[order], pa.float64()),
+            "qid": pa.array(qid[keep], pa.int64()),
+            "nid": pa.array(nid[keep], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+            "score": pa.array(score[keep], pa.float64()),
         }
     )
 
 
 def q_knn_join(sf_dir: str):
     """Approximate kNN for every vector (rows-only; recall vs brute force is
-    pinned in tests)."""
+    pinned in tests). The final fold is sort("qid") + a segment-vectorized
+    map_batches — no per-query Python anywhere in the DAG."""
     import ray
 
     cref = ray.put(train_ivf_centroids(sf_dir))
@@ -661,8 +769,9 @@ def q_knn_join(sf_dir: str):
     partials = fan.groupby("cell").map_groups(
         _knn_cell_group, batch_format="pyarrow", **remote_kwargs()
     )
-    return partials.groupby("qid").map_groups(
-        _knn_fold_group, batch_format="pyarrow", **remote_kwargs()
+    return partials.sort("qid").map_batches(
+        _knn_fold_batch, batch_format="pyarrow", batch_size=None,
+        **remote_kwargs()
     )
 
 

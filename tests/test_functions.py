@@ -1128,3 +1128,111 @@ def test_verify_group_cap_fails_fast_on_degenerate_corpus(ray_session, tmp_path)
             dedup.q_simhash_near_dups(str(d))
     finally:
         dedup.VERIFY_MAX_GROUP = old
+
+
+def test_sort_colocates_equal_keys_in_one_block(ray_session):
+    """The property the vectorized kNN fold builds on: after sort(key),
+    every row of a key lands in ONE block (range partitioning assigns equal
+    keys to one partition) — checked with a skewed, multi-block input."""
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    keys = np.concatenate([
+        np.full(5000, 42, dtype=np.int64),        # one hot key
+        rng.integers(0, 300, size=20000),          # background
+    ])
+    ds = ray.data.from_arrow(
+        pa.table({"qid": pa.array(keys, pa.int64())})
+    ).repartition(16).sort("qid")
+    seen = {}
+    for bi, batch in enumerate(
+        ds.iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        for k in np.unique(batch.column("qid").to_numpy(zero_copy_only=False)):
+            seen.setdefault(int(k), set()).add(bi)
+    multi = {k: v for k, v in seen.items() if len(v) > 1}
+    assert not multi, multi
+
+
+def test_knn_fold_batch_matches_per_group_reference():
+    """The segment-vectorized fold == the straightforward per-qid fold
+    (dedupe keeping max score, then top-K by score desc / nid asc)."""
+    from otelcol_con_spaneventtolog_ray.functions.similarity import (
+        KNN_K,
+        _knn_fold_batch,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    qid = rng.integers(0, 120, size=n)
+    nid = rng.integers(0, 80, size=n)
+    score = np.round(rng.random(n), 6)
+    # inject duplicate (qid, nid) rows with differing scores
+    t = pa.table({
+        "qid": pa.array(qid, pa.int64()),
+        "nid": pa.array(nid, pa.int64()),
+        "score": pa.array(score, pa.float64()),
+    })
+    got = _knn_fold_batch(t).to_pandas()
+    exp_rows = []
+    df = t.to_pandas()
+    for q, grp in df[df["qid"] != -1].groupby("qid"):
+        best = grp.groupby("nid")["score"].max().reset_index()
+        best = best.sort_values(["score", "nid"], ascending=[False, True],
+                                kind="stable").head(KNN_K)
+        for r, (_, row) in enumerate(best.iterrows(), start=1):
+            exp_rows.append((q, int(row["nid"]), r, row["score"]))
+    exp = pd.DataFrame(exp_rows, columns=["qid", "nid", "rank", "score"])
+    got = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+    exp = exp.sort_values(["qid", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_knn_join_fold_has_no_per_query_python():
+    """Source pin (the round-2 scale fix): the per-query fold must be the
+    sort + vectorized map_batches, not a groupby(qid) per-group call."""
+    import inspect
+
+    from otelcol_con_spaneventtolog_ray.functions import similarity
+
+    src = inspect.getsource(similarity.q_knn_join)
+    assert 'groupby("qid")' not in src
+    assert 'sort("qid")' in src
+    cell_src = inspect.getsource(similarity._knn_cell_group)
+    assert "for qi" not in cell_src  # per-query loop removed from cell stage
+
+
+def test_neardup_lsh_fanout_ships_no_vectors():
+    """Scale pin (round-3 fix): the 24-table LSH fan-out must carry only
+    (table, bucket, vec_id) — shipping the embedding with every fan-out row
+    multiplied the shuffle by 24x the corpus's vector bytes."""
+    from otelcol_con_spaneventtolog_ray.functions.similarity import (
+        NEARDUP_LSH_TABLES,
+        _neardup_lsh_batch,
+    )
+
+    batch = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[0.1] * 8, [0.2] * 8, [-0.3] * 8],
+                              pa.list_(pa.float32())),
+    })
+    out = _neardup_lsh_batch(batch)
+    assert out.schema.names == ["table", "bucket", "vec_id"]
+    assert out.num_rows == 3 * NEARDUP_LSH_TABLES
+
+
+def test_neardup_lsh_bucket_cap_fails_fast():
+    from otelcol_con_spaneventtolog_ray.functions.similarity import (
+        _neardup_candidate_pairs,
+    )
+
+    group = pa.table({
+        "table": pa.array([0] * 50, pa.int32()),
+        "bucket": pa.array([1] * 50, pa.int32()),
+        "vec_id": pa.array(range(50), pa.int64()),
+    })
+    with pytest.raises(ValueError, match="NEARDUP_MAX_BUCKET"):
+        _neardup_candidate_pairs(group, 10)
+    # under the cap: all unordered pairs, ids deduped
+    pairs = _neardup_candidate_pairs(group, 100)
+    assert pairs.num_rows == 50 * 49 // 2
