@@ -1,0 +1,128 @@
+"""Benchmark decontamination — flag training documents that share any word
+n-gram with a held-out benchmark set (the GPT-3/PaLM-style "13-gram
+overlap" decontamination recipe, scaled down to this corpus's short docs).
+
+Scale shape: the benchmark set is small by definition (an eval suite), so
+its DISTINCT n-gram hashes are collected once — a column-pruned scan whose
+per-batch output is already deduped hashes, folded to one sorted uint64
+array on the driver — and broadcast via ``ray.put``. Scoring is then an
+embarrassingly parallel ``map_batches`` pass: vectorized shingle hashing
+(texthash.batch_shingles, the same kernel MinHash uses), one
+``np.isin``-style membership probe against the broadcast sorted array
+(searchsorted), and a per-doc segment sum. No shuffle anywhere; the
+broadcast is O(|benchmark n-grams|), shipped once per worker.
+
+Rows-only for the driver gate (word n-gram semantics are not reasonably
+SQL-expressible); pinned in pytest against an exact scalar-mirror oracle
+(word_shingles with the same k), including planted contamination.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .entry_queries import register
+from .texthash import batch_shingles, batch_words
+from ..rayenv import remote_kwargs
+
+#: word n-gram size — the published recipes use 8-13 for web pages; the
+#: synthetic docs are 20-80 words, so 5 keeps nearly every doc eligible
+#: while random cross-doc collisions stay negligible
+DECON_K = 5
+
+#: deterministic benchmark set: doc_id % DECON_BENCH_MOD == 0 (a stand-in
+#: for an eval suite living in its own table; swap _benchmark_mask to point
+#: at one)
+DECON_BENCH_MOD = 97
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+
+def _doc_ngram_hashes(batch: pa.Table, k: int):
+    """(hashes:uint64, offs:int64[n+1]) distinct k-gram hashes per doc."""
+    wh, _parents, woffs = batch_words(batch.column("text"))
+    sh, par = batch_shingles(wh, woffs, k)
+    n = batch.num_rows
+    if len(sh) == 0:
+        return sh, np.zeros(n + 1, dtype=np.int64)
+    order = np.lexsort((sh, par))
+    sh, par = sh[order], par[order]
+    keep = np.ones(len(sh), dtype=bool)
+    keep[1:] = (sh[1:] != sh[:-1]) | (par[1:] != par[:-1])
+    sh, par = sh[keep], par[keep]
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(par, minlength=n), out=offs[1:])
+    return sh, offs
+
+
+def benchmark_ngram_hashes(sf_dir: str, k: int = DECON_K) -> np.ndarray:
+    """Sorted distinct uint64 n-gram hashes of the benchmark docs. Each
+    batch emits its benchmark docs' DEDUPED hashes (tiny), the driver folds
+    them with one np.unique — O(|benchmark|), not O(corpus)."""
+
+    def bench_hashes(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sel = (ids % DECON_BENCH_MOD) == 0
+        if not sel.any():
+            return pa.table({"h": pa.array([], pa.int64())})
+        sh, _offs = _doc_ngram_hashes(batch.filter(pa.array(sel)), k)
+        return pa.table({"h": pa.array(np.unique(sh).view(np.int64), pa.int64())})
+
+    df = (
+        _docs(sf_dir)
+        .map_batches(bench_hashes, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    return np.unique(df["h"].to_numpy().view(np.uint64))
+
+
+def q_decontaminate(sf_dir: str):
+    """(doc_id, is_benchmark, n_hits, contaminated) for every document:
+    n_hits = how many of the doc's distinct word DECON_K-grams appear in
+    the benchmark set; contaminated = any hit on a non-benchmark doc."""
+    import ray
+
+    bench_ref = ray.put(benchmark_ngram_hashes(sf_dir))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        sh, offs = _doc_ngram_hashes(batch, DECON_K)
+        if len(sh) and len(bench):
+            pos = np.searchsorted(bench, sh)
+            # pos == len(bench) means sh > every benchmark hash, so the
+            # clamped probe at 0 can never false-positive
+            pos[pos == len(bench)] = 0
+            hit = (bench[pos] == sh).astype(np.int64)
+        else:
+            hit = np.zeros(len(sh), dtype=np.int64)
+        counts = np.diff(offs)
+        n_hits = np.zeros(batch.num_rows, dtype=np.int64)
+        present = np.flatnonzero(counts > 0)
+        if len(present) and len(hit):
+            n_hits[present] = np.add.reduceat(hit, offs[present])
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        is_bench = (ids % DECON_BENCH_MOD) == 0
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "is_benchmark": pa.array(is_bench, pa.bool_()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array((n_hits > 0) & ~is_bench, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(
+        score, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+register("text_decontaminate", q_decontaminate)  # rows-only (n-gram set op)

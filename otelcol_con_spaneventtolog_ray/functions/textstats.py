@@ -676,6 +676,67 @@ FROM c GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# PII scrub — the training-data redaction shape: sequential RE2 passes
+# (emails, then long digit runs on the already-email-redacted text) counted
+# and replaced wholly inside map_batches via Arrow's RE2 kernels. No
+# shuffle, no state; DuckDB mirrors it exactly because its regexp functions
+# are RE2 too, so the redacted TEXT itself is value-hash-gated. The fixture
+# corpus contains no PII (the gate pins the no-op path byte-for-byte);
+# planted-PII redaction is pinned in pytest.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_DIGITS_RE = r"[0-9]{7,}"  # phone/account/ssn-style long digit runs
+PII_TOKEN = "<PII>"
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    text = batch.column("text")
+    n_email = (
+        pc.count_substring_regex(text, pattern=PII_EMAIL_RE)
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    t1 = pc.replace_substring_regex(
+        text, pattern=PII_EMAIL_RE, replacement=PII_TOKEN
+    )
+    n_digits = (
+        pc.count_substring_regex(t1, pattern=PII_DIGITS_RE)
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    clean = pc.replace_substring_regex(
+        t1, pattern=PII_DIGITS_RE, replacement=PII_TOKEN
+    )
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_pii": pa.array(n_email + n_digits, pa.int64()),
+            "clean_text": clean,
+        }
+    )
+
+
+def q_pii_scrub(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        pii_scrub_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+_PII_SQL = f"""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n1,
+         regexp_replace(text, '{PII_EMAIL_RE}', '{PII_TOKEN}', 'g') AS t1
+  FROM documents)
+SELECT doc_id,
+       CAST(n1 + len(regexp_extract_all(t1, '{PII_DIGITS_RE}')) AS BIGINT)
+         AS n_pii,
+       regexp_replace(t1, '{PII_DIGITS_RE}', '{PII_TOKEN}', 'g') AS clean_text
+FROM s1
+"""
+
+
+register("text_pii_scrub", q_pii_scrub, _PII_SQL)
 register("text_repetition", q_repetition, _REPETITION_SQL)
 register("text_vocab_coverage", q_vocab_coverage, _COVERAGE_SQL)
 register("text_lm_score", q_lm_score)  # rows-only (float-summation order)

@@ -19,6 +19,7 @@ SQL_CHECKED = [
     "multimodal_resize", "multimodal_frame_sample",
     "text_quality_filter", "text_top_tokens", "text_sample_stratified",
     "text_vocab_coverage", "text_top_quality", "text_repetition",
+    "text_pii_scrub",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
@@ -31,6 +32,7 @@ ROWS_ONLY_RUN = [
     "dedup_simhash_near_dups", "sketch_value_quantiles", "corpus_clean_keep",
     "text_lm_score", "multimodal_audio_energy",
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
+    "text_decontaminate",
 ]
 
 
@@ -1236,3 +1238,113 @@ def test_neardup_lsh_bucket_cap_fails_fast():
     # under the cap: all unordered pairs, ids deduped
     pairs = _neardup_candidate_pairs(group, 100)
     assert pairs.num_rows == 50 * 49 // 2
+
+
+def test_connected_components_broadcast_bound_enforced(ray_session):
+    """The O(nodes) minima broadcast is a documented bound, not a silent
+    OOM: past CC_MAX_BROADCAST_NODES the op must refuse with a clear error
+    (driver-side check, so the override is visible without worker state)."""
+    import ray.data
+
+    from otelcol_con_spaneventtolog_ray.functions import dedup
+
+    edges = ray.data.from_arrow(
+        pa.table({"x": pa.array(range(0, 40, 2), pa.int64()),
+                  "y": pa.array(range(1, 41, 2), pa.int64())})
+    )
+    old = dedup.CC_MAX_BROADCAST_NODES
+    dedup.CC_MAX_BROADCAST_NODES = 10
+    try:
+        with pytest.raises(ValueError, match="broadcast-minima"):
+            dedup.connected_components(edges)
+    finally:
+        dedup.CC_MAX_BROADCAST_NODES = old
+
+
+def test_pii_scrub_planted_redaction(ray_session, tmp_path):
+    """Planted emails and long digit runs are redacted and counted; clean
+    docs come back byte-identical with n_pii == 0."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions.textstats import PII_TOKEN
+
+    texts = [
+        "contact bob.smith+x@example.co.uk for details",
+        "call 18005551234 now or 1234567 later",
+        "mixed a@b.io and 99999999 in one doc",
+        "no pii here at all",
+        "short 123456 digits stay",           # 6 digits: below threshold
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = _to_df(e.queries()["text_pii_scrub"](str(d))).set_index("doc_id")
+    assert out.loc[0, "n_pii"] == 1
+    assert out.loc[0, "clean_text"] == f"contact {PII_TOKEN} for details"
+    assert out.loc[1, "n_pii"] == 2
+    assert out.loc[1, "clean_text"] == f"call {PII_TOKEN} now or {PII_TOKEN} later"
+    assert out.loc[2, "n_pii"] == 2
+    assert out.loc[3, "n_pii"] == 0
+    assert out.loc[3, "clean_text"] == texts[3]
+    assert out.loc[4, "n_pii"] == 0
+    assert out.loc[4, "clean_text"] == texts[4]
+
+
+def test_decontaminate_matches_scalar_oracle(ray_session, tmp_path):
+    """Exact oracle: per-doc hit counts equal the scalar word_shingles
+    mirror at the same k, with planted contamination (a non-benchmark doc
+    copying a benchmark doc's n-gram run)."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions.decontam import (
+        DECON_BENCH_MOD,
+        DECON_K,
+    )
+    from otelcol_con_spaneventtolog_ray.functions.texthash import (
+        shingle_hash_scalar,
+        word_hash_scalar,
+        words_scalar,
+    )
+
+    rng = np.random.default_rng(9)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    ids, texts = [], []
+    for i in range(40):
+        ids.append(i if i % 7 else i * DECON_BENCH_MOD)  # some benchmark ids
+        texts.append(" ".join(rng.choice(vocab, size=30)))
+    # plant contamination: non-benchmark doc 1000001 copies benchmark text
+    bench_i = next(j for j, d_ in enumerate(ids) if d_ % DECON_BENCH_MOD == 0)
+    ids.append(1000001)
+    texts.append("padding words " + texts[bench_i] + " trailing bits")
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = _to_df(e.queries()["text_decontaminate"](str(d))).set_index("doc_id")
+
+    def ngrams(t):
+        ws = [word_hash_scalar(w) for w in words_scalar(t)]
+        if not ws:
+            return set()
+        if len(ws) < DECON_K:
+            return {shingle_hash_scalar(ws)}
+        return {shingle_hash_scalar(ws[i:i + DECON_K])
+                for i in range(len(ws) - DECON_K + 1)}
+
+    bench = set()
+    for d_, t in zip(ids, texts):
+        if d_ % DECON_BENCH_MOD == 0:
+            bench |= ngrams(t)
+    for d_, t in zip(ids, texts):
+        exp_hits = len(ngrams(t) & bench)
+        assert out.loc[d_, "n_hits"] == exp_hits, d_
+        assert out.loc[d_, "is_benchmark"] == (d_ % DECON_BENCH_MOD == 0)
+        assert out.loc[d_, "contaminated"] == (
+            exp_hits > 0 and d_ % DECON_BENCH_MOD != 0
+        ), d_
+    assert out.loc[1000001, "contaminated"]
