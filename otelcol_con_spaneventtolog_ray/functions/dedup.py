@@ -7,11 +7,12 @@ Scale shapes (documented per-op):
 * MinHash+LSH: vectorized word-shingle hashing (texthash.batch_words /
   batch_shingles — numpy over Arrow buffers, no per-row Python) -> 64-perm
   minhash via splitmix64 xor-seeds + per-doc segment minima -> band buckets
-  via flat-map -> groupby(band, bucket). Near-dup VERIFICATION runs inside
-  ``groupby(band, bucket).map_groups``: each doc's distinct shingle hashes
-  travel with its band rows, so exact Jaccard is computed per bucket on the
-  workers and only qualifying pairs ever reach the driver — the documents
-  dataset is never materialized driver-side.
+  via an ID-ONLY flat-map (20-byte rows; no shingle bytes ever shuffle) ->
+  groupby(band, bucket) emits candidate pairs (capped) -> pair dedup ->
+  per-(chunk_a, chunk_b) verify groups pushdown-read their two contiguous
+  doc_id ranges once and recompute shingles with the same kernel for the
+  exact Jaccard — only qualifying pairs ever reach the driver, and the
+  documents dataset is never materialized driver-side.
 * SimHash: 64-bit signature from per-word hash bit votes (vectorized
   reduceat per document); near-dup candidates = equality on any of four
   16-bit chunks (Hamming<=3 guarantee across chunks).
@@ -154,39 +155,6 @@ def minhash_bands_batch(batch: pa.Table) -> pa.Table:
             "doc_id": pa.array(np.repeat(ids, NUM_BANDS), pa.int64()),
         }
     )
-
-
-def minhash_bands_shingles_batch(batch: pa.Table) -> pa.Table:
-    """Band fan-out that carries each doc's distinct shingle hashes, so the
-    exact-Jaccard verify can run inside the (band, bucket) group without any
-    driver-side lookup of the documents table. Word-less documents are
-    dropped before the fan-out (see minhash_bands_batch)."""
-    sh, offs, n = _doc_shingles(batch)
-    buckets = _band_buckets(_minhash_sigs(sh, offs, n))
-    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    present = np.diff(offs) > 0
-    if not present.all():
-        # empty docs own zero-length segments, so dropping them keeps the
-        # value array intact: new starts are the kept docs' old starts
-        offs = np.append(offs[:-1][present], offs[-1])
-        buckets, ids = buckets[present], ids[present]
-        n = int(present.sum())
-    shingle_list = pa.LargeListArray.from_arrays(
-        pa.array(offs, pa.int64()), pa.array(sh.view(np.int64), pa.int64())
-    )
-    cols = []
-    for b in range(NUM_BANDS):
-        cols.append(
-            pa.table(
-                {
-                    "band": pa.array(np.full(n, b, dtype=np.int32), pa.int32()),
-                    "bucket": pa.array(buckets[:, b], pa.int64()),
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "shingles": shingle_list,
-                }
-            )
-        )
-    return pa.concat_tables(cols)
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
@@ -405,87 +373,159 @@ def q_minhash_buckets(sf_dir: str):
     return tbl.filter(pc.greater(tbl.column("n"), 1))
 
 
-def _verify_bucket_group(group: pa.Table, _cap: int | None = None) -> pa.Table:
-    """All-pairs exact Jaccard within one (band, bucket) LSH group.
+def _bucket_candidate_pairs(group: pa.Table, _cap: int | None = None) -> pa.Table:
+    """One (band, bucket) group -> candidate pairs (id_a < id_b).
 
-    The group carries each member's distinct shingle hashes, so verification
-    is local to the worker holding the group. Groups are candidate near-dup
-    clusters (tiny by construction for honest buckets; an adversarial
-    all-identical corpus degenerates to one giant group, which exact-verify
-    inherently can't avoid — dedup_exact handles that case in O(n)). The
-    degeneracy is ENFORCED, not just documented: a group past
-    VERIFY_MAX_GROUP fails fast instead of doing quadratic work.
+    Honest buckets are tiny candidate clusters; an adversarial
+    (near-)identical corpus degenerates one bucket to O(n), which would make
+    the candidate set quadratic — ENFORCED via VERIFY_MAX_GROUP with a
+    fail-fast pointer at dedup_exact (which handles identical docs in O(n)).
     """
     cap = VERIFY_MAX_GROUP if _cap is None else _cap
-    ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    if len(ids) > cap:
+    ids = np.unique(
+        group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    g = len(ids)
+    if g > cap:
         raise ValueError(
-            f"near-dup verify group has {len(ids)} members (cap"
-            f" {cap}): the corpus has a mass of"
-            " (near-)identical documents collapsing into one LSH bucket,"
-            " which makes exact in-bucket verification quadratic. Run"
-            " dedup_exact first to collapse identical texts, or raise"
-            " dedup.VERIFY_MAX_GROUP deliberately."
+            f"near-dup candidate bucket has {g} members (cap {cap}): the"
+            " corpus has a mass of (near-)identical documents collapsing"
+            " into one LSH bucket, which makes pairwise verification"
+            " quadratic. Run dedup_exact first to collapse identical texts,"
+            " or raise dedup.VERIFY_MAX_GROUP deliberately."
         )
-    if len(ids) < 2:
+    if g < 2:
         return pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "jac": pa.array([], pa.float64()),
-            }
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
         )
-    sh_col = group.column("shingles")
-    if isinstance(sh_col, pa.ChunkedArray):
-        sh_col = sh_col.combine_chunks()
-    order = np.argsort(ids, kind="stable")
-    sets = [
-        np.asarray(sh_col[int(i)].values, dtype=np.int64) for i in order
-    ]
-    ids = ids[order]
-    out_a, out_b, out_j = [], [], []
-    for i in range(len(ids)):
-        si = sets[i]
-        if len(si) == 0:
-            continue
-        for j in range(i + 1, len(ids)):
-            sj = sets[j]
-            if len(sj) == 0:
+    ai, bj = np.triu_indices(g, k=1)
+    return pa.table(
+        {"id_a": pa.array(ids[ai], pa.int64()),
+         "id_b": pa.array(ids[bj], pa.int64())}
+    )
+
+
+#: id-range chunk width for the pair-verify stage: each task re-reads at
+#: most two contiguous doc_id ranges of this many rows via filter pushdown
+MINHASH_CHUNK_DOCS = 4096
+
+
+def _read_docs_range(path: str, lo: int, hi: int) -> pa.Table:
+    """Pushdown read of documents with doc_id in [lo, hi)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(
+        path,
+        columns=["doc_id", "text"],
+        filters=[("doc_id", ">=", lo), ("doc_id", "<", hi)],
+    )
+
+
+def _minhash_chunk_verify_fn(path: str, lo: int, chunk: int):
+    """Verify one (chunk_a, chunk_b) group of candidate pairs: pushdown-read
+    the two CONTIGUOUS doc_id ranges, recompute distinct shingle sets with
+    the same vectorized kernel the banding used, and keep pairs whose exact
+    Jaccard clears the threshold. Per-task memory is 2 x MINHASH_CHUNK_DOCS
+    documents at any corpus size; each occupied chunk pair is read once."""
+
+    def _sets(tbl: pa.Table):
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        ids = ids[order]
+        sh, offs, n = _doc_shingles(tbl)
+        return ids, [sh[offs[i]:offs[i + 1]] for i in range(n)]
+
+    def _verify(group: pa.Table) -> pa.Table:
+        a = group.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = int((a[0] - lo) // chunk)
+        cb = int((b[0] - lo) // chunk)
+        ta = _read_docs_range(path, lo + ca * chunk, lo + (ca + 1) * chunk)
+        aids, asets = _sets(ta)
+        if cb == ca:
+            bids, bsets = aids, asets
+        else:
+            bids, bsets = _sets(
+                _read_docs_range(path, lo + cb * chunk, lo + (cb + 1) * chunk)
+            )
+        ia = np.searchsorted(aids, a)
+        ib = np.searchsorted(bids, b)
+        out_a, out_b, out_j = [], [], []
+        for k in range(len(a)):
+            si, sj = asets[ia[k]], bsets[ib[k]]
+            if len(si) == 0 or len(sj) == 0:
                 continue
             inter = len(np.intersect1d(si, sj, assume_unique=True))
             if inter == 0:
                 continue
             jac = inter / (len(si) + len(sj) - inter)
             if jac >= JACCARD_THRESHOLD:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[j]))
+                out_a.append(int(a[k]))
+                out_b.append(int(b[k]))
                 out_j.append(round(jac, 6))
-    return pa.table(
-        {
-            "id_a": pa.array(out_a, pa.int64()),
-            "id_b": pa.array(out_b, pa.int64()),
-            "jac": pa.array(out_j, pa.float64()),
-        }
-    )
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "jac": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return _verify
 
 
 def q_minhash_near_dups(sf_dir: str):
-    """Candidate pairs from LSH buckets, verified by exact Jaccard PER BUCKET
-    on the workers (shingle sets travel with the band rows); a final tiny
-    groupby de-duplicates pairs found in multiple bands. No driver-side
+    """Candidate pairs from LSH buckets, verified by exact Jaccard.
+
+    Scale shape (round-3 rework): the band fan-out carries (band, bucket,
+    doc_id) ONLY — 20-byte rows through the heavy exchange, where the
+    round-2 version shipped each doc's full distinct-shingle set with every
+    one of its NUM_BANDS=8 band rows (x8 the shingle bytes). Candidate
+    pairs are emitted per bucket (capped), deduped by a tiny groupby, keyed
+    by their (id_a chunk, id_b chunk) cell, and each chunk-pair group
+    pushdown-reads its two contiguous doc_id ranges ONCE and recomputes
+    shingles with the same vectorized kernel — so every pair is verified
+    exactly once and no shingle bytes ever shuffle. No driver-side
     materialization of the documents dataset at any point."""
+    from ..parquet_stats import column_stats_bounds, file_num_rows
+
+    path = _docs_path(sf_dir)
+    if file_num_rows(path) == 0:  # footer-only check; no stats to read
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "jac": pa.array([], pa.float64())}
+        )
     ds = _docs(sf_dir).map_batches(
-        minhash_bands_shingles_batch, batch_format="pyarrow", **remote_kwargs()
+        minhash_bands_batch, batch_format="pyarrow", **remote_kwargs()
     )
     cap = VERIFY_MAX_GROUP  # captured driver-side so overrides reach workers
-    pairs = ds.groupby(["band", "bucket"]).map_groups(
-        lambda g: _verify_bucket_group(g, cap),
+    cand = ds.groupby(["band", "bucket"]).map_groups(
+        lambda g: _bucket_candidate_pairs(g, cap),
         batch_format="pyarrow", **remote_kwargs()
     )
-    # a pair verified in k bands appears k times with the same jac -> max()
-    # collapses them; the surviving table is the (small) query result itself
-    dedup = pairs.groupby(["id_a", "id_b"]).max("jac")
-    df = dedup.to_pandas()
+    uniq = cand.groupby(["id_a", "id_b"]).count()
+    lo_f, _hi_f = column_stats_bounds(path, "doc_id")
+    lo, chunk = int(lo_f), MINHASH_CHUNK_DOCS
+
+    def chunk_keys(t: pa.Table) -> pa.Table:
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "ca": pa.array((a - lo) // chunk, pa.int64()),
+                "cb": pa.array((b - lo) // chunk, pa.int64()),
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+            }
+        )
+
+    keyed = uniq.map_batches(chunk_keys, batch_format="pyarrow", **remote_kwargs())
+    pairs = keyed.groupby(["ca", "cb"]).map_groups(
+        _minhash_chunk_verify_fn(path, lo, chunk),
+        batch_format="pyarrow", **remote_kwargs()
+    )
+    df = pairs.to_pandas()
     if len(df) == 0:
         return pa.table(
             {
@@ -494,7 +534,7 @@ def q_minhash_near_dups(sf_dir: str):
                 "jac": pa.array([], pa.float64()),
             }
         )
-    df = df.rename(columns={"max(jac)": "jac"}).sort_values(["id_a", "id_b"])
+    df = df.sort_values(["id_a", "id_b"])
     return pa.Table.from_pandas(
         df.reset_index(drop=True)[["id_a", "id_b", "jac"]], preserve_index=False
     )

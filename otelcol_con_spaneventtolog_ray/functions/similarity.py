@@ -374,7 +374,14 @@ def q_embedding_neardup_lsh(sf_dir: str):
     chunk pair is read once. Precision is exact by construction; recall vs
     the exact query is pinned in pytest (1.0 on the sf0.01 fixture at the
     current threshold)."""
+    from ..parquet_stats import file_num_rows
+
     path = _emb_path(sf_dir)
+    if file_num_rows(path) == 0:  # footer-only check; no stats to read
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
     lo, _hi = _vec_id_bounds(path)
     chunk = NEARDUP_CHUNK_ROWS
     cap = NEARDUP_MAX_BUCKET  # captured driver-side so overrides reach workers

@@ -1051,13 +1051,11 @@ def test_document_queries_handle_empty_corpus(ray_session, tmp_path):
 
 def test_minhash_bands_drop_wordless_docs():
     """Word-less docs share the sentinel signature; they must be excluded
-    from the band fan-out (no spurious giant shared bucket), in BOTH fanout
-    variants, without disturbing the surviving docs' rows."""
+    from the band fan-out (no spurious giant shared bucket) without
+    disturbing the surviving docs' rows."""
     from otelcol_con_spaneventtolog_ray.functions.dedup import (
         NUM_BANDS,
         minhash_bands_batch,
-        minhash_bands_shingles_batch,
-        word_shingles,
     )
 
     texts = ["alpha beta gamma", "", "   \t\n", "delta epsilon zeta", ""]
@@ -1066,21 +1064,24 @@ def test_minhash_bands_drop_wordless_docs():
     out = minhash_bands_batch(tbl)
     assert set(out.column("doc_id").to_pylist()) == {0, 3}
     assert out.num_rows == 2 * NUM_BANDS
-    outs = minhash_bands_shingles_batch(tbl)
-    assert set(outs.column("doc_id").to_pylist()) == {0, 3}
-    assert outs.num_rows == 2 * NUM_BANDS
-    # the carried shingle sets still belong to the right docs
-    by_doc = {}
-    for r in outs.to_pylist():
-        by_doc.setdefault(r["doc_id"], set()).update(
-            x & ((1 << 64) - 1) for x in r["shingles"]
-        )
-    assert by_doc[0] == word_shingles(texts[0])
-    assert by_doc[3] == word_shingles(texts[3])
     # word-full-only batches are unchanged by the filter path
     full = pa.table({"doc_id": pa.array([7], pa.int64()),
                      "text": pa.array(["a b c d"], pa.string())})
     assert minhash_bands_batch(full).num_rows == NUM_BANDS
+
+
+def test_minhash_fanout_ships_no_shingles():
+    """Scale pin (round-3 fix): the band fan-out carries only (band,
+    bucket, doc_id) — the round-2 version shipped each doc's shingle set
+    with all 8 band rows (x8 shingle bytes through the shuffle)."""
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        minhash_bands_batch,
+    )
+
+    tbl = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                    "text": pa.array(["a b c d e", "f g h i j"], pa.string())})
+    out = minhash_bands_batch(tbl)
+    assert out.schema.names == ["band", "bucket", "doc_id"]
 
 
 def test_connected_components_symmetrizes_directed_input(ray_session):
