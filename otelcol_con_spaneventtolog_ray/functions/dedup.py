@@ -658,16 +658,22 @@ def q_simhash_near_dups(sf_dir: str):
 #   over an edge DATASET for the scale regime where pairs no longer fit a
 #   driver table. Each round: two-phase per-node minima (per-batch partial
 #   minima -> one small groupby — the salted-aggregate shape, never a
-#   full-edge sort), minima vector broadcast via ray.put (O(nodes), the
-#   same order as the op's output), and a vectorized re-emit of
-#   (m <-> y)/(m <-> x) edges with per-batch dedup (np.unique, no global
-#   groupby per round — Ray's sort aggregate on the full multiset was
-#   measured at minutes per round on 2M edges). Convergence: when the
-#   minima vector stops changing, the labeling is POST-VALIDATED by one
-#   distributed pass asserting label(x) == label(y) on every CURRENT edge
-#   (a sound check: labels are node ids propagated along edges, the
-#   component minimum labels itself, and edge-constancy forces every node
-#   to that minimum), retrying until CC_MAX_ROUNDS before raising.
+#   full-edge sort), then a minima lookup to re-emit (m <-> y)/(m <-> x)
+#   edges with per-batch dedup (np.unique, no global groupby per round —
+#   Ray's sort aggregate on the full multiset was measured at minutes per
+#   round on 2M edges). The LOOKUP has two strategies (mode="auto" picks by
+#   node count): "broadcast" ships the minima vector once per worker via
+#   ray.put — O(nodes) driver/broadcast memory, capped at
+#   CC_MAX_BROADCAST_NODES — while "sharded" tags minima rows into the edge
+#   stream and sorts on x so each block resolves m(x) locally: no broadcast,
+#   no driver materialization, any node count, one extra sort per round.
+#   Convergence: when the minima stop changing (exact vector compare for
+#   broadcast; count+wrap-sum checksum probe for sharded), the labeling is
+#   POST-VALIDATED by a distributed pass asserting label(x) == label(y) on
+#   every CURRENT edge (a sound check: labels are node ids propagated along
+#   edges, the component minimum labels itself, and edge-constancy forces
+#   every node to that minimum), retrying until CC_MAX_ROUNDS before
+#   raising.
 # ---------------------------------------------------------------------------
 
 CC_MAX_ROUNDS = 12
@@ -797,21 +803,53 @@ def _cc_symmetrize_batch(t: pa.Table) -> pa.Table:
     )
 
 
-def connected_components(edges):
+def connected_components(edges, mode: str = "auto"):
     """(x, y) edge Dataset -> (node, component) Dataset where component is
     the minimum node id reachable from `node` (distributed hash-to-min; see
     the section comment for the convergence/validation contract).
 
     Edges are symmetrized on entry (one pass emitting both directions,
     per-batch deduped), so callers may pass a directed pair list such as a
-    near-dup (id_a < id_b) result directly. Driver/broadcast memory is
-    O(nodes-in-pairs) and asserted against CC_MAX_BROADCAST_NODES."""
-    import ray as _ray
+    near-dup (id_a < id_b) result directly.
+
+    Two per-round minima-lookup strategies, pinned equivalent in tests:
+
+    * ``broadcast`` — the minima vector ships once per worker via ray.put
+      and the driver folds it: O(nodes-in-pairs) driver/broadcast memory
+      (16 bytes/node; ~1.6 GB at 10^8), one exchange per round. Fastest
+      when the vector fits; REFUSES past CC_MAX_BROADCAST_NODES.
+    * ``sharded`` — no broadcast and no driver materialization at ANY node
+      count: minima rows are co-partitioned with their edges by tagging
+      them into the edge stream and sorting on x (equal keys land in one
+      block — the property the kNN fold pins), so each block resolves m(x)
+      with a local searchsorted. Convergence is probed by an
+      order-independent (count, wrap-sum checksum) pair folded from
+      per-block partials, then VALIDATED by the distributed
+      label(x) == label(y) edge check before returning (the probe alone
+      can collide; the validation is sound — see _cc_labels_ok_sharded).
+      Costs one extra sort per round; that is the price of unbounded n.
+
+    ``auto`` counts the first minima pass and picks broadcast iff the
+    vector fits the bound."""
     import ray.data
 
     edges = edges.map_batches(
         _cc_symmetrize_batch, batch_format="pyarrow", **remote_kwargs()
     )
+    if mode == "auto":
+        n_nodes = _cc_minima(edges).count()
+        mode = "broadcast" if n_nodes <= CC_MAX_BROADCAST_NODES else "sharded"
+    if mode == "broadcast":
+        return _cc_broadcast_loop(edges)
+    if mode == "sharded":
+        return _cc_sharded_loop(edges)
+    raise ValueError(f"unknown connected_components mode {mode!r}")
+
+
+def _cc_broadcast_loop(edges):
+    import ray as _ray
+    import ray.data
+
     prev = None
     for _ in range(CC_MAX_ROUNDS):
         mdf = _cc_minima(edges).to_pandas()  # O(nodes in pair graph)
@@ -819,10 +857,9 @@ def connected_components(edges):
             raise ValueError(
                 f"connected_components: {len(mdf)} nodes exceed the"
                 f" broadcast-minima bound ({CC_MAX_BROADCAST_NODES});"
-                " the per-round minima vector would no longer be"
-                " broadcastable — shard the graph (e.g. per near-dup"
-                " partition) or raise dedup.CC_MAX_BROADCAST_NODES on a"
-                " driver with the memory to hold it."
+                " use mode='sharded' (no broadcast, no driver"
+                " materialization) or raise dedup.CC_MAX_BROADCAST_NODES"
+                " on a driver with the memory to hold it."
             )
         xs = mdf["x"].to_numpy()
         order = np.argsort(xs)
@@ -847,6 +884,155 @@ def connected_components(edges):
         edges = edges.map_batches(
             _cc_emit_fn(minima_ref), batch_format="pyarrow", **remote_kwargs()
         ).materialize()  # each round builds on the last
+    raise RuntimeError(
+        f"connected_components did not converge within {CC_MAX_ROUNDS}"
+        " rounds — raise CC_MAX_ROUNDS (hash-to-min needs O(log diameter)"
+        " rounds; 12 covers any realistic near-dup graph)"
+    )
+
+
+# --- sharded (broadcast-free) strategy -------------------------------------
+
+def _cc_tag(tag: int):
+    """Stamp a constant int8 tag column onto (x, y) rows."""
+
+    def _t(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": pc.cast(t.column(t.schema.names[0]), pa.int64()),
+                "y": pc.cast(t.column(t.schema.names[1]), pa.int64()),
+                "tag": pa.array(
+                    np.full(t.num_rows, tag, dtype=np.int8), pa.int8()
+                ),
+            }
+        )
+
+    return _t
+
+
+def _cc_block_minima_lookup(t: pa.Table):
+    """Split one sorted block into (edge rows, block-local minima arrays)
+    and resolve m(x) for every edge row. Soundness: the block comes from
+    sort("x") over edges ∪ tagged-minima, so every edge x's single minima
+    row is co-located; a missing key means the precondition broke -> raise."""
+    x = t.column("x").to_numpy(zero_copy_only=False)
+    y = t.column("y").to_numpy(zero_copy_only=False)
+    tag = t.column("tag").to_numpy(zero_copy_only=False)
+    is_min = tag == 1
+    mx, mm = x[is_min], y[is_min]
+    order = np.argsort(mx, kind="stable")
+    mx, mm = mx[order], mm[order]
+    ex, ey = x[~is_min], y[~is_min]
+    if len(ex) == 0:
+        return ex, ey, ex  # no edges in this block
+    pos = np.searchsorted(mx, ex)
+    if len(mx) == 0 or pos.max(initial=0) >= len(mx) or not (
+        mx[np.minimum(pos, len(mx) - 1)] == ex
+    ).all():
+        raise RuntimeError(
+            "connected_components(sharded): an edge endpoint has no"
+            " co-located minima row — the sort co-location precondition"
+            " broke (please report; falling back to mode='broadcast'"
+            " is safe)"
+        )
+    return ex, ey, mm[pos]
+
+
+def _cc_emit_block_sharded(t: pa.Table) -> pa.Table:
+    """The sharded analog of _cc_emit_fn: (x, y) -> (m(x) <-> y) and
+    (m(x) <-> x), per-batch deduped, with m looked up block-locally."""
+    ex, ey, m = _cc_block_minima_lookup(t)
+    src = np.concatenate([ey, ex])
+    dst = np.concatenate([m, m])
+    keep = src != dst
+    pairs = np.stack([src[keep], dst[keep]], axis=1)
+    if len(pairs):
+        pairs = np.unique(pairs, axis=0)
+    return pa.table(
+        {
+            "x": pa.array(np.concatenate([pairs[:, 0], pairs[:, 1]]), pa.int64()),
+            "y": pa.array(np.concatenate([pairs[:, 1], pairs[:, 0]]), pa.int64()),
+        }
+    )
+
+
+def _cc_with_minima_sorted(edges, minima):
+    """edges ∪ tagged minima, sorted on x: equal keys co-locate per block."""
+    te = edges.map_batches(_cc_tag(0), batch_format="pyarrow", **remote_kwargs())
+    tm = minima.map_batches(_cc_tag(1), batch_format="pyarrow", **remote_kwargs())
+    return te.union(tm).sort("x")
+
+
+def _cc_minima_probe(minima) -> tuple[int, int]:
+    """(count, order-independent wrap-sum checksum of splitmix64(x) ^ m) —
+    per-block partials folded on the driver (O(blocks) rows)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False).astype(np.uint64)
+        m = t.column("m").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            chk = (_splitmix64(x) ^ _splitmix64(m)).sum(dtype=np.uint64)
+        return pa.table(
+            {"n": pa.array([len(x)], pa.int64()),
+             "chk": pa.array([int(chk.view(np.int64))], pa.int64())}
+        )
+
+    df = minima.map_batches(
+        partial, batch_format="pyarrow", **remote_kwargs()
+    ).to_pandas()
+    if len(df) == 0:
+        return 0, 0
+    with np.errstate(over="ignore"):
+        chk = df["chk"].to_numpy().view(np.uint64).sum(dtype=np.uint64)
+    return int(df["n"].sum()), int(chk)
+
+
+def _cc_labels_ok_sharded(edges, minima) -> bool:
+    """Distributed label(x) == label(y) over every edge, broadcast-free:
+    pass 1 resolves label(x) per edge (sort-on-x co-location) and re-keys
+    the row by y; pass 2 co-locates those rows with minima-on-y and counts
+    mismatches. Sound for the same reason as the broadcast check."""
+    from ray.data.aggregate import Sum
+
+    def rekey(t: pa.Table) -> pa.Table:
+        ex, ey, lx = _cc_block_minima_lookup(t)
+        return pa.table(
+            {"x": pa.array(ey, pa.int64()), "y": pa.array(lx, pa.int64())}
+        )
+
+    by_y = _cc_with_minima_sorted(edges, minima).map_batches(
+        rekey, batch_format="pyarrow", batch_size=None, **remote_kwargs()
+    )
+
+    def mismatch(t: pa.Table) -> pa.Table:
+        ex, lx, ly = _cc_block_minima_lookup(t)
+        return pa.table({"bad": pa.array([int((lx != ly).sum())], pa.int64())})
+
+    agg = _cc_with_minima_sorted(by_y, minima).map_batches(
+        mismatch, batch_format="pyarrow", batch_size=None, **remote_kwargs()
+    ).aggregate(Sum("bad"))
+    return int(agg["sum(bad)"]) == 0
+
+
+def _cc_sharded_loop(edges):
+    prev_probe = None
+    for _ in range(CC_MAX_ROUNDS):
+        minima = _cc_minima(edges).materialize()
+        probe = _cc_minima_probe(minima)
+        if prev_probe == probe and _cc_labels_ok_sharded(edges, minima):
+            def rename(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"node": t.column("x"), "component": t.column("m")}
+                )
+
+            return minima.map_batches(
+                rename, batch_format="pyarrow", **remote_kwargs()
+            )
+        prev_probe = probe
+        edges = _cc_with_minima_sorted(edges, minima).map_batches(
+            _cc_emit_block_sharded, batch_format="pyarrow", batch_size=None,
+            **remote_kwargs()
+        ).materialize()
     raise RuntimeError(
         f"connected_components did not converge within {CC_MAX_ROUNDS}"
         " rounds — raise CC_MAX_ROUNDS (hash-to-min needs O(log diameter)"

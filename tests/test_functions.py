@@ -1257,7 +1257,10 @@ def test_connected_components_broadcast_bound_enforced(ray_session):
     dedup.CC_MAX_BROADCAST_NODES = 10
     try:
         with pytest.raises(ValueError, match="broadcast-minima"):
-            dedup.connected_components(edges)
+            dedup.connected_components(edges, mode="broadcast")
+        # auto mode degrades to the sharded strategy instead of refusing
+        out = dedup.connected_components(edges).to_pandas()
+        assert len(out) == 40
     finally:
         dedup.CC_MAX_BROADCAST_NODES = old
 
@@ -1349,3 +1352,40 @@ def test_decontaminate_matches_scalar_oracle(ray_session, tmp_path):
             exp_hits > 0 and d_ % DECON_BENCH_MOD != 0
         ), d_
     assert out.loc[1000001, "contaminated"]
+
+
+def test_connected_components_sharded_matches_union_find(ray_session):
+    """The broadcast-free (sharded) strategy labels a randomized
+    multi-component graph identically to driver union-find and to the
+    broadcast strategy, including from a DIRECTED edge list."""
+    import ray.data
+
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        connected_components,
+        union_find_components,
+    )
+
+    rng = np.random.default_rng(21)
+    parts = []
+    base = 0
+    # chain length drives the hash-to-min round count (log diameter); 9 is
+    # enough for multiple rounds without paying Ray's per-op overhead ~10x
+    for size in (2, 5, 9):
+        ids = np.arange(base, base + size * 40, dtype=np.int64)
+        a = ids[ids % size != size - 1]
+        parts.append(np.stack([a, a + 1], axis=1))
+        base += size * 40 + 1000
+    edges_np = np.concatenate(parts)
+    perm = rng.permutation(len(edges_np))
+    a, b = edges_np[perm, 0], edges_np[perm, 1]
+    edges = ray.data.from_arrow(
+        pa.table({"x": pa.array(a, pa.int64()), "y": pa.array(b, pa.int64())})
+    ).repartition(8)
+    nodes, comp = union_find_components(a, b)
+    for mode in ("sharded", "broadcast"):
+        got = (
+            connected_components(edges, mode=mode)
+            .to_pandas().sort_values("node").reset_index(drop=True)
+        )
+        assert got["node"].tolist() == nodes.tolist(), mode
+        assert got["component"].tolist() == comp.tolist(), mode
