@@ -32,7 +32,7 @@ ROWS_ONLY_RUN = [
     "dedup_simhash_near_dups", "sketch_value_quantiles", "corpus_clean_keep",
     "text_lm_score", "multimodal_audio_energy",
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
-    "text_decontaminate",
+    "text_decontaminate", "similarity_pq_codes", "similarity_pq_topk",
 ]
 
 
@@ -1389,3 +1389,70 @@ def test_connected_components_sharded_matches_union_find(ray_session):
         )
         assert got["node"].tolist() == nodes.tolist(), mode
         assert got["component"].tolist() == comp.tolist(), mode
+
+
+def test_pq_codes_and_adc_topk(ray_session):
+    """PQ: codes deterministic and in range (one row per vector),
+    reconstruction beats a shuffled-codebook strawman, and ADC top-k
+    recall vs the exact cosine top-k clears a measured floor."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions.similarity import (
+        PQ_K,
+        PQ_M,
+        TOP_K,
+        _batch_matrix,
+        _norm_rows,
+        _pq_encode,
+        _query_vectors,
+        train_pq_codebooks,
+    )
+
+    codes = _to_df(e.queries()["similarity_pq_codes"](SF_DIR))
+    assert len(codes) == 500 and codes["vec_id"].nunique() == 500
+    for m in range(PQ_M):
+        assert codes[f"code{m}"].between(0, PQ_K - 1).all()
+    codes2 = _to_df(e.queries()["similarity_pq_codes"](SF_DIR))
+    pd.testing.assert_frame_equal(
+        codes.sort_values("vec_id").reset_index(drop=True),
+        codes2.sort_values("vec_id").reset_index(drop=True),
+    )
+
+    # reconstruction sanity: trained codebooks beat a deliberately
+    # mismatched (rolled) codebook assignment on mean squared error
+    full = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ids, mat = _batch_matrix(full)
+    nm = _norm_rows(mat)
+    cb = train_pq_codebooks(SF_DIR)
+    sub = cb.shape[2]
+    cc = _pq_encode(nm, cb)
+    recon = np.concatenate(
+        [cb[m][cc[:, m]] for m in range(PQ_M)], axis=1
+    )
+    err = ((nm - recon) ** 2).sum(axis=1).mean()
+    bad = np.concatenate(
+        [cb[m][np.roll(cc[:, m], 7)] for m in range(PQ_M)], axis=1
+    )
+    bad_err = ((nm - bad) ** 2).sum(axis=1).mean()
+    assert err < bad_err
+
+    # ADC recall vs exact cosine top-k (measured 0.44 on the near-uniform
+    # sf0.001 fixture at 8x64 codes — PQ is a coarse sieve there; the pin
+    # guards against regressions, not state-of-the-art recall)
+    out = _to_df(e.queries()["similarity_pq_topk"](SF_DIR))
+    q_ids, q_mat = _query_vectors(SF_DIR)
+    qn = _norm_rows(q_mat)
+    sims = np.round(nm @ qn.T, 6)
+    hits = total = 0
+    for qi, qid in enumerate(q_ids):
+        col = sims[:, qi].copy()
+        col[ids == qid] = -2
+        order = np.lexsort((ids, -col))[:TOP_K]
+        exact = set(ids[order].tolist())
+        got = set(out.loc[out["qid"] == qid, "nid"])
+        assert len(got) <= TOP_K
+        hits += len(exact & got)
+        total += len(exact)
+    assert hits / total >= 0.4, hits / total
