@@ -1456,3 +1456,40 @@ def test_pq_codes_and_adc_topk(ray_session):
         hits += len(exact & got)
         total += len(exact)
     assert hits / total >= 0.4, hits / total
+
+
+def test_pii_scrub_engine_parity_on_random_text(ray_session, tmp_path):
+    """Arrow's RE2 and DuckDB's RE2 must agree byte-for-byte on redaction
+    and counts over adversarial text (emails glued to digits, partial
+    addresses, unicode) — the fixture corpus is PII-free, so the driver
+    gate alone never exercises a real match."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    rng = np.random.default_rng(13)
+    frags = ["bob", "a.b-c", "x@y.com", "@", "no", "café", "9" * 8, "123",
+             "user+tag@mail.example.org", ".", "-", "12345678901", "t@t.t",
+             "a@b", "x@y.co9", "7" * 6, " ", "\t"]
+    texts = [
+        "".join(rng.choice(frags, size=rng.integers(1, 12)))
+        for _ in range(300)
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    got = _to_df(e.queries()["text_pii_scrub"](str(d))).sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{d}/documents.parquet')"
+    )
+    exp = con.execute(
+        e.oracle_sql()["text_pii_scrub"] + " ORDER BY doc_id"
+    ).df().reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert (got["n_pii"] > 0).any()  # the corpus actually contains PII
