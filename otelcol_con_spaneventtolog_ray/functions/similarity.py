@@ -973,8 +973,92 @@ def q_pq_topk(sf_dir: str):
     )
 
 
+#: ADC candidate-list size per query before the exact re-rank pass
+PQ_RERANK_CANDIDATES = 50
+
+
+def q_pq_rerank(sf_dir: str):
+    """The full classic PQ pipeline: ADC scans the CODES for each query's
+    top PQ_RERANK_CANDIDATES (cheap, compressed-domain), then ONLY those
+    candidate vectors are pushdown-read and exact-scored — at 100 TB the
+    raw-vector reads are Q x candidates rows, not a scan. Output matches
+    similarity_cosine_topk's schema; recall vs the exact top-k is pinned
+    in tests (re-rank recovers most of the ADC sieve's ranking loss)."""
+    import pyarrow.parquet as pq_
+
+    cb = train_pq_codebooks(sf_dir)
+    q_ids, q_mat = _query_vectors(sf_dir)
+    qn = _norm_rows(q_mat)
+    sub = cb.shape[2]
+    tables = np.stack([
+        ((qn[:, m * sub:(m + 1) * sub][:, None, :] - cb[m][None, :, :]) ** 2)
+        .sum(axis=2)
+        for m in range(PQ_M)
+    ], axis=1)
+    import ray
+
+    ref = ray.put((q_ids, tables, cb))
+
+    def local_cands(batch: pa.Table) -> pa.Table:
+        qids, tbls, cbs = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        codes = _pq_encode(_norm_rows(mat), cbs)
+        dist = np.zeros((len(qids), len(ids)))
+        for m in range(PQ_M):
+            dist += tbls[:, m, codes[:, m]]
+        dist = np.round(dist, 6)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = ids != qid
+            cids, cd = ids[mask], dist[qi, mask]
+            order = np.lexsort((cids, cd))[:PQ_RERANK_CANDIDATES]
+            out_q += [int(qid)] * len(order)
+            out_n += cids[order].tolist()
+            out_s += cd[order].tolist()
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "nid": pa.array(out_n, pa.int64()),
+                "adc_dist": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        _emb(sf_dir)
+        .map_batches(local_cands, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    partials = partials.sort_values(
+        ["qid", "adc_dist", "nid"], kind="stable"
+    )
+    cands = partials.groupby("qid", sort=True).head(PQ_RERANK_CANDIDATES)
+    # exact re-rank: read ONLY the candidate vectors (id pushdown)
+    cand_ids = np.unique(cands["nid"].to_numpy())
+    t = pq_.read_table(
+        _emb_path(sf_dir),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", cand_ids.tolist())],
+    )
+    vids, vmat = _batch_matrix(t)
+    order = np.argsort(vids, kind="stable")
+    vids, vn = vids[order], _norm_rows(vmat[order])
+    rows = []
+    for qi, qid in enumerate(q_ids):
+        nids = cands.loc[cands["qid"] == qid, "nid"].to_numpy()
+        idx = np.searchsorted(vids, nids)
+        scores = np.round(vn[idx] @ qn[qi], 6)
+        o = np.lexsort((nids, -scores))[:TOP_K]
+        for r, j in enumerate(o, start=1):
+            rows.append((int(qid), int(nids[j]), r, float(scores[j])))
+    import pandas as pd_
+
+    df = pd_.DataFrame(rows, columns=["qid", "nid", "rank", "score"])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 register("similarity_pq_codes", q_pq_codes)  # rows-only (k-means codes)
 register("similarity_pq_topk", q_pq_topk)  # rows-only (ADC ANN)
+register("similarity_pq_rerank", q_pq_rerank)  # rows-only (ADC + exact rerank)
 register("similarity_knn_join", q_knn_join)  # rows-only (ANN self-join)
 register("similarity_cosine_topk", q_cosine_topk, _COSINE_SQL)
 register("similarity_lsh_buckets", q_lsh_ann)  # rows-only
