@@ -194,4 +194,77 @@ def q_corpus_clean_keep(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# ---------------------------------------------------------------------------
+# source mixture planning — the data-mixing step of a training pipeline:
+# per-source document/token totals plus the deterministic keep-rate that
+# equalizes token budgets across sources (rate = min_source_tokens /
+# source_tokens). Pure two-phase aggregate: per-batch (source, docs,
+# tokens) partials -> one tiny groupby — only |sources| x |blocks| rows
+# ever shuffle. Fully SQL-mirrorable (integer counts; rate rounded 6dp).
+# ---------------------------------------------------------------------------
+
+def _source_partials(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    src = batch.column("source").to_numpy(zero_copy_only=False)
+    # ws_tokens matches text_stats: single-space count + 1
+    toks = (
+        pc.count_substring(batch.column("text"), pattern=" ")
+        .to_numpy(zero_copy_only=False).astype(np.int64) + 1
+    )
+    order = np.argsort(src, kind="stable")
+    s, t = src[order], toks[order]
+    uniq, first = np.unique(s, return_index=True)
+    return pa.table(
+        {
+            "source": pa.array(uniq, pa.string()),
+            "docs": pa.array(
+                np.diff(np.append(first, len(s))).astype(np.int64), pa.int64()
+            ),
+            "tokens": pa.array(np.add.reduceat(t, first), pa.int64())
+            if len(uniq)
+            else pa.array([], pa.int64()),
+        }
+    )
+
+
+def q_source_mixture(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = _dedup._docs(sf_dir, columns=("doc_id", "text", "source")).map_batches(
+        _source_partials, batch_format="pyarrow", **remote_kwargs()
+    )
+    df = (
+        ds.groupby("source").aggregate(Sum("docs"), Sum("tokens")).to_pandas()
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "keep_rate": pa.array([], pa.float64())}
+        )
+    df = df.rename(columns={"sum(docs)": "n_docs", "sum(tokens)": "n_tokens"})
+    lo = int(df["n_tokens"].min())
+    df["keep_rate"] = (lo / df["n_tokens"]).round(6)
+    df = df.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["source", "n_docs", "n_tokens", "keep_rate"]], preserve_index=False
+    )
+
+
+_SOURCE_MIX_SQL = """
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum((length(text) - length(replace(text, ' ', ''))) + 1)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1)
+SELECT source, n_docs, n_tokens,
+       round((SELECT min(n_tokens) FROM s) / CAST(n_tokens AS DOUBLE), 6)
+         AS keep_rate
+FROM s ORDER BY source
+"""
+
+
 register("corpus_clean_keep", q_corpus_clean_keep)  # rows-only
+register("corpus_source_mixture", q_source_mixture, _SOURCE_MIX_SQL)

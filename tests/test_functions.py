@@ -19,7 +19,7 @@ SQL_CHECKED = [
     "multimodal_resize", "multimodal_frame_sample",
     "text_quality_filter", "text_top_tokens", "text_sample_stratified",
     "text_vocab_coverage", "text_top_quality", "text_repetition",
-    "text_pii_scrub",
+    "text_pii_scrub", "corpus_source_mixture",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
