@@ -1531,3 +1531,54 @@ def test_pq_rerank_recall_and_exact_scores(ray_session):
         hits += len(exact & set(grp["nid"]))
         total += len(exact)
     assert hits / total >= 0.8, hits / total
+
+
+def test_minhash_chunk_verify_across_chunk_boundaries(ray_session, tmp_path):
+    """Planted dup pairs that STRADDLE verify-chunk boundaries are found
+    with exact jac — exercised with a tiny chunk override so (ca != cb)
+    groups actually occur (the sf fixtures fit in one chunk)."""
+    import pyarrow.parquet as pq
+
+    from otelcol_con_spaneventtolog_ray.functions import dedup
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(4000)]
+    ids = list(range(40))
+    texts = [" ".join(rng.choice(vocab, size=60)) for _ in ids]
+    texts[35] = texts[3]                                # cross-chunk exact dup
+    texts[8] = texts[7].replace(texts[7].split()[0], "zzz", 1)  # adjacent-chunk near dup
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    old = dedup.MINHASH_CHUNK_DOCS
+    dedup.MINHASH_CHUNK_DOCS = 8
+    try:
+        pairs = {(r["id_a"], r["id_b"]): r["jac"]
+                 for r in dedup.q_minhash_near_dups(str(d)).to_pylist()}
+    finally:
+        dedup.MINHASH_CHUNK_DOCS = old
+    assert pairs[(3, 35)] == 1.0
+    assert (7, 8) in pairs and pairs[(7, 8)] < 1.0
+    from otelcol_con_spaneventtolog_ray.functions.dedup import word_shingles
+    s7, s8 = word_shingles(texts[7]), word_shingles(texts[8])
+    assert pairs[(7, 8)] == round(len(s7 & s8) / len(s7 | s8), 6)
+
+
+def test_embedding_lsh_chunk_verify_across_boundaries(ray_session):
+    """With the verify chunk shrunk to 64 ids (8 chunks over the sf0.001
+    embeddings), the LSH path's cross-chunk verify groups must still
+    reproduce the exact near-dup pair set."""
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions import similarity
+
+    exact = _canon(_to_df(e.queries()["dedup_embedding_neardup"](SF_DIR)))
+    old = similarity.NEARDUP_CHUNK_ROWS
+    similarity.NEARDUP_CHUNK_ROWS = 64
+    try:
+        lsh = _canon(_to_df(e.queries()["dedup_embedding_neardup_lsh"](SF_DIR)))
+    finally:
+        similarity.NEARDUP_CHUNK_ROWS = old
+    pd.testing.assert_frame_equal(lsh, exact, check_dtype=False,
+                                  check_exact=True)
