@@ -836,23 +836,29 @@ def connected_components(edges, mode: str = "auto"):
     edges = edges.map_batches(
         _cc_symmetrize_batch, batch_format="pyarrow", **remote_kwargs()
     )
+    first = None
     if mode == "auto":
-        n_nodes = _cc_minima(edges).count()
-        mode = "broadcast" if n_nodes <= CC_MAX_BROADCAST_NODES else "sharded"
+        # the probe pass doubles as round 1's minima — not recomputed
+        first = _cc_minima(edges).materialize()
+        mode = (
+            "broadcast" if first.count() <= CC_MAX_BROADCAST_NODES
+            else "sharded"
+        )
     if mode == "broadcast":
-        return _cc_broadcast_loop(edges)
+        return _cc_broadcast_loop(edges, first)
     if mode == "sharded":
-        return _cc_sharded_loop(edges)
+        return _cc_sharded_loop(edges, first)
     raise ValueError(f"unknown connected_components mode {mode!r}")
 
 
-def _cc_broadcast_loop(edges):
+def _cc_broadcast_loop(edges, first=None):
     import ray as _ray
     import ray.data
 
     prev = None
-    for _ in range(CC_MAX_ROUNDS):
-        mdf = _cc_minima(edges).to_pandas()  # O(nodes in pair graph)
+    for _round in range(CC_MAX_ROUNDS):
+        src = first if (_round == 0 and first is not None) else _cc_minima(edges)
+        mdf = src.to_pandas()  # O(nodes in pair graph)
         if len(mdf) > CC_MAX_BROADCAST_NODES:
             raise ValueError(
                 f"connected_components: {len(mdf)} nodes exceed the"
@@ -1014,10 +1020,13 @@ def _cc_labels_ok_sharded(edges, minima) -> bool:
     return int(agg["sum(bad)"]) == 0
 
 
-def _cc_sharded_loop(edges):
+def _cc_sharded_loop(edges, first=None):
     prev_probe = None
-    for _ in range(CC_MAX_ROUNDS):
-        minima = _cc_minima(edges).materialize()
+    for _round in range(CC_MAX_ROUNDS):
+        minima = (
+            first if (_round == 0 and first is not None)
+            else _cc_minima(edges).materialize()
+        )
         probe = _cc_minima_probe(minima)
         if prev_probe == probe and _cc_labels_ok_sharded(edges, minima):
             def rename(t: pa.Table) -> pa.Table:

@@ -5,8 +5,13 @@
   numpy matmul against its batch and emits its LOCAL top-k per query (tiny
   partials); the driver folds partials into the global top-k. Only
   Q x k x num_blocks candidate rows ever leave the workers.
-* LSH-bucketed ANN — the scale path: random-hyperplane signatures bucket
-  vectors; a query only scores its own bucket (plus Hamming-1 probes).
+* LSH buckets — random-hyperplane signatures; the bucket is the 100 TB
+  partitioning key. Multi-table LSH also drives the embedding near-dup
+  (id-only fan-out + chunk-pair pushdown verify).
+* IVF — deterministic trained k-means coarse quantizer; nprobe top-k and
+  the kNN self-join (cell groupby + sort-co-located segment fold).
+* PQ — per-subspace k-means codebooks, 8-byte codes (32x), ADC top-k over
+  CODES, and an ADC -> exact re-rank that pushdown-reads only candidates.
 
 Scores are rounded to 6 dp with doc-id tiebreak so the DuckDB mirror
 (list_cosine_similarity) ranks identically.
