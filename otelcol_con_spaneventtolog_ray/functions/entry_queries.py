@@ -27,6 +27,7 @@ from . import (  # noqa: E402,F401
     dedup,
     eventops,
     multimodal,
+    relational,
     similarity,
     sketch,
     textstats,

@@ -20,6 +20,7 @@ SQL_CHECKED = [
     "text_quality_filter", "text_top_tokens", "text_sample_stratified",
     "text_vocab_coverage", "text_top_quality", "text_repetition",
     "text_pii_scrub", "corpus_source_mixture",
+    "rel_pricing_summary", "rel_revenue_by_nation",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
