@@ -373,15 +373,22 @@ def q_minhash_buckets(sf_dir: str):
     return tbl.filter(pc.greater(tbl.column("n"), 1))
 
 
+#: cap on one bucket's candidate-pair EMISSION: the pair table a group
+#: materializes is C(g,2) x 16 bytes in ONE output block (g=5000 -> ~200
+#: MB), so the bound is memory, tighter than the time-bound VERIFY cap
+CANDIDATE_MAX_BUCKET = 5_000
+
+
 def _bucket_candidate_pairs(group: pa.Table, _cap: int | None = None) -> pa.Table:
     """One (band, bucket) group -> candidate pairs (id_a < id_b).
 
     Honest buckets are tiny candidate clusters; an adversarial
     (near-)identical corpus degenerates one bucket to O(n), which would make
-    the candidate set quadratic — ENFORCED via VERIFY_MAX_GROUP with a
-    fail-fast pointer at dedup_exact (which handles identical docs in O(n)).
+    the candidate set quadratic — ENFORCED via min(CANDIDATE_MAX_BUCKET,
+    VERIFY_MAX_GROUP) with a fail-fast pointer at dedup_exact (which
+    handles identical docs in O(n)).
     """
-    cap = VERIFY_MAX_GROUP if _cap is None else _cap
+    cap = min(CANDIDATE_MAX_BUCKET, VERIFY_MAX_GROUP) if _cap is None else _cap
     ids = np.unique(
         group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     )
@@ -499,7 +506,8 @@ def q_minhash_near_dups(sf_dir: str):
     ds = _docs(sf_dir).map_batches(
         minhash_bands_batch, batch_format="pyarrow", **remote_kwargs()
     )
-    cap = VERIFY_MAX_GROUP  # captured driver-side so overrides reach workers
+    # captured driver-side so overrides reach workers
+    cap = min(CANDIDATE_MAX_BUCKET, VERIFY_MAX_GROUP)
     cand = ds.groupby(["band", "bucket"]).map_groups(
         lambda g: _bucket_candidate_pairs(g, cap),
         batch_format="pyarrow", **remote_kwargs()
@@ -583,7 +591,33 @@ def simhash_chunk_fanout(batch: pa.Table) -> pa.Table:
     return pa.concat_tables(parts)
 
 
+#: 16-bit popcount lookup (64 KB, built once) — numpy 1.26 has no
+#: bitwise_count, and unpackbits over a g x g x 8 byte view costs g^2 x 64
+#: bytes (25 GB at g=20k); four LUT probes cost g^2 x 4 reads instead
+_POP16 = np.zeros(1 << 16, dtype=np.uint8)
+for _s in range(16):
+    _POP16 += ((np.arange(1 << 16) >> _s) & 1).astype(np.uint8)
+
+#: row-block width for the pairwise XOR-popcount (bounds peak temp memory
+#: at SIMHASH_VERIFY_BLOCK x group x ~12 bytes)
+SIMHASH_VERIFY_BLOCK = 512
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via four 16-bit LUT probes."""
+    M = np.uint64(0xFFFF)
+    return (
+        _POP16[(x & M).astype(np.int64)]
+        + _POP16[((x >> np.uint64(16)) & M).astype(np.int64)]
+        + _POP16[((x >> np.uint64(32)) & M).astype(np.int64)]
+        + _POP16[(x >> np.uint64(48)).astype(np.int64)]
+    )
+
+
 def _simhash_verify_group(group: pa.Table, _cap: int | None = None) -> pa.Table:
+    """Pairwise Hamming verify, ROW-BLOCKED so peak memory is
+    SIMHASH_VERIFY_BLOCK x g temporaries rather than a dense g x g x 64
+    bit-expansion — the cap then bounds quadratic TIME, not an OOM."""
     cap = VERIFY_MAX_GROUP if _cap is None else _cap
     ids = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     if len(ids) > cap:
@@ -604,20 +638,25 @@ def _simhash_verify_group(group: pa.Table, _cap: int | None = None) -> pa.Table:
     sigs = (
         group.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
     )[order].view(np.uint64)
-    xor = sigs[:, None] ^ sigs[None, :]
-    ham = np.unpackbits(xor.view(np.uint8).reshape(len(ids), len(ids), 8), axis=2).sum(
-        axis=2
-    )
-    ai, bj = np.nonzero(
-        (ham <= SIMHASH_HAMMING_MAX) & (ids[:, None] < ids[None, :])
-    )
-    if len(ai) == 0:
+    out_a, out_b, out_h = [], [], []
+    for i0 in range(0, len(ids), SIMHASH_VERIFY_BLOCK):
+        blk = sigs[i0:i0 + SIMHASH_VERIFY_BLOCK]
+        ham = _popcount64(blk[:, None] ^ sigs[None, :])
+        ai, bj = np.nonzero(
+            (ham <= SIMHASH_HAMMING_MAX)
+            & (ids[i0:i0 + SIMHASH_VERIFY_BLOCK, None] < ids[None, :])
+        )
+        if len(ai):
+            out_a.append(ids[i0 + ai])
+            out_b.append(ids[bj])
+            out_h.append(ham[ai, bj].astype(np.int64))
+    if not out_a:
         return empty
     return pa.table(
         {
-            "id_a": pa.array(ids[ai], pa.int64()),
-            "id_b": pa.array(ids[bj], pa.int64()),
-            "hamming": pa.array(ham[ai, bj].astype(np.int64), pa.int64()),
+            "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), pa.int64()),
+            "hamming": pa.array(np.concatenate(out_h), pa.int64()),
         }
     )
 

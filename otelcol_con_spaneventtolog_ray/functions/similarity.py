@@ -267,9 +267,10 @@ def q_embedding_neardup(sf_dir: str):
 NEARDUP_LSH_TABLES = 24
 NEARDUP_LSH_PLANES = 3  # few planes/table at test scale; log-scale with corpus
 
-#: cap on one (table, bucket) candidate group — a group of g emits O(g^2)
-#: candidate pairs, so a degenerate all-similar corpus must fail fast
-NEARDUP_MAX_BUCKET = 10_000
+#: cap on one (table, bucket) candidate group — a group of g emits C(g,2)
+#: candidate-pair rows in ONE output block (g=5000 -> ~200 MB), so a
+#: degenerate all-similar corpus must fail fast before materializing it
+NEARDUP_MAX_BUCKET = 5_000
 
 _lsh_rng_seed = 246813579
 
