@@ -67,19 +67,20 @@ def _pricing_partials(batch: pa.Table) -> pa.Table:
         batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
     ).astype(np.int64)
     disc_price_cc = price_c * (100 - disc_c)  # scale 10000, exact ints
-    rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
-    ls = batch.column("l_linestatus").to_numpy(zero_copy_only=False)
-    key = np.char.add(rf.astype(str), ls.astype(str))
-    order = np.argsort(key, kind="stable")
-    key_s = key[order]
-    uniq, first = np.unique(key_s, return_index=True)
-    seg = first
+    rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False).astype(str)
+    ls = batch.column("l_linestatus").to_numpy(zero_copy_only=False).astype(str)
+    # two-column group runs via lexsort boundaries (no concatenated key, so
+    # multi-char values can never alias across the column split)
+    order = np.lexsort((ls, rf))
+    rf_s, ls_s = rf[order], ls[order]
+    boundary = (rf_s[1:] != rf_s[:-1]) | (ls_s[1:] != ls_s[:-1])
+    first = np.flatnonzero(np.concatenate([[True], boundary]))
     return pa.table(
         {
-            "l_returnflag": pa.array(rf[order][seg], pa.string()),
-            "l_linestatus": pa.array(ls[order][seg], pa.string()),
+            "l_returnflag": pa.array(rf_s[first], pa.string()),
+            "l_linestatus": pa.array(ls_s[first], pa.string()),
             "n": pa.array(
-                np.diff(np.append(first, len(key_s))).astype(np.int64), pa.int64()
+                np.diff(np.append(first, len(rf_s))).astype(np.int64), pa.int64()
             ),
             "qty": pa.array(np.add.reduceat(qty[order], first), pa.int64()),
             "price_c": pa.array(np.add.reduceat(price_c[order], first), pa.int64()),
