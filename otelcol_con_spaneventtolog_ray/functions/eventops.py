@@ -1,15 +1,26 @@
 """Event-stream operators Ray Data lacks natively, composed per SURVEY.md §2's
-"custom operators" rule: sessionization (windowed aggregate), as-of join, and
-top-k per group via ``groupby().map_groups`` over a per-key partition; a
-broadcast-join enrichment via a tiny two-phase aggregate shipped with
-``ray.put``. All over the driver's ``events`` table, each with an exact DuckDB
-oracle.
+"custom operators" rule: sessionization (windowed aggregate), as-of join,
+range join, top-k per group, and a broadcast-join enrichment via a tiny
+two-phase aggregate shipped with ``ray.put``. All over the driver's
+``events`` table, each with an exact DuckDB oracle.
 
-Partitioning assumption (documented per the rule): the groupby key
-(``user_id`` / ``event_type``) co-locates each group on one worker, so the
-in-group sort/scan is local; at 100 TB the key must be salted only for
-aggregates, never for these order-dependent windows (a hot user's history must
-stay together).
+The per-USER windows (sessionization / as-of / range join) are
+``sort("user_id")`` + ONE vectorized ``map_batches(batch_size=None)`` fold
+per block — the sort's range partitioning co-locates every row of a user
+in one block (the property pinned by test_sort_colocates_equal_keys...),
+and the fold lexsorts the block by (user, ts, event_id) and does all
+per-user work through segment boundaries (reduceat / searchsorted /
+offset-packed windows). NO per-user Python call exists anywhere: a block
+of a million users costs one numpy pass, not a million map_groups
+invocations. ``topk_group`` keeps groupby().map_groups because its key
+(event_type) has tiny cardinality. The per-group pandas functions are
+retained as readable REFERENCE implementations, pinned equal to the block
+folds by parity tests.
+
+Partitioning assumption (documented per the rule): ``user_id`` co-locates
+each user's history; at 100 TB the key must be salted only for aggregates,
+never for these order-dependent windows (a hot user's history must stay
+together).
 """
 
 from __future__ import annotations
@@ -66,11 +77,64 @@ def sessionize_group(df: pd.DataFrame) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def _block_sorted(t: pa.Table, extra: tuple[str, ...] = ()):
+    """Lexsort one block by (user, ts, event_id); returns aligned arrays."""
+    user = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = (
+        t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    eid = t.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((eid, ts, user))
+    out = [user[order], ts[order], eid[order]]
+    for c in extra:
+        col = t.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out.append(col.take(pa.array(order)))
+    return out
+
+
+def sessionize_block(t: pa.Table) -> pa.Table:
+    """Segment-vectorized sessionization over one user-complete block."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "session_id": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "start_us": pa.array([], pa.int64()),
+             "end_us": pa.array([], pa.int64())}
+        )
+    user, ts, _eid = _block_sorted(t)
+    n = len(user)
+    brk = np.ones(n, dtype=bool)
+    brk[1:] = (user[1:] != user[:-1]) | (ts[1:] - ts[:-1] > SESSION_GAP_US)
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], n)
+    sess_user = user[starts]
+    # per-user session numbering: rank of the session within its user's runs
+    ufirst = np.flatnonzero(
+        np.concatenate([[True], sess_user[1:] != sess_user[:-1]])
+    )
+    lens = np.diff(np.append(ufirst, len(starts)))
+    session_id = np.arange(len(starts)) - np.repeat(ufirst, lens) + 1
+    return pa.table(
+        {
+            "user_id": pa.array(sess_user, pa.int64()),
+            "session_id": pa.array(session_id, pa.int64()),
+            "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "start_us": pa.array(ts[starts], pa.int64()),
+            "end_us": pa.array(ts[ends - 1], pa.int64()),
+        }
+    )
+
+
 def q_sessionization(sf_dir: str):
     return (
         _events(sf_dir, ["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(sessionize_group, batch_format="pandas", **remote_kwargs())
+        .sort("user_id")
+        .map_batches(sessionize_block, batch_format="pyarrow",
+                     batch_size=None, **remote_kwargs())
     )
 
 
@@ -117,11 +181,58 @@ def asof_last_error_group(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def asof_last_error_block(t: pa.Table) -> pa.Table:
+    """Segment-vectorized as-of: in (user, ts, event_id) order, the latest
+    error with er.ts <= e.ts is the latest error row at or before the END
+    of e's (user, ts) run (equal-ts errors count regardless of event_id),
+    clamped to the user's segment start."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "ts_us": pa.array([], pa.int64()),
+             "last_error_us": pa.array([], pa.int64())}
+        )
+    user, ts, eid, etype = _block_sorted(t, extra=("event_type",))
+    n = len(user)
+    is_err = np.nan_to_num(
+        pa.compute.equal(etype, "error").to_numpy(zero_copy_only=False),
+        nan=False,
+    ).astype(bool)
+    new_run = np.concatenate(
+        [[True], (user[1:] != user[:-1]) | (ts[1:] != ts[:-1])]
+    )
+    run_starts = np.flatnonzero(new_run)
+    run_len = np.diff(np.append(run_starts, n))
+    run_end = np.repeat(run_starts + run_len - 1, run_len)  # per row
+    new_seg = np.concatenate([[True], user[1:] != user[:-1]])
+    seg_starts = np.flatnonzero(new_seg)
+    seg_start = np.repeat(seg_starts, np.diff(np.append(seg_starts, n)))
+    p_err = np.flatnonzero(is_err)
+    le = np.searchsorted(p_err, run_end, side="right") - 1
+    le_c = np.maximum(le, 0)
+    valid = (le >= 0) & (len(p_err) > 0)
+    if len(p_err):
+        valid &= p_err[le_c] >= seg_start  # same user's segment
+        last = np.where(valid, ts[p_err[le_c]], -1)
+    else:
+        last = np.full(n, -1, dtype=np.int64)
+    return pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(user, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "last_error_us": pa.array(last.astype(np.int64), pa.int64()),
+        }
+    )
+
+
 def q_asof_last_error(sf_dir: str):
     return (
         _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
-        .groupby("user_id")
-        .map_groups(asof_last_error_group, batch_format="pandas", **remote_kwargs())
+        .sort("user_id")
+        .map_batches(asof_last_error_block, batch_format="pyarrow",
+                     batch_size=None, **remote_kwargs())
     )
 
 
@@ -307,11 +418,59 @@ def range_join_group(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def range_join_block(t: pa.Table) -> pa.Table:
+    """Segment-vectorized interval self-join: segments are packed onto one
+    globally sorted axis with >= 2*RANGE_US + 1 of padding between users
+    (offset = prefix sum of per-user spans + padding), so ONE global
+    searchsorted pair answers every per-user +/-RANGE_US window without a
+    per-user loop. Falls back to the per-segment reference only if the
+    packed axis would overflow int64 (astronomically wide blocks)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "neighbors": pa.array([], pa.int64())}
+        )
+    user, ts, eid = _block_sorted(t)
+    n = len(user)
+    new_seg = np.concatenate([[True], user[1:] != user[:-1]])
+    seg_id = np.cumsum(new_seg) - 1
+    seg_starts = np.flatnonzero(new_seg)
+    seg_len = np.diff(np.append(seg_starts, n))
+    seg_min = ts[seg_starts]
+    seg_span = ts[seg_starts + seg_len - 1] - seg_min
+    pad = 2 * RANGE_US + 1
+    base = np.zeros(len(seg_starts), dtype=np.int64)
+    if len(base) > 1:
+        np.cumsum(seg_span[:-1] + pad, out=base[1:])
+    total = int(base[-1]) + int(seg_span[-1]) + pad if len(base) else 0
+    if total < (1 << 62):
+        adj = base[seg_id] + (ts - seg_min[seg_id])
+        lo = np.searchsorted(adj, adj - RANGE_US, side="left")
+        hi = np.searchsorted(adj, adj + RANGE_US, side="right")
+        neighbors = (hi - lo - 1).astype(np.int64)
+    else:  # unreachable for real timestamps; keep the exact reference path
+        neighbors = np.empty(n, dtype=np.int64)
+        for s0, ln in zip(seg_starts, seg_len):
+            seg = ts[s0:s0 + ln]
+            lo = np.searchsorted(seg, seg - RANGE_US, side="left")
+            hi = np.searchsorted(seg, seg + RANGE_US, side="right")
+            neighbors[s0:s0 + ln] = hi - lo - 1
+    return pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(user, pa.int64()),
+            "neighbors": pa.array(neighbors, pa.int64()),
+        }
+    )
+
+
 def q_range_join_neighbors(sf_dir: str):
     return (
         _events(sf_dir, ["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(range_join_group, batch_format="pandas", **remote_kwargs())
+        .sort("user_id")
+        .map_batches(range_join_block, batch_format="pyarrow",
+                     batch_size=None, **remote_kwargs())
     )
 
 

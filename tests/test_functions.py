@@ -1583,3 +1583,73 @@ def test_embedding_lsh_chunk_verify_across_boundaries(ray_session):
         similarity.NEARDUP_CHUNK_ROWS = old
     pd.testing.assert_frame_equal(lsh, exact, check_dtype=False,
                                   check_exact=True)
+
+
+def test_eventops_block_folds_match_group_references():
+    """The segment-vectorized block folds == the per-group pandas reference
+    implementations on randomized multi-user data (ties, gap edges, users
+    with no errors, singleton users)."""
+    from otelcol_con_spaneventtolog_ray.functions.eventops import (
+        asof_last_error_block,
+        asof_last_error_group,
+        range_join_block,
+        range_join_group,
+        sessionize_block,
+        sessionize_group,
+        SESSION_GAP_US,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 3000
+    user = rng.integers(0, 40, size=n)
+    base = np.int64(1_700_000_000_000_000)
+    # mix of tight clusters and gap-sized jumps, plus exact ties
+    ts = base + np.cumsum(rng.choice(
+        [1, 1000, SESSION_GAP_US, SESSION_GAP_US + 1, 0], size=n
+    )).astype(np.int64) + rng.integers(0, 3, size=n)
+    eid = rng.permutation(n).astype(np.int64)
+    etype = rng.choice(["error", "click", "view"], size=n, p=[0.1, 0.5, 0.4])
+    t = pa.table({
+        "event_id": pa.array(eid, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(user, pa.int64()),
+        "event_type": pa.array(etype, pa.string()),
+    })
+    df = t.to_pandas()
+
+    def ref(groupfn, cols):
+        outs = [groupfn(g) for _, g in df[cols].groupby("user_id")]
+        return pd.concat(outs, ignore_index=True)
+
+    def cmp(got, exp, keys):
+        got = got.to_pandas().sort_values(keys).reset_index(drop=True)
+        exp = exp.sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)],
+            check_dtype=False,
+        )
+
+    cmp(sessionize_block(t),
+        ref(sessionize_group, ["event_id", "ts", "user_id"]),
+        ["user_id", "session_id"])
+    cmp(asof_last_error_block(t),
+        ref(asof_last_error_group, ["event_id", "ts", "user_id", "event_type"]),
+        ["event_id"])
+    cmp(range_join_block(t),
+        ref(range_join_group, ["event_id", "ts", "user_id"]),
+        ["event_id"])
+
+
+def test_eventops_user_windows_have_no_per_user_python():
+    """Source pin: the per-user window queries are sort + one vectorized
+    block fold, not a groupby(user_id) per-group call."""
+    import inspect
+
+    from otelcol_con_spaneventtolog_ray.functions import eventops
+
+    for fn in (eventops.q_sessionization, eventops.q_asof_last_error,
+               eventops.q_range_join_neighbors):
+        src = inspect.getsource(fn)
+        assert 'groupby("user_id")' not in src, fn.__name__
+        assert 'sort("user_id")' in src, fn.__name__
+        assert "batch_size=None" in src, fn.__name__
