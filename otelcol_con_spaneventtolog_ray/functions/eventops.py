@@ -483,6 +483,38 @@ FROM events e
 """
 
 
+# ---------------------------------------------------------------------------
+# exact distinct count per key — the exact counterpart of the HLL sketch
+# (sketch_hll_distinct_users): dedupe (key, value) pairs with a first
+# groupby, then count per key. Unlike the sketch, the exchange carries one
+# row per DISTINCT pair — the price of exactness the sketch exists to
+# avoid; having both makes the trade measurable on the same table.
+# ---------------------------------------------------------------------------
+
+def q_distinct_users_exact(sf_dir: str):
+    from ..stages.aggregate import counts_table
+
+    def dedupe_fold(t: pa.Table) -> pa.Table:
+        # post-groupby rows are one per distinct (event_type, user_id)
+        return pa.table({"event_type": t.column("event_type")})
+
+    pairs = (
+        _events(sf_dir, ["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .count()
+        .map_batches(dedupe_fold, batch_format="pyarrow", **remote_kwargs())
+    )
+    tbl = counts_table(pairs, ["event_type"])
+    return tbl.rename_columns(["event_type", "n_users"])
+
+
+_DISTINCT_SQL = (
+    "SELECT event_type, count(DISTINCT user_id) AS n_users"
+    " FROM events GROUP BY 1 ORDER BY 1"
+)
+
+
+register("events_distinct_users_exact", q_distinct_users_exact, _DISTINCT_SQL)
 register("events_sessionization", q_sessionization, _SESSION_SQL)
 register("events_range_join_neighbors", q_range_join_neighbors, _RANGE_SQL)
 register("events_sliding_window_counts", q_sliding_window_counts, _SLIDING_SQL)

@@ -21,6 +21,7 @@ SQL_CHECKED = [
     "text_vocab_coverage", "text_top_quality", "text_repetition",
     "text_pii_scrub", "corpus_source_mixture",
     "rel_pricing_summary", "rel_revenue_by_nation",
+    "events_distinct_users_exact",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
