@@ -123,3 +123,73 @@ def test_content_hash_leading_nul_is_not_an_alias():
     pairs = list(zip(h1.tolist(), h2.tolist()))
     assert len(set(pairs)) == len(pairs)
     assert content_hash_scalar("a") != content_hash_scalar("\x00a")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 6),                 # user
+            st.integers(0, 4_000_000_000),     # ts offset (crosses the gap)
+            st.sampled_from(["error", "click", "view"]),
+        ),
+        min_size=0, max_size=60,
+    )
+)
+def test_eventops_block_folds_property_parity(rows):
+    """Hypothesis sweep: the segment-vectorized event-window folds equal
+    the per-group pandas references on arbitrary tiny compositions —
+    duplicate timestamps, empty blocks, singleton users, errors at ties."""
+    import pandas as pd
+
+    from otelcol_con_spaneventtolog_ray.functions.eventops import (
+        asof_last_error_block,
+        asof_last_error_group,
+        range_join_block,
+        range_join_group,
+        sessionize_block,
+        sessionize_group,
+    )
+
+    base = np.int64(1_700_000_000_000_000)
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array(
+            np.array([base + r[1] for r in rows], dtype=np.int64),
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    df = t.to_pandas()
+
+    def ref(groupfn, cols):
+        if len(df) == 0:
+            return None
+        return pd.concat(
+            [groupfn(g) for _, g in df[cols].groupby("user_id")],
+            ignore_index=True,
+        )
+
+    def cmp(got, exp, keys):
+        got = got.to_pandas()
+        if exp is None:
+            assert len(got) == 0
+            return
+        got = got.sort_values(keys).reset_index(drop=True)
+        exp = exp.sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], exp[sorted(exp.columns)],
+            check_dtype=False,
+        )
+
+    cmp(sessionize_block(t),
+        ref(sessionize_group, ["event_id", "ts", "user_id"]),
+        ["user_id", "session_id"])
+    cmp(asof_last_error_block(t),
+        ref(asof_last_error_group,
+            ["event_id", "ts", "user_id", "event_type"]),
+        ["event_id"])
+    cmp(range_join_block(t),
+        ref(range_join_group, ["event_id", "ts", "user_id"]),
+        ["event_id"])
