@@ -736,6 +736,96 @@ FROM s1
 """
 
 
+# ---------------------------------------------------------------------------
+# document chunking — the training-data windowing shape: each document is
+# split into fixed-size token windows with overlap (chunk i covers tokens
+# [i*STRIDE, i*STRIDE + SIZE)), the unit a tokenizer/packing stage consumes.
+# Fully vectorized flat-map: one tokenize pass, the overlapping windows are
+# materialized with a single gather (arange/repeat index build + take) and
+# re-joined with Arrow's binary_join — no per-doc Python. Chunk text is the
+# single-space join of its tokens (DEFINED semantics, mirrored exactly by
+# DuckDB's array_to_string over the same list slice).
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def chunk_documents_batch(batch: pa.Table) -> pa.Table:
+    flat, parents = _words_flat(batch)
+    n_docs = batch.num_rows
+    doc_tok = np.bincount(parents, minlength=n_docs)
+    doc_tok_start = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(doc_tok, out=doc_tok_start[1:])
+    n_chunks = -(-doc_tok // CHUNK_STRIDE)  # ceil; 0 tokens -> 0 chunks
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "chunk_idx": pa.array([], pa.int64()),
+         "n_tokens": pa.array([], pa.int64()),
+         "chunk_text": pa.array([], pa.string())}
+    )
+    total = int(n_chunks.sum())
+    if total == 0:
+        return empty
+    doc_of_chunk = np.repeat(np.arange(n_docs), n_chunks)
+    # chunk_idx within each doc: global arange minus each doc's first chunk
+    first_chunk = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_chunks, out=first_chunk[1:])
+    cidx = np.arange(total) - np.repeat(first_chunk[:-1], n_chunks)
+    start = cidx * CHUNK_STRIDE
+    length = np.minimum(doc_tok[doc_of_chunk] - start, CHUNK_SIZE)
+    # gather all chunk tokens in one take: indices = start offsets repeated
+    # + within-chunk arange
+    tok_offs = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(length, out=tok_offs[1:])
+    idx = (
+        np.repeat(doc_tok_start[doc_of_chunk] + start, length)
+        + np.arange(int(tok_offs[-1]))
+        - np.repeat(tok_offs[:-1], length)
+    )
+    gathered = flat.take(pa.array(idx))
+    chunk_lists = pa.ListArray.from_arrays(
+        pa.array(tok_offs, pa.int32()).cast(pa.int32()), pc.cast(gathered, pa.string())
+    )
+    text = pc.binary_join(chunk_lists, " ")
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[doc_of_chunk], pa.int64()),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "n_tokens": pa.array(length.astype(np.int64), pa.int64()),
+            "chunk_text": text,
+        }
+    )
+
+
+def q_chunk_documents(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        chunk_documents_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+_CHUNK_SQL = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x != '') AS toks
+  FROM documents),
+c AS (
+  SELECT doc_id, toks, len(toks) AS n, t.j AS chunk_idx
+  FROM tk, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(toks) / {CHUNK_STRIDE}.0) AS BIGINT)))
+      AS j) t)
+SELECT doc_id, chunk_idx,
+       least(n - chunk_idx * {CHUNK_STRIDE}, {CHUNK_SIZE}) AS n_tokens,
+       array_to_string(
+         toks[chunk_idx * {CHUNK_STRIDE} + 1 :
+              least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n)], ' ')
+         AS chunk_text
+FROM c
+"""
+
+
+register("text_chunking", q_chunk_documents, _CHUNK_SQL)
 register("text_pii_scrub", q_pii_scrub, _PII_SQL)
 register("text_repetition", q_repetition, _REPETITION_SQL)
 register("text_vocab_coverage", q_vocab_coverage, _COVERAGE_SQL)

@@ -21,7 +21,7 @@ SQL_CHECKED = [
     "text_vocab_coverage", "text_top_quality", "text_repetition",
     "text_pii_scrub", "corpus_source_mixture",
     "rel_pricing_summary", "rel_revenue_by_nation",
-    "events_distinct_users_exact",
+    "events_distinct_users_exact", "text_chunking",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
@@ -1654,3 +1654,34 @@ def test_eventops_user_windows_have_no_per_user_python():
         assert 'groupby("user_id")' not in src, fn.__name__
         assert 'sort("user_id")' in src, fn.__name__
         assert "batch_size=None" in src, fn.__name__
+
+
+def test_chunking_edge_shapes():
+    """Chunk windows: empty docs emit nothing; short docs emit one chunk;
+    an exact-stride doc emits ceil(n/stride) windows with the right tails;
+    overlap region repeats tokens."""
+    from otelcol_con_spaneventtolog_ray.functions.textstats import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        chunk_documents_batch,
+    )
+
+    toks = [f"t{i}" for i in range(CHUNK_STRIDE * 2 + 5)]  # 101 tokens
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["", "a b c", " ".join(toks),
+                          " ".join(toks[:CHUNK_STRIDE])], pa.string()),
+    })
+    out = chunk_documents_batch(tbl).to_pandas()
+    assert 0 not in set(out["doc_id"])                 # empty doc: no chunks
+    d1 = out[out["doc_id"] == 1]
+    assert len(d1) == 1 and d1.iloc[0]["chunk_text"] == "a b c"
+    d2 = out[out["doc_id"] == 2].sort_values("chunk_idx")
+    assert len(d2) == 3                                # ceil(101/48)
+    assert d2.iloc[0]["n_tokens"] == CHUNK_SIZE
+    assert d2.iloc[0]["chunk_text"] == " ".join(toks[:CHUNK_SIZE])
+    assert d2.iloc[1]["chunk_text"] == " ".join(
+        toks[CHUNK_STRIDE:CHUNK_STRIDE + CHUNK_SIZE])
+    assert d2.iloc[2]["n_tokens"] == 101 - 2 * CHUNK_STRIDE
+    d3 = out[out["doc_id"] == 3]
+    assert len(d3) == 1 and d3.iloc[0]["n_tokens"] == CHUNK_STRIDE
