@@ -7,7 +7,12 @@ columnar aggregation and broadcast-join shapes on `lineitem` / `orders` /
   aggregation (the combiner) so only |groups| x |blocks| rows reach the
   final tiny groupby. Money columns are folded as 100x / 10000x SCALED
   INTEGERS so distributed summation order cannot produce float drift vs
-  the DuckDB mirror — exact value-hash parity at any block split.
+  the DuckDB mirror — exact value-hash parity at any block split. The
+  shipdate cutoff runs as the combiner's first vectorized step, not at the
+  read: Ray 2.49's read_parquet does not forward a scanner ``filter``
+  through arrow_parquet_args (its fragment-sampling path rejects it —
+  verified empirically with both timestamp and numeric predicates), so
+  column pruning at the read + a first-map filter is the idiomatic form.
 * rel_revenue_by_nation — the TPC-H Q5-lite shape: the small dimension
   side (customer ⋈ nation, |customers| rows) is broadcast ONCE via
   ray.put as sorted numpy arrays; the fact scan resolves nation per order
