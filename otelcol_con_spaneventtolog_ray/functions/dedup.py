@@ -33,7 +33,6 @@ from .texthash import (
     U64_MAX,
     _splitmix64,
     WORD_BASE,
-    ASCII_WS_RE,
     _splitmix64_scalar,
     batch_content_hash,
     batch_shingles,

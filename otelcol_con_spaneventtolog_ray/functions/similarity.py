@@ -31,8 +31,6 @@ TOP_K = 10
 NUM_QUERIES = 5  # first NUM_QUERIES vec_ids double as the query set
 LSH_PLANES = 8
 
-_plane_rng = np.random.RandomState(987654321)
-
 
 def _emb(sf_dir: str):
     import ray.data
