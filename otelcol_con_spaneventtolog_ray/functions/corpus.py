@@ -266,5 +266,46 @@ FROM s ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# the capstone composition: cleaned corpus -> training chunks. The keep-set
+# (quality ∧ exact-dup survivor ∧ near-dup survivor) is broadcast once as a
+# sorted id array; the chunking pass filters each batch vectorized
+# (searchsorted membership) BEFORE windowing, so dropped documents never
+# reach the chunker. Output = the actual unit a tokenizer consumes.
+# ---------------------------------------------------------------------------
+
+def q_training_chunks(sf_dir: str):
+    """(doc_id, chunk_idx, n_tokens) for every chunk of every KEPT document
+    (rows-only; composition pinned against the component queries)."""
+    import ray
+
+    from . import textstats as _textstats2
+
+    keep = q_corpus_clean_keep(sf_dir)
+    keep_ids = np.sort(
+        keep.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    keep_ref = ray.put(keep_ids)
+
+    def chunk_kept(batch: pa.Table) -> pa.Table:
+        kept = ray.get(keep_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if len(kept):
+            pos = np.searchsorted(kept, ids)
+            pos[pos == len(kept)] = 0
+            mask = kept[pos] == ids
+        else:
+            mask = np.zeros(len(ids), dtype=bool)
+        if not mask.all():
+            batch = batch.filter(pa.array(mask))
+        out = _textstats2.chunk_documents_batch(batch)
+        return out.select(["doc_id", "chunk_idx", "n_tokens"])
+
+    return _dedup._docs(sf_dir).map_batches(
+        chunk_kept, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
 register("corpus_clean_keep", q_corpus_clean_keep)  # rows-only
+register("corpus_training_chunks", q_training_chunks)  # rows-only (composition)
 register("corpus_source_mixture", q_source_mixture, _SOURCE_MIX_SQL)

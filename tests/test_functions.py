@@ -35,7 +35,7 @@ ROWS_ONLY_RUN = [
     "text_lm_score", "multimodal_audio_energy",
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
     "text_decontaminate", "similarity_pq_codes", "similarity_pq_topk",
-    "similarity_pq_rerank",
+    "similarity_pq_rerank", "corpus_training_chunks",
 ]
 
 
@@ -1685,3 +1685,20 @@ def test_chunking_edge_shapes():
     assert d2.iloc[2]["n_tokens"] == 101 - 2 * CHUNK_STRIDE
     d3 = out[out["doc_id"] == 3]
     assert len(d3) == 1 and d3.iloc[0]["n_tokens"] == CHUNK_STRIDE
+
+
+def test_training_chunks_composition(ray_session):
+    """corpus_training_chunks == chunking restricted to the clean keep-set
+    (composition pin against the component queries)."""
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    kept = set(_to_df(qs["corpus_clean_keep"](SF_DIR))["doc_id"])
+    chunks = _to_df(qs["text_chunking"](SF_DIR))
+    exp = chunks[chunks["doc_id"].isin(kept)][
+        ["doc_id", "chunk_idx", "n_tokens"]
+    ].sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    got = _to_df(qs["corpus_training_chunks"](SF_DIR)).sort_values(
+        ["doc_id", "chunk_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert set(got["doc_id"]) <= kept
