@@ -12,9 +12,13 @@ embarrassingly parallel ``map_batches`` pass: vectorized shingle hashing
 (searchsorted), and a per-doc segment sum. No shuffle anywhere; the
 broadcast is O(|benchmark n-grams|), shipped once per worker.
 
-Rows-only for the driver gate (word n-gram semantics are not reasonably
-SQL-expressible); pinned in pytest against an exact scalar-mirror oracle
-(word_shingles with the same k), including planted contamination.
+SQL-gated (round 4): the oracle builds the word n-grams as STRINGS —
+space-joined token windows, which is injective because tokens are
+whitespace-free — while the Ray side matches 64-bit shingle hashes of the
+same windows; a divergence needs a splitmix64 shingle-hash collision
+(~1e-11 at 1e4 distinct grams). Also pinned in pytest against an exact
+scalar-mirror oracle (word_shingles with the same k), including planted
+contamination.
 """
 
 from __future__ import annotations
@@ -125,4 +129,35 @@ def q_decontaminate(sf_dir: str):
     )
 
 
-register("text_decontaminate", q_decontaminate)  # rows-only (n-gram set op)
+# string n-grams: space-joined token windows (injective — tokens contain no
+# whitespace). Mirrors batch_shingles exactly: >=K words -> one gram per
+# window, 0<len<K -> ONE gram over all words, empty -> none; distinct per
+# doc; docs with no grams still appear with n_hits = 0.
+_DECON_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, list_distinct(CASE
+    WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(toks) < {DECON_K} THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks) - {DECON_K} + 2),
+                        i -> array_to_string(
+                               list_slice(toks, i, i + {DECON_K} - 1), ' '))
+    END) AS grams
+  FROM t),
+b AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+      WHERE doc_id % {DECON_BENCH_MOD} = 0),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+h AS (SELECT e.doc_id, count(b.gram) AS n_hits
+      FROM e LEFT JOIN b USING (gram) GROUP BY 1)
+SELECT t.doc_id,
+       (t.doc_id % {DECON_BENCH_MOD} = 0) AS is_benchmark,
+       coalesce(h.n_hits, 0) AS n_hits,
+       (coalesce(h.n_hits, 0) > 0 AND t.doc_id % {DECON_BENCH_MOD} != 0)
+         AS contaminated
+FROM t LEFT JOIN h USING (doc_id)
+"""
+
+register("text_decontaminate", q_decontaminate, _DECON_SQL)

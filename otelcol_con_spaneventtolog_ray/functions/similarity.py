@@ -700,12 +700,31 @@ def _segment_rank(keys: np.ndarray) -> np.ndarray:
 #: temporaries, so a large cell costs more BLOCKS, never more memory
 KNN_QUERY_BLOCK = 2048
 
+#: one IVF cell's fanned-in rows (members + x nprobe queries) form ONE
+#: map_groups group, i.e. one block — the partitioning assumption of the
+#: self-join. With cells sized ~sqrt(n) this is small, but a degenerate
+#: corpus (all vectors in one cluster) concentrates everything in one cell;
+#: fail fast at this bound instead of silently materializing an unbounded
+#: block (round-3 "What's wrong" #4). 200k rows x (8B id + 256B f32x64
+#: embedding) ~= 53 MB per group block; the scoring itself stays
+#: KNN_QUERY_BLOCK-bounded regardless.
+KNN_MAX_CELL_GROUP = 200_000
 
-def _knn_cell_group(group: pa.Table) -> pa.Table:
+
+def _knn_cell_group(group: pa.Table, _cap: int | None = None) -> pa.Table:
     """Score a cell's queries against its members — blocked matmuls + one
     flattened lexsort per query block; the per-query local top-k comes
     from segment ranks over (qid, score desc, nid) order, no Python loop
     over queries (the loop below is per BLOCK of 2048 queries)."""
+    cap = KNN_MAX_CELL_GROUP if _cap is None else _cap
+    if group.num_rows > cap:
+        raise ValueError(
+            f"kNN self-join cell group has {group.num_rows} rows (cap"
+            f" {cap}): the embedding distribution is collapsing into one"
+            " IVF cell, which would materialize an unbounded block. Raise"
+            " similarity.IVF_CELLS so cells stay ~sqrt(n) vectors, or raise"
+            " similarity.KNN_MAX_CELL_GROUP deliberately."
+        )
     roles = group.column("role").to_numpy(zero_copy_only=False)
     ids, mat = _batch_matrix(group.select(["vec_id", "embedding"]))
     nm = _norm_rows(mat)
@@ -791,8 +810,10 @@ def q_knn_join(sf_dir: str):
     fan = _emb(sf_dir).map_batches(
         _knn_fanout_fn(cref), batch_format="pyarrow", **remote_kwargs()
     )
+    cap = KNN_MAX_CELL_GROUP  # captured driver-side so overrides reach workers
     partials = fan.groupby("cell").map_groups(
-        _knn_cell_group, batch_format="pyarrow", **remote_kwargs()
+        lambda g: _knn_cell_group(g, cap),
+        batch_format="pyarrow", **remote_kwargs()
     )
     return partials.sort("qid").map_batches(
         _knn_fold_batch, batch_format="pyarrow", batch_size=None,

@@ -547,14 +547,28 @@ def _vocab_score_fn(vocab_ref, want_lm: bool):
         np.cumsum(doc_tok, out=offs[1:])
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[has]
         if want_lm:
-            cnt = np.where(
-                valid,
-                vcounts[np.nan_to_num(idx, nan=0).astype(np.int64)],
-                LM_OOV_COUNT,
+            # per-token negative log-prob quantized to INTEGER micro-nats
+            # BEFORE the per-doc sum: the sum is then exact int64 arithmetic
+            # in any order/engine, and the final score is ONE float division
+            # of identical integers — bit-identical across Ray and DuckDB,
+            # where a float sum would drift with summation order. The 1e6
+            # quantizer also absorbs last-ulp ln() differences between numpy
+            # and DuckDB (a mismatch needs the product within ~2.5e-9 of a
+            # rounding boundary). This is the round-4 SQL-gating contract.
+            if total == 0:  # token-less corpus: no doc has `has` set anyway
+                vm, oov_m = np.zeros(0, np.int64), np.int64(0)
+            else:
+                vm = np.rint(-np.log(vcounts / total) * 1e6).astype(np.int64)
+                oov_m = np.int64(np.rint(-np.log(LM_OOV_COUNT / total) * 1e6))
+            t_micro = np.where(
+                valid, vm[np.nan_to_num(idx, nan=0).astype(np.int64)], oov_m
             )
-            logs = np.log(cnt / total)
-            sums = np.add.reduceat(logs, offs[:-1][has]) if has.any() else np.zeros(0)
-            score = np.round(-sums / doc_tok[has], 6)
+            sums = (
+                np.add.reduceat(t_micro, offs[:-1][has])
+                if has.any()
+                else np.zeros(0, np.int64)
+            )
+            score = sums.astype(np.float64) / (doc_tok[has] * 1e6)
             return pa.table(
                 {
                     "doc_id": pa.array(ids, pa.int64()),
@@ -610,6 +624,25 @@ _COVERAGE_SQL = (
     _VOCAB_CTE
     + "SELECT w.doc_id, count(*) AS n_tokens, count(v.token) AS n_in_vocab"
     " FROM w LEFT JOIN v USING (token) GROUP BY 1"
+)
+
+# lm_score mirror: per-token NLL quantized to integer micro-nats before the
+# per-doc sum (see _vocab_score_fn) — the sum is exact BIGINT in any order,
+# and the score is one division of identical integers, so the float bits
+# match numpy's exactly. round() vs np.rint differ only at exact .5
+# products, which last-ulp ln() noise reaches with probability ~5e-9 per
+# distinct count value.
+_LM_SCORE_SQL = (
+    _VOCAB_CTE
+    + f""",
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+t AS (SELECT w.doc_id AS doc_id,
+        CAST(round(-ln(coalesce(CAST(v.n AS DOUBLE), {LM_OOV_COUNT})
+                       / (SELECT total FROM tot)) * 1000000) AS BIGINT) AS m
+      FROM w LEFT JOIN v USING (token))
+SELECT doc_id, CAST(sum(m) AS DOUBLE) / (count(*) * 1000000.0) AS lm_score
+FROM t GROUP BY doc_id
+"""
 )
 
 
@@ -829,7 +862,7 @@ register("text_chunking", q_chunk_documents, _CHUNK_SQL)
 register("text_pii_scrub", q_pii_scrub, _PII_SQL)
 register("text_repetition", q_repetition, _REPETITION_SQL)
 register("text_vocab_coverage", q_vocab_coverage, _COVERAGE_SQL)
-register("text_lm_score", q_lm_score)  # rows-only (float-summation order)
+register("text_lm_score", q_lm_score, _LM_SCORE_SQL)  # micro-nat contract
 register("text_top_quality", q_top_quality, _TOP_QUALITY_SQL)
 register("text_sample_stratified", q_sample_stratified, _SAMPLE_SQL)
 register("text_stats", q_text_stats, _TEXT_STATS_SQL)

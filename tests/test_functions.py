@@ -20,6 +20,7 @@ SQL_CHECKED = [
     "text_quality_filter", "text_top_tokens", "text_sample_stratified",
     "text_vocab_coverage", "text_top_quality", "text_repetition",
     "text_pii_scrub", "corpus_source_mixture",
+    "text_lm_score", "text_decontaminate",
     "rel_pricing_summary", "rel_revenue_by_nation",
     "events_distinct_users_exact", "text_chunking",
 ]
@@ -32,9 +33,9 @@ ROWS_ONLY_RUN = [
     "similarity_lsh_buckets", "similarity_ivf_topk",
     "dedup_embedding_neardup_lsh", "similarity_knn_join",
     "dedup_simhash_near_dups", "sketch_value_quantiles", "corpus_clean_keep",
-    "text_lm_score", "multimodal_audio_energy",
+    "multimodal_audio_energy",
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
-    "text_decontaminate", "similarity_pq_codes", "similarity_pq_topk",
+    "similarity_pq_codes", "similarity_pq_topk",
     "similarity_pq_rerank", "corpus_training_chunks",
 ]
 
@@ -955,9 +956,10 @@ def test_simhash_near_dups_skips_wordless_docs(ray_session, tmp_path):
 
 
 def test_lm_score_matches_python_oracle(ray_session):
-    """Unigram LM score: exact per-doc recomputation from the corpus vocab
-    (same top-K rule) must match the distributed query to the last rounded
-    digit, OOV smoothing included."""
+    """Unigram LM score (micro-nat contract): per-token NLL quantized to
+    integer micro-nats, exact int sum per doc, one float division — the
+    scalar recomputation must match the distributed query BIT-exactly,
+    OOV smoothing included (the same contract the DuckDB oracle mirrors)."""
     import math
     import re
 
@@ -971,7 +973,11 @@ def test_lm_score_matches_python_oracle(ray_session):
 
     out = _to_df(e.queries()["text_lm_score"](SF_DIR)).set_index("doc_id")
     vocab, counts, total = corpus_vocab(SF_DIR)
-    cnt_of = dict(zip(vocab.to_pylist(), counts.tolist()))
+    micro_of = {
+        t: int(np.rint(-math.log(c / total) * 1e6))
+        for t, c in zip(vocab.to_pylist(), counts.tolist())
+    }
+    oov_m = int(np.rint(-math.log(LM_OOV_COUNT / total) * 1e6))
     docs = pq.read_table(f"{SF_DIR}/documents.parquet",
                          columns=["doc_id", "text"])
     ws = re.compile(r"\s+", re.ASCII)
@@ -981,8 +987,9 @@ def test_lm_score_matches_python_oracle(ray_session):
         if not toks:
             assert doc_id not in out.index
             continue
-        logs = [math.log(cnt_of.get(t, LM_OOV_COUNT) / total) for t in toks]
-        exp = round(-(np.add.reduce(np.array(logs)) / len(toks)), 6)
+        exp = float(sum(micro_of.get(t, oov_m) for t in toks)) / (
+            len(toks) * 1e6
+        )
         assert out.loc[doc_id, "lm_score"] == exp, doc_id
 
 
