@@ -326,6 +326,13 @@ def entry() -> Any:
 # (tests/test_entry_queries.py::test_ungated_queries_sit_inside_gate_window)
 # asserts this invariant against the newest CORRECTNESS_r*.json on disk.
 GATE_FRONT = [
+    # new in round 4 — never driver-gated
+    "text_line_dedup",
+    "events_dedup",
+    "events_funnel",
+    "events_retention_cohorts",
+    "sketch_bloom_users",
+    "sketch_cms_top_tokens",
     # no CORRECTNESS row in r03 (registration positions 50-61 last round)
     "similarity_pq_codes",
     "similarity_pq_topk",
@@ -354,6 +361,12 @@ GATE_TAIL = [
     "text_quality_filter",
     "text_top_tokens",
     "text_lang_id",
+    "text_fingerprint",
+    "text_top_quality",
+    "text_sample_stratified",
+    "text_repetition",
+    "text_vocab_coverage",
+    "text_pii_scrub",
 ]
 
 

@@ -153,8 +153,20 @@ def run_single(
             q_minhash_near_dups(sf_dir)
             queries["minhash_neardup"] = round(time.perf_counter() - t0, 3)
 
+            # exchange-bytes artifact (untimed): the id-only band fan-out's
+            # measured Arrow bytes vs the round-2 shingle-carrying shape, so
+            # the multi-node byte trade behind minhash_neardup's single-node
+            # wall is recorded every round instead of hand-measured once
+            from otelcol_con_spaneventtolog_ray.functions.dedup import (
+                minhash_exchange_stats,
+            )
+
+            exchange = minhash_exchange_stats(sf_dir)
+        else:
+            exchange = None
+
         total = queries["pipeline_full"]
-        return {
+        out = {
             "metric": "flagship parse->enrich->route->aggregate wall sec"
                       f" (best of {len(runs)})",
             "value": total,
@@ -169,6 +181,9 @@ def run_single(
             "pipeline_full_runs": [round(r, 3) for r in runs],
             "spread_sec": round(max(runs) - min(runs), 3),
         }
+        if exchange is not None:
+            out["minhash_exchange"] = exchange
+        return out
     finally:
         ray.shutdown()
 

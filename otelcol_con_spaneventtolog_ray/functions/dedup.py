@@ -642,6 +642,41 @@ def q_simhash(sf_dir: str):
     )
 
 
+def minhash_exchange_stats(sf_dir: str) -> dict:
+    """Measure the MinHash band exchange, don't estimate it: materialize the
+    id-only fan-out (the exact dataset `q_minhash_near_dups` feeds its heavy
+    groupby) and report its Arrow bytes, alongside what the round-2 shape —
+    every doc's distinct shingle set replicated onto each of its NUM_BANDS
+    band rows — would have shipped (distinct shingles x 8 B x NUM_BANDS,
+    summed by a per-batch partial; no shuffle). Used by bench.py so the
+    multi-node byte trade is a recorded artifact every round, not a one-off
+    hand measurement (round-3 process ask)."""
+    fan = _docs(sf_dir).map_batches(
+        minhash_bands_batch, batch_format="pyarrow", **remote_kwargs()
+    ).materialize()
+    id_only_bytes = int(fan.size_bytes())
+    n_rows = int(fan.count())
+
+    def shingle_bytes(batch: pa.Table) -> pa.Table:
+        sh, offs, _n = _doc_shingles(batch)
+        return pa.table({"b": pa.array([len(sh) * 8 * NUM_BANDS], pa.int64())})
+
+    r2 = int(
+        _docs(sf_dir)
+        .map_batches(shingle_bytes, batch_format="pyarrow", **remote_kwargs())
+        .sum("b")
+        or 0
+    )
+    return {
+        "exchange_rows": n_rows,
+        "exchange_bytes_id_only": id_only_bytes,
+        "exchange_bytes_r2_shape": id_only_bytes + r2,
+        "exchange_bytes_ratio": round((id_only_bytes + r2) / id_only_bytes, 1)
+        if id_only_bytes
+        else None,
+    }
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup pairs: 16-bit chunk banding guarantees that any pair with
 # Hamming distance <= 3 shares at least one of the four chunks (pigeonhole),

@@ -26,6 +26,7 @@ from . import (  # noqa: E402,F401
     decontam,
     dedup,
     eventops,
+    lines,
     multimodal,
     relational,
     similarity,

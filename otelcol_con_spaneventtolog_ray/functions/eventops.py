@@ -514,7 +514,222 @@ _DISTINCT_SQL = (
 )
 
 
+# ---------------------------------------------------------------------------
+# at-least-once delivery dedup — the log-pipeline ingestion cleanup: events
+# sharing (user_id, event_type, ts) are redeliveries of one logical event;
+# keep the lowest event_id, count the rest. One groupby on the composite
+# key (the shuffle is inherent to exact dedup; the key is the same
+# user_id-first partitioning every other event op uses, so a co-partitioned
+# layout serves all of them).
+# ---------------------------------------------------------------------------
+
+def q_events_dedup(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    def finish(t: pa.Table) -> pa.Table:
+        # the groupby normalizes whole-second blocks to timestamp[s];
+        # re-cast to us BEFORE the int64 view or those blocks yield seconds
+        ts_us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "ts_us": ts_us,
+                "keep_event_id": t.column("min(event_id)"),
+                "n_dups": pc.subtract(t.column("count()"), 1).cast(pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .groupby(["user_id", "event_type", "ts"])
+        .aggregate(Min("event_id"), Count())
+        .map_batches(finish, batch_format="pyarrow", **remote_kwargs())
+    )
+
+
+_EVDEDUP_SQL = """
+SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+       min(event_id) AS keep_event_id,
+       count(*) - 1 AS n_dups
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# conversion funnel — per-user ordered min-ts cascade over
+# view -> click -> purchase (each later step strictly AFTER the previous
+# one). Same shape as the other per-user windows: sort("user_id") co-locates
+# a user's history, ONE vectorized fold per block (type-code compare +
+# masked minimum.reduceat per step — no per-user Python).
+# ---------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+_INF = np.int64(np.iinfo(np.int64).max)
+
+
+def funnel_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "stage": pa.array([], pa.int64()),
+             "view_us": pa.array([], pa.int64()),
+             "click_us": pa.array([], pa.int64()),
+             "purchase_us": pa.array([], pa.int64())}
+        )
+    user, ts, _eid, etype = _block_sorted(t, extra=("event_type",))
+    tc = np.zeros(len(user), dtype=np.int8)
+    for code, name in enumerate(FUNNEL_STEPS, start=1):
+        tc[pa.compute.equal(etype, name).to_numpy(zero_copy_only=False)] = code
+    starts = np.flatnonzero(
+        np.concatenate([[True], user[1:] != user[:-1]])
+    )
+    u_idx = np.cumsum(np.concatenate([[0], (user[1:] != user[:-1]).astype(np.int64)]))
+    step_ts = []
+    prev = np.full(len(starts), -np.int64(1))  # step 0: no lower bound
+    for code in (1, 2, 3):
+        valid = (tc == code) & (ts > prev[u_idx])
+        m = np.minimum.reduceat(np.where(valid, ts, _INF), starts)
+        # reduceat on an all-INF segment yields INF — exactly "unreached"
+        m = np.where(prev == _INF, _INF, m)  # can't reach step k without k-1
+        step_ts.append(m)
+        prev = m
+    v, c, p = step_ts
+    stage = (
+        (v != _INF).astype(np.int64)
+        + (c != _INF).astype(np.int64)
+        + (p != _INF).astype(np.int64)
+    )
+
+    def col(arr):
+        return pa.array(
+            np.where(arr == _INF, 0, arr), pa.int64(), mask=arr == _INF
+        )
+
+    return pa.table(
+        {
+            "user_id": pa.array(user[starts], pa.int64()),
+            "stage": pa.array(stage, pa.int64()),
+            "view_us": col(v),
+            "click_us": col(c),
+            "purchase_us": col(p),
+        }
+    )
+
+
+def q_funnel(sf_dir: str):
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .sort("user_id")
+        .map_batches(funnel_block, batch_format="pyarrow",
+                     batch_size=None, **remote_kwargs())
+    )
+
+
+_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id, min(epoch_us(ts)) AS view_us FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.view_us GROUP BY 1),
+p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.click_us
+      GROUP BY 1)
+SELECT u.user_id,
+       CASE WHEN p.purchase_us IS NOT NULL THEN 3
+            WHEN c.click_us IS NOT NULL THEN 2
+            WHEN v.view_us IS NOT NULL THEN 1 ELSE 0 END AS stage,
+       v.view_us, c.click_us, p.purchase_us
+FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+       LEFT JOIN p USING (user_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# cohort retention — users cohorted by first-active week (Monday-aligned
+# epoch-week index, pure integer arithmetic mirrored in SQL), counted per
+# (cohort_week, week_offset). Per-user work is a block fold after
+# sort("user_id"); only (cohort, offset, partial_count) rows shuffle into
+# the final tiny groupby.
+# ---------------------------------------------------------------------------
+
+_US_PER_DAY = 86_400_000_000
+
+
+def retention_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table(
+            {"cohort_week": pa.array([], pa.int64()),
+             "week_offset": pa.array([], pa.int64()),
+             "cnt": pa.array([], pa.int64())}
+        )
+    user, ts, _eid = _block_sorted(t)
+    wk = (ts // _US_PER_DAY + 3) // 7  # Monday-aligned weeks since epoch
+    # distinct (user, week): rows are user-sorted; sort weeks within user
+    order = np.lexsort((wk, user))
+    u, w = user[order], wk[order]
+    first = np.concatenate([[True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])])
+    u, w = u[first], w[first]
+    ustart = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+    lens = np.diff(np.append(ustart, len(u)))
+    cohort = np.repeat(w[ustart], lens)  # per-user min week = first distinct
+    off = w - cohort
+    # partial counts per (cohort, offset)
+    order = np.lexsort((off, cohort))
+    ch, of = cohort[order], off[order]
+    first = np.concatenate([[True], (ch[1:] != ch[:-1]) | (of[1:] != of[:-1])])
+    starts = np.flatnonzero(first)
+    cnt = np.diff(np.append(starts, len(ch)))
+    return pa.table(
+        {
+            "cohort_week": pa.array(ch[starts], pa.int64()),
+            "week_offset": pa.array(of[starts], pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_retention_cohorts(sf_dir: str):
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": t.column("cohort_week"),
+                "week_offset": t.column("week_offset"),
+                "n_users": t.column("sum(cnt)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id"])
+        .sort("user_id")
+        .map_batches(retention_block, batch_format="pyarrow",
+                     batch_size=None, **remote_kwargs())
+        .groupby(["cohort_week", "week_offset"])
+        .sum("cnt")
+        .map_batches(finish, batch_format="pyarrow", **remote_kwargs())
+    )
+
+
+_RETENTION_SQL = f"""
+WITH w AS (
+  SELECT user_id, (epoch_us(ts) // {_US_PER_DAY} + 3) // 7 AS wk
+  FROM events),
+d AS (SELECT DISTINCT user_id, wk FROM w),
+f AS (SELECT user_id, min(wk) AS cw FROM d GROUP BY 1)
+SELECT f.cw AS cohort_week, d.wk - f.cw AS week_offset,
+       count(*) AS n_users
+FROM d JOIN f USING (user_id) GROUP BY 1, 2
+"""
+
+
 register("events_distinct_users_exact", q_distinct_users_exact, _DISTINCT_SQL)
+register("events_dedup", q_events_dedup, _EVDEDUP_SQL)
+register("events_funnel", q_funnel, _FUNNEL_SQL)
+register("events_retention_cohorts", q_retention_cohorts, _RETENTION_SQL)
 register("events_sessionization", q_sessionization, _SESSION_SQL)
 register("events_range_join_neighbors", q_range_join_neighbors, _RANGE_SQL)
 register("events_sliding_window_counts", q_sliding_window_counts, _SLIDING_SQL)

@@ -243,5 +243,226 @@ def q_value_quantiles(sf_dir: str):
     return pa.Table.from_pandas(pd_.DataFrame(rows), preserve_index=False)
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter membership — the seen-set primitive (e.g. "has this user ever
+# purchased" / "was this URL already crawled") as a two-phase Ray aggregate:
+# each task folds its batch into ONE fixed-size bit array (the combiner),
+# the tiny per-block partials OR together on the driver, and the merged
+# filter broadcasts once for the probe pass. Only BLOOM_BITS/8 bytes per
+# block ever cross the exchange, never a key — the point of the sketch at
+# 100 TB, where the exact seen-set is too large to broadcast. The query
+# probes every distinct user and ALSO computes exact membership so the
+# false-positive trade is measurable from the output (same both-sides
+# pattern as HLL vs events_distinct_users_exact); the exact side is
+# calibration-only and would be dropped at scale.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16  # 8 KB filter: sized for fixture cardinalities; at
+#                       1e9 keys use ~2^33 bits (1 GB, still one broadcast)
+BLOOM_K = 3
+BLOOM_TARGET_TYPE = "purchase"
+_BLOOM_SEED = np.uint64(0xA0761D6478BD642F)
+
+
+def bloom_positions(keys: np.ndarray) -> np.ndarray:
+    """(n, BLOOM_K) bit positions; K independent splitmix64 streams."""
+    out = np.empty((len(keys), BLOOM_K), dtype=np.int64)
+    k = keys.astype(np.uint64)
+    for j in range(BLOOM_K):
+        with np.errstate(over="ignore"):
+            h = _splitmix64(k ^ (_BLOOM_SEED * np.uint64(j + 1)))
+        out[:, j] = (h % np.uint64(BLOOM_BITS)).astype(np.int64)
+    return out
+
+
+def bloom_fold(keys: np.ndarray) -> np.ndarray:
+    """Fold int64 keys into one packed uint64[BLOOM_BITS/64] bit array."""
+    bits = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    if len(keys):
+        pos = bloom_positions(keys).ravel()
+        np.bitwise_or.at(
+            bits, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+        )
+    return bits
+
+
+def bloom_contains(bits: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    pos = bloom_positions(keys)
+    hit = np.ones(len(keys), dtype=bool)
+    for j in range(BLOOM_K):
+        p = pos[:, j]
+        hit &= (bits[p // 64] >> (p % 64).astype(np.uint64)) & np.uint64(1) == 1
+    return hit
+
+
+def q_bloom_users(sf_dir: str):
+    """(user_id, bloom_hit, true_hit) for every distinct user: membership of
+    the '{BLOOM_TARGET_TYPE}' seen-set via the broadcast Bloom filter vs
+    exact. No false negatives by construction; FPR pinned in pytest."""
+    import ray
+    import ray.data
+
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.equal(batch.column("event_type"), BLOOM_TARGET_TYPE)
+        keys = (
+            batch.filter(mask).column("user_id")
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return pa.table({"bits": pa.array([bloom_fold(keys).tobytes()],
+                                          pa.binary())})
+
+    ds = ray.data.read_parquet(path, columns=["user_id", "event_type"])
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", **remote_kwargs()
+    ).to_pandas()
+    bits = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+    for b in parts["bits"]:
+        bits |= np.frombuffer(b, dtype=np.uint64)
+
+    # exact seen-set (calibration only): distinct purchaser ids
+    truth = (
+        ray.data.read_parquet(path, columns=["user_id", "event_type"])
+        .map_batches(
+            lambda b: b.filter(
+                pa.compute.equal(b.column("event_type"), BLOOM_TARGET_TYPE)
+            ).select(["user_id"]),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+        .groupby("user_id")
+        .count()
+        .to_pandas()
+    )
+    true_ids = (
+        np.sort(truth["user_id"].to_numpy().astype(np.int64))
+        if len(truth)
+        else np.zeros(0, dtype=np.int64)
+    )
+    bits_ref = ray.put((bits, true_ids))
+
+    def probe(t: pa.Table) -> pa.Table:
+        fbits, tids = ray.get(bits_ref)
+        users = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = bloom_contains(fbits, users)
+        pos = np.searchsorted(tids, users)
+        pos[pos == len(tids)] = 0
+        exact = (tids[pos] == users) if len(tids) else np.zeros(len(users), bool)
+        return pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "bloom_hit": pa.array(hit, pa.bool_()),
+                "true_hit": pa.array(exact, pa.bool_()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(path, columns=["user_id"])
+        .groupby("user_id")
+        .count()
+        .map_batches(probe, batch_format="pyarrow", **remote_kwargs())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — linear frequency sketch as the same partial/merge
+# shape: each task folds its batch's token stream into a D x W counter
+# matrix (64 KB), partials SUM elementwise (CMS is linear), and the merged
+# sketch answers point queries with est >= true and
+# est - true <= e/W * N_tokens w.h.p. The query estimates the exact top-K
+# tokens' counts from the sketch next to their true counts, so the
+# accuracy trade is measurable from the output. At 100 TB the sketch
+# replaces the (token, count) exchange of an exact count with
+# O(blocks x 64 KB) — independent of vocabulary size.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 2048
+CMS_TOP_K = 10
+_CMS_SEED = np.uint64(0xE7037ED1A0B428DB)
+
+
+def _cms_rows(word_hashes: np.ndarray) -> np.ndarray:
+    """(D, n) column indices for each token hash."""
+    out = np.empty((CMS_D, len(word_hashes)), dtype=np.int64)
+    for d in range(CMS_D):
+        with np.errstate(over="ignore"):
+            h = _splitmix64(word_hashes ^ (_CMS_SEED * np.uint64(d + 1)))
+        out[d] = (h % np.uint64(CMS_W)).astype(np.int64)
+    return out
+
+
+def cms_fold(word_hashes: np.ndarray) -> np.ndarray:
+    cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    if len(word_hashes):
+        idx = _cms_rows(word_hashes)
+        for d in range(CMS_D):
+            cms[d] += np.bincount(idx[d], minlength=CMS_W)
+    return cms
+
+
+def cms_estimate(cms: np.ndarray, word_hashes: np.ndarray) -> np.ndarray:
+    idx = _cms_rows(word_hashes)
+    est = cms[0][idx[0]]
+    for d in range(1, CMS_D):
+        est = np.minimum(est, cms[d][idx[d]])
+    return est
+
+
+def q_cms_top_tokens(sf_dir: str):
+    """(rank, token, n, est_n): the exact corpus top-K tokens (same
+    deterministic order as text_top_tokens) with their Count-Min estimates
+    alongside the true counts. est_n >= n always; the additive error bound
+    is pinned in pytest."""
+    from ..stages.aggregate import counts_by
+    from .texthash import batch_words, word_hash_scalar
+    from .textstats import _docs, _words_token_table, make_local_topk_block
+
+    def partial(batch: pa.Table) -> pa.Table:
+        wh, _parents, _offs = batch_words(batch.column("text"))
+        return pa.table({"cms": pa.array([cms_fold(wh).tobytes()],
+                                         pa.binary())})
+
+    parts = (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    for b in parts["cms"]:
+        cms += np.frombuffer(b, dtype=np.int64).reshape(CMS_D, CMS_W)
+
+    counts = counts_by(
+        _docs(sf_dir).map_batches(
+            _words_token_table, batch_format="pyarrow", **remote_kwargs()
+        ),
+        ["token"],
+    )
+    partials = counts.map_batches(
+        make_local_topk_block(CMS_TOP_K), batch_format="pyarrow",
+        **remote_kwargs()
+    ).to_pandas()
+    if len(partials) == 0:
+        return pa.table(
+            {"rank": pa.array([], pa.int64()),
+             "token": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64()),
+             "est_n": pa.array([], pa.int64())}
+        )
+    df = partials.sort_values(
+        ["n", "token"], ascending=[False, True], kind="stable"
+    ).head(CMS_TOP_K).reset_index(drop=True)
+    wh = np.array(
+        [word_hash_scalar(t) for t in df["token"]], dtype=np.uint64
+    )
+    df["est_n"] = cms_estimate(cms, wh)
+    df["rank"] = range(1, len(df) + 1)
+    return pa.Table.from_pandas(
+        df[["rank", "token", "n", "est_n"]], preserve_index=False
+    )
+
+
+register("sketch_bloom_users", q_bloom_users)  # rows-only (sketch)
+register("sketch_cms_top_tokens", q_cms_top_tokens)  # rows-only (sketch)
 register("sketch_hll_distinct_users", q_hll_distinct_users)  # rows-only
 register("sketch_value_quantiles", q_value_quantiles)  # rows-only

@@ -23,6 +23,8 @@ SQL_CHECKED = [
     "text_lm_score", "text_decontaminate",
     "rel_pricing_summary", "rel_revenue_by_nation",
     "events_distinct_users_exact", "text_chunking",
+    "text_line_dedup", "events_dedup", "events_funnel",
+    "events_retention_cohorts",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
@@ -37,6 +39,7 @@ ROWS_ONLY_RUN = [
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
     "similarity_pq_codes", "similarity_pq_topk",
     "similarity_pq_rerank", "corpus_training_chunks",
+    "sketch_bloom_users", "sketch_cms_top_tokens",
 ]
 
 

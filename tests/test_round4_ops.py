@@ -1,0 +1,276 @@
+"""Round-4 operators: corpus line dedup, event dedup / funnel / retention,
+Bloom membership, Count-Min heavy hitters. Planted fixtures exercise the
+behaviors the driver's single-line / no-duplicate synthetic data cannot."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_entry_queries import _canon, _to_df
+
+
+def _write_docs(tmp_path, texts, ids=None):
+    ids = list(range(len(texts))) if ids is None else ids
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(["web"] * len(texts)),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_events(tmp_path, rows):
+    """rows: list of (event_id, ts_us, user_id, event_type)."""
+    eid, ts, uid, et = zip(*rows)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(list(ts), pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    return str(tmp_path)
+
+
+def _sql_parity(sf_dir, name):
+    import __ray_entry__ as e
+
+    got = _canon(_to_df(e.queries()[name](sf_dir)))
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    exp = _canon(con.execute(e.oracle_sql()[name]).df())
+    assert len(got) == len(exp), f"{name}: {len(got)} != {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True)
+    return got
+
+
+# ---------------------------------------------------------------------------
+# corpus line dedup
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_planted_boilerplate(ray_session, tmp_path):
+    from otelcol_con_spaneventtolog_ray.functions.lines import q_line_dedup
+
+    sf = _write_docs(
+        tmp_path,
+        [
+            "unique alpha\nCOOKIE BANNER\ncontent a",
+            "other doc\nCOOKIE BANNER\nNAV BAR\ncontent b",
+            "NAV BAR\n\nsolo line",           # empty line normalized away
+            "totally unique document",
+            "",                                # empty doc
+            "COOKIE BANNER",                   # only boilerplate -> empty
+            "repeat me\nrepeat me\nonce",      # self-repeat is NOT corpus-dup
+        ],
+    )
+    out = _to_df(q_line_dedup(sf)).set_index("doc_id")
+    assert out.loc[0, "text_clean"] == "unique alpha\ncontent a"
+    assert out.loc[1, "text_clean"] == "other doc\ncontent b"
+    assert out.loc[2, "text_clean"] == "solo line"
+    assert (out.loc[2, "n_lines"], out.loc[2, "n_kept"]) == (2, 1)
+    assert out.loc[3, "text_clean"] == "totally unique document"
+    assert out.loc[4, "text_clean"] == "" and out.loc[4, "n_lines"] == 0
+    assert out.loc[5, "text_clean"] == "" and out.loc[5, "n_kept"] == 0
+    # a line repeated within ONE doc only is kept (per-doc distinct counting)
+    assert out.loc[6, "text_clean"] == "repeat me\nrepeat me\nonce"
+    _sql_parity(sf, "text_line_dedup")
+
+
+def test_line_dedup_broadcast_cap_fail_fast(ray_session, tmp_path, monkeypatch):
+    from otelcol_con_spaneventtolog_ray.functions import lines
+
+    sf = _write_docs(tmp_path, ["dup line\na", "dup line\nb"])
+    monkeypatch.setattr(lines, "LINE_BROADCAST_MAX", 0)
+    with pytest.raises(ValueError, match="common-line set"):
+        lines.q_line_dedup(sf)
+
+
+def test_line_dedup_batch_hash_matches_scalar(ray_session, tmp_path):
+    """The count pass and the clean pass must hash a line identically to the
+    scalar content hash, or membership silently breaks."""
+    from otelcol_con_spaneventtolog_ray.functions.lines import (
+        common_line_hashes,
+    )
+    from otelcol_con_spaneventtolog_ray.functions.texthash import (
+        content_hash_scalar,
+    )
+
+    sf = _write_docs(tmp_path, ["shared line\nx", "shared line\ny", "z"])
+    h1, h2 = common_line_hashes(sf)
+    assert len(h1) == 1
+    s1, s2 = content_hash_scalar("shared line")
+    assert int(h1[0]) == s1 and int(h2[0]) == s2
+
+
+# ---------------------------------------------------------------------------
+# event dedup / funnel / retention
+# ---------------------------------------------------------------------------
+
+def test_events_dedup_planted_redeliveries(ray_session, tmp_path):
+    T = 1_700_000_000_000_000
+    sf = _write_events(
+        tmp_path,
+        [
+            (10, T, 1, "click"),
+            (11, T, 1, "click"),       # redelivery (same user/type/ts)
+            (12, T, 1, "view"),        # same ts, different type: distinct
+            (13, T + 5, 1, "click"),   # different ts: distinct
+            (14, T, 2, "click"),       # different user: distinct
+            (9, T, 1, "click"),        # redelivery with LOWER id -> keeper
+        ],
+    )
+    got = _sql_parity(sf, "events_dedup")
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["events_dedup"](sf))
+    row = out[(out.user_id == 1) & (out.event_type == "click")
+              & (out.ts_us == T)]
+    assert row.keep_event_id.item() == 9 and row.n_dups.item() == 2
+    assert len(out) == 4 and len(got) == 4
+
+
+def test_funnel_strict_ordering_semantics(ray_session, tmp_path):
+    T = 1_700_000_000_000_000
+    sf = _write_events(
+        tmp_path,
+        [
+            # user 1: full funnel in order
+            (1, T + 1, 1, "view"), (2, T + 2, 1, "click"),
+            (3, T + 3, 1, "purchase"),
+            # user 2: click BEFORE view -> stage 1 only
+            (4, T + 1, 2, "click"), (5, T + 2, 2, "view"),
+            # user 3: click at the SAME ts as view -> strict '>' rejects it
+            (6, T + 1, 3, "view"), (7, T + 1, 3, "click"),
+            # user 4: purchase without click -> stage 1
+            (8, T + 1, 4, "view"), (9, T + 2, 4, "purchase"),
+            # user 5: no funnel events at all -> stage 0
+            (10, T + 1, 5, "error"),
+        ],
+    )
+    _sql_parity(sf, "events_funnel")
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["events_funnel"](sf)).set_index("user_id")
+    assert out.loc[1, "stage"] == 3
+    assert out.loc[1, "purchase_us"] == T + 3
+    assert out.loc[2, "stage"] == 1
+    assert out.loc[3, "stage"] == 1  # same-ts click does not advance
+    assert out.loc[4, "stage"] == 1  # purchase can't skip click
+    assert out.loc[5, "stage"] == 0
+    assert pd.isna(out.loc[2, "click_us"])
+
+
+def test_retention_week_arithmetic(ray_session, tmp_path):
+    # epoch day 0 = Thursday 1970-01-01; Monday-aligned week index is
+    # (days + 3) // 7: day 4 (Mon Jan 5) starts week 1.
+    US_DAY = 86_400_000_000
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, 0, 1, "view"),                 # Thu day 0 -> week 0 cohort
+            (2, 4 * US_DAY, 1, "view"),        # Mon day 4 -> week 1: offset 1
+            (3, 10 * US_DAY, 1, "view"),       # Sun day 10 -> still week 1
+            (4, 11 * US_DAY, 2, "view"),       # Mon day 11 -> week 2 cohort
+        ],
+    )
+    _sql_parity(sf, "events_retention_cohorts")
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["events_retention_cohorts"](sf))
+    rows = {(r.cohort_week, r.week_offset): r.n_users
+            for r in out.itertuples()}
+    assert rows == {(0, 0): 1, (0, 1): 1, (2, 0): 1}
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership
+# ---------------------------------------------------------------------------
+
+def test_bloom_no_false_negatives_and_fpr_bound(ray_session, tmp_path):
+    """5000 users, 100 purchasers: zero false negatives (structural) and
+    FPR far below the analytic (k*n/m)^k ~ 1e-7 bound (we allow <=5 of
+    4900 to keep the test hash-agnostic)."""
+    T = 1_700_000_000_000_000
+    rows = []
+    for u in range(5000):
+        rows.append((2 * u, T + u, u, "view"))
+        if u % 50 == 0:
+            rows.append((2 * u + 1, T + u + 1, u, "purchase"))
+    sf = _write_events(tmp_path, rows)
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["sketch_bloom_users"](sf))
+    assert len(out) == 5000
+    assert not ((~out.bloom_hit) & out.true_hit).any(), "false negative!"
+    assert out.true_hit.sum() == 100
+    assert (out.bloom_hit & ~out.true_hit).sum() <= 5
+
+
+def test_bloom_partial_or_merge_equals_single_fold(ray_session):
+    from otelcol_con_spaneventtolog_ray.functions.sketch import bloom_fold
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 1 << 62, size=2000, dtype=np.int64)
+    whole = bloom_fold(keys)
+    merged = bloom_fold(keys[:700]) | bloom_fold(keys[700:])
+    assert (whole == merged).all()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters
+# ---------------------------------------------------------------------------
+
+def test_cms_never_underestimates_and_error_bound(ray_session, tmp_path):
+    """Zipf-ish corpus: est >= true for every probed token and the additive
+    error stays within e/W * N (the CMS guarantee at delta = e^-D)."""
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(2000)]
+    weights = 1.0 / np.arange(1, len(vocab) + 1)
+    weights /= weights.sum()
+    texts = [
+        " ".join(rng.choice(vocab, size=200, p=weights)) for _ in range(200)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["sketch_cms_top_tokens"](sf))
+    from otelcol_con_spaneventtolog_ray.functions.sketch import CMS_W
+
+    n_tokens = 200 * 200
+    bound = np.e * n_tokens / CMS_W
+    assert (out.est_n >= out.n).all()
+    assert ((out.est_n - out.n) <= bound).all()
+    # the exact side must agree with a scalar recount of the top token
+    top = out.iloc[0]
+    true_n = sum(t.split().count(top.token) for t in texts)
+    assert top.n == true_n
+
+
+def test_cms_linearity(ray_session):
+    from otelcol_con_spaneventtolog_ray.functions.sketch import cms_fold
+
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 1 << 62, size=5000, dtype=np.int64).astype(np.uint64)
+    whole = cms_fold(h)
+    merged = cms_fold(h[:2222]) + cms_fold(h[2222:])
+    assert (whole == merged).all()
