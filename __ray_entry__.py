@@ -333,6 +333,7 @@ GATE_FRONT = [
     "events_retention_cohorts",
     "sketch_bloom_users",
     "sketch_cms_top_tokens",
+    "text_dup_spans",
     # no CORRECTNESS row in r03 (registration positions 50-61 last round)
     "similarity_pq_codes",
     "similarity_pq_topk",
@@ -367,6 +368,7 @@ GATE_TAIL = [
     "text_repetition",
     "text_vocab_coverage",
     "text_pii_scrub",
+    "text_chunking",
 ]
 
 

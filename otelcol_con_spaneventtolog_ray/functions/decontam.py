@@ -161,3 +161,147 @@ FROM t LEFT JOIN h USING (doc_id)
 """
 
 register("text_decontaminate", q_decontaminate, _DECON_SQL)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span profiling — the corpus-vs-ITSELF counterpart of
+# decontamination (substring-level dedup a la "Deduplicating Training Data
+# Makes Language Models Better": a window shared by >= 2 documents is
+# memorization fuel). Per doc: how many of its distinct word DUP_SPAN_K-gram
+# windows also occur in at least one OTHER document.
+#
+# Scale shape — no broadcast, no per-group Python: the distinct
+# (window-hash, doc_id) fan-out is SORTED by hash (the one inherent
+# corpus-sized exchange of substring dedup), and one vectorized fold per
+# block marks every row whose hash-run has length >= 2 — the sort's range
+# partitioning co-locates equal hashes in one block (the property pinned by
+# test_sort_colocates_equal_keys_in_one_block), so a run never spans
+# blocks. Per-doc window totals never shuffle (each doc is one input row);
+# the two partial streams union into ONE tiny groupby(doc_id).
+# ---------------------------------------------------------------------------
+
+DUP_SPAN_K = 10
+
+
+def q_dup_spans(sf_dir: str):
+    """(doc_id, n_windows, n_dup_windows, dup_fraction) per document, where
+    a window counts as duplicated iff it appears in >= 2 DISTINCT documents
+    (a doc repeating its own window is exact-dedup's business, not span
+    dedup's — pinned in pytest)."""
+    import ray.data
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        sh, offs = _doc_ngram_hashes(batch, DUP_SPAN_K)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "h": pa.array(sh.view(np.int64), pa.int64()),
+                "doc_id": pa.array(
+                    np.repeat(ids, np.diff(offs)), pa.int64()
+                ),
+            }
+        )
+
+    def mark_runs(t: pa.Table) -> pa.Table:
+        """doc partial counts for rows in hash-runs of length >= 2."""
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "nw": pa.array([], pa.int64()),
+             "nd": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, d = h[order], d[order]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        lens = np.diff(np.append(starts, len(h)))
+        dup = np.repeat(lens >= 2, lens)
+        dd = d[dup]
+        if len(dd) == 0:
+            return empty
+        uniq, _inv, cnt = np.unique(dd, return_inverse=True,
+                                    return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "nw": pa.array(np.zeros(len(uniq), np.int64), pa.int64()),
+                "nd": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def totals(batch: pa.Table) -> pa.Table:
+        sh, offs = _doc_ngram_hashes(batch, DUP_SPAN_K)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "nw": pa.array(np.diff(offs), pa.int64()),
+                "nd": pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    dup_partials = (
+        _docs(sf_dir)
+        .map_batches(fanout, batch_format="pyarrow", **remote_kwargs())
+        .sort("h")
+        .map_batches(mark_runs, batch_format="pyarrow", batch_size=None,
+                     **remote_kwargs())
+    )
+    tot = _docs(sf_dir).map_batches(
+        totals, batch_format="pyarrow", **remote_kwargs()
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        nw = t.column("sum(nw)").to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = t.column("sum(nd)").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_windows": pa.array(nw, pa.int64()),
+                "n_dup_windows": pa.array(nd, pa.int64()),
+                "dup_fraction": pa.array(
+                    np.round(nd / np.maximum(nw, 1), 6), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        tot.union(dup_partials)
+        .groupby("doc_id")
+        .sum(["nw", "nd"])
+        .map_batches(finish, batch_format="pyarrow", **remote_kwargs())
+    )
+
+
+# string-window mirror, same injectivity argument as _DECON_SQL; count(*)
+# over per-doc-DISTINCT grams = number of distinct docs containing the gram
+_DUP_SPAN_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x != '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, list_distinct(CASE
+    WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(toks) < {DUP_SPAN_K} THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks) - {DUP_SPAN_K} + 2),
+                        i -> array_to_string(
+                               list_slice(toks, i, i + {DUP_SPAN_K} - 1),
+                               ' '))
+    END) AS grams
+  FROM t),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+c AS (SELECT gram FROM e GROUP BY 1 HAVING count(*) >= 2),
+h AS (SELECT e.doc_id, count(c.gram) AS nd
+      FROM e LEFT JOIN c USING (gram) GROUP BY 1)
+SELECT g.doc_id, len(g.grams) AS n_windows,
+       coalesce(h.nd, 0) AS n_dup_windows,
+       round(coalesce(h.nd, 0) / CAST(greatest(len(g.grams), 1) AS DOUBLE),
+             6) AS dup_fraction
+FROM g LEFT JOIN h USING (doc_id)
+"""
+
+register("text_dup_spans", q_dup_spans, _DUP_SPAN_SQL)

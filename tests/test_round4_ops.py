@@ -266,6 +266,38 @@ def test_cms_never_underestimates_and_error_bound(ray_session, tmp_path):
     assert top.n == true_n
 
 
+# ---------------------------------------------------------------------------
+# duplicated-span profiling
+# ---------------------------------------------------------------------------
+
+def test_dup_spans_cross_doc_only(ray_session, tmp_path):
+    """A window shared by two DOCS is duplicated; a doc repeating its own
+    window is not (distinct-docs >= 2 semantics)."""
+    shared = " ".join(f"w{i}" for i in range(10))          # one exact 10-gram
+    sf = _write_docs(
+        tmp_path,
+        [
+            f"{shared} tail one alpha beta gamma delta epsilon zeta eta",
+            f"head two {shared} trailing words here make it long enough",
+            # 9 words < K -> ONE whole-doc window, unique
+            "short doc with nine words only right here now",
+            # self-repeat: same 10-gram twice in ONE doc, nowhere else
+            f"{'x ' * 10}{'x ' * 10}".strip(),
+        ],
+    )
+    _sql_parity(sf, "text_dup_spans")
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["text_dup_spans"](sf)).set_index("doc_id")
+    assert out.loc[0, "n_dup_windows"] == 1
+    assert out.loc[1, "n_dup_windows"] == 1
+    assert out.loc[2, "n_dup_windows"] == 0
+    assert out.loc[2, "n_windows"] == 1        # short-doc single window
+    # doc 3: all-x windows are identical -> ONE distinct window, own-doc only
+    assert out.loc[3, "n_windows"] == 1
+    assert out.loc[3, "n_dup_windows"] == 0
+
+
 def test_cms_linearity(ray_session):
     from otelcol_con_spaneventtolog_ray.functions.sketch import cms_fold
 
