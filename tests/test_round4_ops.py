@@ -298,6 +298,74 @@ def test_dup_spans_cross_doc_only(ray_session, tmp_path):
     assert out.loc[3, "n_dup_windows"] == 0
 
 
+def test_funnel_block_matches_bruteforce_oracle(ray_session, tmp_path):
+    """Randomized pin: the vectorized block fold must equal a per-user
+    scalar recomputation of the strict min-ts cascade on 300 users x ~2000
+    events with heavy ts ties."""
+    rng = np.random.default_rng(42)
+    n = 2000
+    T = 1_700_000_000_000_000
+    rows = [
+        (i, T + int(rng.integers(0, 500)) * 1_000_000,  # coarse ts => ties
+         int(rng.integers(0, 300)),
+         ["view", "click", "purchase", "error"][rng.integers(0, 4)])
+        for i in range(n)
+    ]
+    sf = _write_events(tmp_path, rows)
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["events_funnel"](sf)).set_index("user_id")
+
+    byuser = {}
+    for _eid, ts, uid, et in rows:
+        byuser.setdefault(uid, []).append((ts, et))
+    for uid, evs in byuser.items():
+        v = min((t for t, k in evs if k == "view"), default=None)
+        c = (min((t for t, k in evs if k == "click" and t > v), default=None)
+             if v is not None else None)
+        p = (min((t for t, k in evs if k == "purchase" and t > c),
+                 default=None) if c is not None else None)
+        stage = 3 if p is not None else 2 if c is not None else (
+            1 if v is not None else 0)
+        assert out.loc[uid, "stage"] == stage, uid
+        for col, val in (("view_us", v), ("click_us", c),
+                         ("purchase_us", p)):
+            got = out.loc[uid, col]
+            assert (pd.isna(got) and val is None) or got == val, (uid, col)
+
+
+def test_events_dedup_block_matches_pandas_oracle(ray_session, tmp_path):
+    """Randomized pin: sort+fold dedup equals a pandas groupby on data with
+    planted redeliveries (coarse ts + few types force collisions)."""
+    rng = np.random.default_rng(9)
+    n = 3000
+    T = 1_700_000_000_000_000
+    rows = [
+        (int(rng.integers(0, 1 << 40)),
+         T + int(rng.integers(0, 50)) * 1_000_000,
+         int(rng.integers(0, 40)),
+         ["a", "b"][rng.integers(0, 2)])
+        for _ in range(n)
+    ]
+    sf = _write_events(tmp_path, rows)
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["events_dedup"](sf))
+    df = pd.DataFrame(rows, columns=["event_id", "ts_us", "user_id",
+                                     "event_type"])
+    exp = (
+        df.groupby(["user_id", "event_type", "ts_us"])
+        .agg(keep_event_id=("event_id", "min"), n=("event_id", "size"))
+        .reset_index()
+    )
+    exp["n_dups"] = exp.pop("n") - 1
+    key = ["user_id", "event_type", "ts_us"]
+    merged = out.sort_values(key).reset_index(drop=True)
+    exps = exp[merged.columns].sort_values(key).reset_index(drop=True)
+    assert (merged.n_dups > 0).any()  # collisions actually planted
+    pd.testing.assert_frame_equal(merged, exps, check_dtype=False)
+
+
 def test_cms_linearity(ray_session):
     from otelcol_con_spaneventtolog_ray.functions.sketch import cms_fold
 
