@@ -334,6 +334,7 @@ GATE_FRONT = [
     "sketch_bloom_users",
     "sketch_cms_top_tokens",
     "text_dup_spans",
+    "events_rate_limit",
     # no CORRECTNESS row in r03 (registration positions 50-61 last round)
     "similarity_pq_codes",
     "similarity_pq_topk",
@@ -369,6 +370,7 @@ GATE_TAIL = [
     "text_vocab_coverage",
     "text_pii_scrub",
     "text_chunking",
+    "events_topk_per_type",
 ]
 
 

@@ -752,8 +752,71 @@ FROM d JOIN f USING (user_id) GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# per-key rate limiting — the log-pipeline sampling stage: keep at most
+# RATE_LIMIT_N events per (user, day), deterministically the FIRST by
+# (ts, event_id). Same sort("user_id") + one vectorized block fold: ranks
+# within (user, day) runs come from arange minus repeated run starts —
+# no window function, no per-key Python. (Day window so the driver's sparse
+# synthetic events actually exceed the limit; the window constant is the
+# only knob.)
+# ---------------------------------------------------------------------------
+
+RATE_LIMIT_N = 2
+_RATE_WINDOW_US = 86_400_000_000
+
+
+def rate_limit_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "ts_us": pa.array([], pa.int64()),
+             "event_type": pa.array([], pa.string())}
+        )
+    user, ts, eid, etype = _block_sorted(t, extra=("event_type",))
+    win = ts // _RATE_WINDOW_US
+    brk = np.concatenate(
+        [[True], (user[1:] != user[:-1]) | (win[1:] != win[:-1])]
+    )
+    starts = np.flatnonzero(brk)
+    lens = np.diff(np.append(starts, len(user)))
+    rank = np.arange(len(user)) - np.repeat(starts, lens)
+    keep = rank < RATE_LIMIT_N
+    return pa.table(
+        {
+            "event_id": pa.array(eid[keep], pa.int64()),
+            "user_id": pa.array(user[keep], pa.int64()),
+            "ts_us": pa.array(ts[keep], pa.int64()),
+            "event_type": etype.take(pa.array(np.flatnonzero(keep))),
+        }
+    )
+
+
+def q_rate_limit(sf_dir: str):
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .sort("user_id")
+        .map_batches(rate_limit_block, batch_format="pyarrow",
+                     batch_size=None, **remote_kwargs())
+    )
+
+
+_RATE_LIMIT_SQL = f"""
+WITH r AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+         row_number() OVER (
+           PARTITION BY user_id, epoch_us(ts) // {_RATE_WINDOW_US}
+           ORDER BY ts, event_id) AS rk
+  FROM events)
+SELECT event_id, user_id, ts_us, event_type FROM r
+WHERE rk <= {RATE_LIMIT_N}
+"""
+
+
 register("events_distinct_users_exact", q_distinct_users_exact, _DISTINCT_SQL)
 register("events_dedup", q_events_dedup, _EVDEDUP_SQL)
+register("events_rate_limit", q_rate_limit, _RATE_LIMIT_SQL)
 register("events_funnel", q_funnel, _FUNNEL_SQL)
 register("events_retention_cohorts", q_retention_cohorts, _RETENTION_SQL)
 register("events_sessionization", q_sessionization, _SESSION_SQL)

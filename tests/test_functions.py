@@ -24,7 +24,7 @@ SQL_CHECKED = [
     "rel_pricing_summary", "rel_revenue_by_nation",
     "events_distinct_users_exact", "text_chunking",
     "text_line_dedup", "events_dedup", "events_funnel",
-    "events_retention_cohorts", "text_dup_spans",
+    "events_retention_cohorts", "text_dup_spans", "events_rate_limit",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

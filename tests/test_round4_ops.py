@@ -266,6 +266,33 @@ def test_cms_never_underestimates_and_error_bound(ray_session, tmp_path):
     assert top.n == true_n
 
 
+def test_rate_limit_keeps_first_n_per_user_day(ray_session, tmp_path):
+    """5 same-day events for one user -> first RATE_LIMIT_N by (ts,
+    event_id) survive; day boundaries reset the budget; ties break by id."""
+    US_DAY = 86_400_000_000
+    D = 19_000 * US_DAY  # some day boundary
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, D + 100, 1, "view"), (2, D + 200, 1, "view"),
+            (3, D + 300, 1, "view"), (4, D + 400, 1, "view"),
+            (5, D + 100, 2, "view"),              # other user unaffected
+            (6, D + US_DAY + 10, 1, "view"),      # next day: budget resets
+            (8, D + 50, 1, "view"), (7, D + 50, 1, "view"),  # tie -> id 7 first
+        ],
+    )
+    _sql_parity(sf, "events_rate_limit")
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["events_rate_limit"](sf))
+    kept_u1_d0 = sorted(
+        out[(out.user_id == 1) & (out.ts_us < D + US_DAY)].event_id
+    )
+    assert kept_u1_d0 == [7, 8]  # the two earliest (ts, id) pairs
+    assert 6 in set(out.event_id)
+    assert 5 in set(out.event_id)
+
+
 # ---------------------------------------------------------------------------
 # duplicated-span profiling
 # ---------------------------------------------------------------------------
