@@ -335,6 +335,7 @@ GATE_FRONT = [
     "sketch_cms_top_tokens",
     "text_dup_spans",
     "events_rate_limit",
+    "events_props_stats",
     # no CORRECTNESS row in r03 (registration positions 50-61 last round)
     "similarity_pq_codes",
     "similarity_pq_topk",
@@ -371,6 +372,7 @@ GATE_TAIL = [
     "text_pii_scrub",
     "text_chunking",
     "events_topk_per_type",
+    "events_sliding_window_counts",
 ]
 
 

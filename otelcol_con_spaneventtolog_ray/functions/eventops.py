@@ -814,9 +814,86 @@ WHERE rk <= {RATE_LIMIT_N}
 """
 
 
+# ---------------------------------------------------------------------------
+# vectorized grok-style field extraction — the flagship's parse idiom on a
+# second surface: pull the numeric "k" field out of the JSON-ish props
+# string with ONE pc.extract_regex over the whole column (no row loop, no
+# json.loads), then a per-batch partial aggregate per event_type so only
+# |types| x blocks rows shuffle. avg is derived from the exact integer
+# (sum, count) pair AFTER the fold, so distributed order can't drift it.
+# ---------------------------------------------------------------------------
+
+def props_extract_partial(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    et = t.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    props = t.column("props")
+    if isinstance(props, pa.ChunkedArray):
+        props = props.combine_chunks()
+    ex = pc.extract_regex(props, pattern=r'"k":\s*(?P<k>\d+)')
+    k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+    valid = pc.is_valid(k).to_numpy(zero_copy_only=False)
+    enc = et.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    kv = k.to_numpy(zero_copy_only=False)
+    nt = len(enc.dictionary)
+    n = np.bincount(codes[valid], minlength=nt)
+    s = np.bincount(codes[valid], weights=kv[valid].astype(np.float64),
+                    minlength=nt).astype(np.int64)
+    return pa.table(
+        {
+            "event_type": enc.dictionary,
+            "n_with_k": pa.array(n.astype(np.int64), pa.int64()),
+            "sum_k": pa.array(s, pa.int64()),
+        }
+    )
+
+
+def q_props_stats(sf_dir: str):
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("sum(n_with_k)").to_numpy(zero_copy_only=False)
+        s = t.column("sum(sum_k)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_with_k": pa.array(n.astype(np.int64), pa.int64()),
+                "sum_k": pa.array(s.astype(np.int64), pa.int64()),
+                "avg_k": pa.array(
+                    np.round(s / np.maximum(n, 1), 6), pa.float64()
+                ),
+            }
+        )
+
+    return (
+        _events(sf_dir, ["event_type", "props"])
+        .map_batches(props_extract_partial, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("event_type")
+        .sum(["n_with_k", "sum_k"])
+        .map_batches(finish, batch_format="pyarrow", **remote_kwargs())
+    )
+
+
+_PROPS_SQL = r"""
+WITH x AS (
+  SELECT event_type,
+         CAST(nullif(regexp_extract(props, '"k":\s*(\d+)', 1), '')
+              AS BIGINT) AS k
+  FROM events)
+SELECT event_type, count(k) AS n_with_k,
+       CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k,
+       round(coalesce(sum(k), 0)
+             / CAST(greatest(count(k), 1) AS DOUBLE), 6) AS avg_k
+FROM x GROUP BY 1
+"""
+
+
 register("events_distinct_users_exact", q_distinct_users_exact, _DISTINCT_SQL)
 register("events_dedup", q_events_dedup, _EVDEDUP_SQL)
 register("events_rate_limit", q_rate_limit, _RATE_LIMIT_SQL)
+register("events_props_stats", q_props_stats, _PROPS_SQL)
 register("events_funnel", q_funnel, _FUNNEL_SQL)
 register("events_retention_cohorts", q_retention_cohorts, _RETENTION_SQL)
 register("events_sessionization", q_sessionization, _SESSION_SQL)
