@@ -182,6 +182,13 @@ register("text_decontaminate", q_decontaminate, _DECON_SQL)
 
 DUP_SPAN_K = 10
 
+#: equal hashes co-locate in ONE block under the sort (the property the
+#: fold relies on) — so a single window shared by tens of millions of
+#: documents would concentrate that many 16-byte rows into one block.
+#: Fail fast well before that instead of letting the executor OOM: a
+#: corpus with such a window needs text_line_dedup / dedup_exact first.
+DUP_SPAN_MAX_RUN = 20_000_000
+
 
 def q_dup_spans(sf_dir: str):
     """(doc_id, n_windows, n_dup_windows, dup_fraction) per document, where
@@ -217,6 +224,15 @@ def q_dup_spans(sf_dir: str):
         h, d = h[order], d[order]
         starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
         lens = np.diff(np.append(starts, len(h)))
+        if len(lens) and int(lens.max()) > DUP_SPAN_MAX_RUN:
+            raise ValueError(
+                f"one {DUP_SPAN_K}-gram window occurs in {int(lens.max())}"
+                f" documents (cap {DUP_SPAN_MAX_RUN}): a boilerplate span"
+                " this common concentrates its fan-out rows in one sort"
+                " partition. Remove corpus-wide boilerplate first"
+                " (text_line_dedup / dedup_exact) or raise"
+                " decontam.DUP_SPAN_MAX_RUN deliberately."
+            )
         dup = np.repeat(lens >= 2, lens)
         dd = d[dup]
         if len(dd) == 0:

@@ -318,8 +318,9 @@ def q_bloom_users(sf_dir: str):
         partial, batch_format="pyarrow", **remote_kwargs()
     ).to_pandas()
     bits = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
-    for b in parts["bits"]:
-        bits |= np.frombuffer(b, dtype=np.uint64)
+    if "bits" in parts.columns:  # empty datasets lose their schema
+        for b in parts["bits"]:
+            bits |= np.frombuffer(b, dtype=np.uint64)
 
     # exact seen-set (calibration only): distinct purchaser ids
     truth = (
@@ -336,7 +337,7 @@ def q_bloom_users(sf_dir: str):
     )
     true_ids = (
         np.sort(truth["user_id"].to_numpy().astype(np.int64))
-        if len(truth)
+        if len(truth) and "user_id" in truth.columns
         else np.zeros(0, dtype=np.int64)
     )
     bits_ref = ray.put((bits, true_ids))
@@ -429,8 +430,9 @@ def q_cms_top_tokens(sf_dir: str):
         .to_pandas()
     )
     cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
-    for b in parts["cms"]:
-        cms += np.frombuffer(b, dtype=np.int64).reshape(CMS_D, CMS_W)
+    if "cms" in parts.columns:  # empty datasets lose their schema
+        for b in parts["cms"]:
+            cms += np.frombuffer(b, dtype=np.int64).reshape(CMS_D, CMS_W)
 
     counts = counts_by(
         _docs(sf_dir).map_batches(

@@ -393,6 +393,49 @@ def test_events_dedup_block_matches_pandas_oracle(ray_session, tmp_path):
     pd.testing.assert_frame_equal(merged, exps, check_dtype=False)
 
 
+def test_dup_spans_run_cap_fail_fast(ray_session, tmp_path, monkeypatch):
+    from otelcol_con_spaneventtolog_ray.functions import decontam
+
+    shared = " ".join(f"b{i}" for i in range(10))
+    sf = _write_docs(tmp_path, [f"{shared} u{j}" for j in range(4)])
+    monkeypatch.setattr(decontam, "DUP_SPAN_MAX_RUN", 2)
+    with pytest.raises((ValueError, Exception), match="occurs in"):
+        _to_df(decontam.q_dup_spans(sf))
+
+
+NEW_OPS_EMPTY = [
+    "text_line_dedup", "text_dup_spans", "events_dedup", "events_funnel",
+    "events_retention_cohorts", "events_rate_limit", "events_props_stats",
+    "sketch_bloom_users", "sketch_cms_top_tokens",
+]
+
+
+@pytest.mark.parametrize("name", NEW_OPS_EMPTY)
+def test_new_ops_survive_empty_input(ray_session, tmp_path, name):
+    """Empty documents/events tables must yield empty results, not crash
+    (schema-loss through empty Ray datasets is a real hazard)."""
+    _write_docs(tmp_path, [])
+    _write_events_empty(tmp_path)
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()[name](str(tmp_path)))
+    assert len(out) == 0
+
+
+def _write_events_empty(tmp_path):
+    tbl = pa.table(
+        {
+            "event_id": pa.array([], pa.int64()),
+            "ts": pa.array([], pa.timestamp("us")),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value": pa.array([], pa.float64()),
+            "props": pa.array([], pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+
+
 def test_cms_linearity(ray_session):
     from otelcol_con_spaneventtolog_ray.functions.sketch import cms_fold
 
