@@ -259,6 +259,9 @@ def q_value_quantiles(sf_dir: str):
 
 BLOOM_BITS = 1 << 16  # 8 KB filter: sized for fixture cardinalities; at
 #                       1e9 keys use ~2^33 bits (1 GB, still one broadcast)
+#: tree-reduce fan-in for fixed-size sketch partials (Bloom bits / CMS
+#: counters): each fold task merges this many per-block rows into one
+SKETCH_FOLD_WIDTH = 512
 BLOOM_K = 3
 BLOOM_TARGET_TYPE = "purchase"
 _BLOOM_SEED = np.uint64(0xA0761D6478BD642F)
@@ -313,10 +316,23 @@ def q_bloom_users(sf_dir: str):
         return pa.table({"bits": pa.array([bloom_fold(keys).tobytes()],
                                           pa.binary())})
 
+    def or_fold(t: pa.Table) -> pa.Table:
+        """Tree-reduce stage: OR up to SKETCH_FOLD_WIDTH partial rows into
+        one, so the driver reads O(blocks / width) sketches, not one per
+        input block (at 10^12 rows the flat partial stream would be tens of
+        GB on the driver)."""
+        acc = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
+        for b in t.column("bits").to_pylist():
+            acc |= np.frombuffer(b, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
     ds = ray.data.read_parquet(path, columns=["user_id", "event_type"])
-    parts = ds.map_batches(
-        partial, batch_format="pyarrow", **remote_kwargs()
-    ).to_pandas()
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", **remote_kwargs())
+        .map_batches(or_fold, batch_format="pyarrow",
+                     batch_size=SKETCH_FOLD_WIDTH, **remote_kwargs())
+        .to_pandas()
+    )
     bits = np.zeros(BLOOM_BITS // 64, dtype=np.uint64)
     if "bits" in parts.columns:  # empty datasets lose their schema
         for b in parts["bits"]:
@@ -424,9 +440,19 @@ def q_cms_top_tokens(sf_dir: str):
         return pa.table({"cms": pa.array([cms_fold(wh).tobytes()],
                                          pa.binary())})
 
+    def sum_fold(t: pa.Table) -> pa.Table:
+        """Tree-reduce stage (see q_bloom_users.or_fold): CMS is linear, so
+        partials SUM; the driver reads O(blocks / width) sketches."""
+        acc = np.zeros(CMS_D * CMS_W, dtype=np.int64)
+        for b in t.column("cms").to_pylist():
+            acc += np.frombuffer(b, dtype=np.int64)
+        return pa.table({"cms": pa.array([acc.tobytes()], pa.binary())})
+
     parts = (
         _docs(sf_dir)
         .map_batches(partial, batch_format="pyarrow", **remote_kwargs())
+        .map_batches(sum_fold, batch_format="pyarrow",
+                     batch_size=SKETCH_FOLD_WIDTH, **remote_kwargs())
         .to_pandas()
     )
     cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
