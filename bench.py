@@ -259,11 +259,51 @@ def run_stats(sf_dir: str, num_cpus: int, rep: int) -> None:
         ray.shutdown()
 
 
+#: representative analysis-op basket for --analysis (each runs once over
+#: $GRAFT_SF_DIR and reports wall seconds — per-op artifacts for the round
+#: record; not part of the driver's default flagship metric)
+ANALYSIS_BASKET = [
+    "dedup_exact", "dedup_minhash_near_dups", "text_line_dedup",
+    "text_dup_spans", "text_decontaminate", "text_top_tokens",
+    "events_dedup", "events_funnel", "events_retention_cohorts",
+    "events_rate_limit", "events_props_stats", "events_sessionization",
+    "sketch_bloom_users", "sketch_cms_top_tokens",
+    "sketch_hll_distinct_users",
+]
+
+
+def run_analysis(sf_dir: str, num_cpus: int) -> None:
+    """Time the analysis basket; print ONE JSON line {op: sec}."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        import __ray_entry__ as e
+
+        qs = e.queries()
+        walls: dict[str, float] = {}
+        for name in ANALYSIS_BASKET:
+            t0 = time.perf_counter()
+            res = qs[name](sf_dir)
+            if hasattr(res, "count") and not hasattr(res, "num_rows"):
+                res.count()  # consume the Dataset without driver materialization
+            walls[name] = round(time.perf_counter() - t0, 3)
+        print(json.dumps(
+            {"metric": "analysis basket wall sec", "queries": walls,
+             "sf": os.path.basename(os.path.normpath(sf_dir)),
+             "num_cpus": num_cpus}
+        ))
+    finally:
+        ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--stats", action="store_true",
                     help="print per-stage ds.stats() for the flagship DAG")
+    ap.add_argument("--analysis", action="store_true",
+                    help="time the analysis-op basket over $GRAFT_SF_DIR")
     ap.add_argument("--timed-reps", type=int, default=3,
                     help="timed flagship runs; best-of is reported, every"
                          " run's wall is in pipeline_full_runs")
@@ -287,6 +327,9 @@ def main() -> None:
         args.rep = int(os.environ.get("RAY_GRAFT_BENCH_REP", default_rep))
     if args.stats:
         run_stats(sf_dir, num_cpus, args.rep)
+        return
+    if args.analysis:
+        run_analysis(sf_dir, num_cpus)
         return
     if args.scaling:
         result = run_scaling(sf_dir, args.rep, args.low, args.high)
