@@ -336,6 +336,7 @@ GATE_FRONT = [
     "text_dup_spans",
     "events_rate_limit",
     "events_props_stats",
+    "text_top_bigrams",
     # no CORRECTNESS row in r03 (registration positions 50-61 last round)
     "similarity_pq_codes",
     "similarity_pq_topk",
@@ -373,6 +374,7 @@ GATE_TAIL = [
     "text_chunking",
     "events_topk_per_type",
     "events_sliding_window_counts",
+    "events_asof_last_error",
 ]
 
 

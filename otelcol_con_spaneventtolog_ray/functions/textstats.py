@@ -377,6 +377,78 @@ SELECT rank, token, n FROM r WHERE rank <= {TOP_TOKENS} ORDER BY rank
 
 
 # ---------------------------------------------------------------------------
+# adjacent-pair statistics — the first step of BPE-style tokenizer training:
+# corpus-wide counts of adjacent whitespace-token pairs, top-K. Same shape
+# as text_top_tokens: one flat-map to pair rows (pairs never cross document
+# boundaries), salted two-phase count, per-block partial top-k, tiny driver
+# fold — the full distinct-pair table never leaves the workers.
+# ---------------------------------------------------------------------------
+
+TOP_BIGRAMS = 25
+
+
+def _bigram_table(batch: pa.Table) -> pa.Table:
+    flat, parents = _words_flat(batch)
+    if len(flat) < 2:
+        return pa.table({"bigram": pa.array([], pa.string())})
+    left = flat.slice(0, len(flat) - 1)
+    right = flat.slice(1)
+    same_doc = parents[1:] == parents[:-1]
+    pairs = pc.binary_join_element_wise(left, right, " ")
+    return pa.table({"bigram": pairs.filter(pa.array(same_doc))})
+
+
+def q_top_bigrams(sf_dir: str):
+    """(rank, bigram, n): top adjacent-token pairs corpus-wide, the same
+    deterministic (n desc, bigram asc) order as text_top_tokens."""
+    from ..stages.aggregate import counts_by
+
+    counts = counts_by(
+        _docs(sf_dir).map_batches(
+            _bigram_table, batch_format="pyarrow", **remote_kwargs()
+        ),
+        ["bigram"],
+    )
+
+    def _local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["n", "bigram"], ascending=[False, True], kind="stable"
+        ).head(TOP_BIGRAMS)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = counts.map_batches(
+        _local, batch_format="pyarrow", **remote_kwargs()
+    ).to_pandas()
+    if len(partials) == 0:
+        return pa.table(
+            {"rank": pa.array([], pa.int64()),
+             "bigram": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+    df = partials.sort_values(
+        ["n", "bigram"], ascending=[False, True], kind="stable"
+    ).head(TOP_BIGRAMS).reset_index(drop=True)
+    df["rank"] = range(1, len(df) + 1)
+    return pa.Table.from_pandas(df[["rank", "bigram", "n"]],
+                                preserve_index=False)
+
+
+_TOP_BIGRAMS_SQL = f"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+  FROM documents),
+b AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+  FROM t WHERE len(toks) >= 2),
+c AS (SELECT bigram, count(*) AS n FROM b GROUP BY 1),
+r AS (SELECT bigram, n,
+             row_number() OVER (ORDER BY n DESC, bigram) AS rank FROM c)
+SELECT rank, bigram, n FROM r WHERE rank <= {TOP_BIGRAMS} ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # deterministic stratified sampling — the training-data downsampling shape:
 # per-stratum (language) rates applied via a CONTENT hash of the key, so the
 # sample is reproducible across runs, machines, and partitionings (no RNG
@@ -868,6 +940,7 @@ register("text_sample_stratified", q_sample_stratified, _SAMPLE_SQL)
 register("text_stats", q_text_stats, _TEXT_STATS_SQL)
 register("text_quality_filter", q_quality_filter, _QUALITY_FILTER_SQL)
 register("text_top_tokens", q_top_tokens, _TOP_TOKENS_SQL)
+register("text_top_bigrams", q_top_bigrams, _TOP_BIGRAMS_SQL)
 register("text_lang_id", q_lang_id, _LANG_ID_SQL)
 register("text_fingerprint", q_fingerprint, _FINGERPRINT_SQL)
 register("text_rolling_fingerprint", q_rolling_fingerprint)  # rows-only
