@@ -337,6 +337,7 @@ GATE_FRONT = [
     "events_rate_limit",
     "events_props_stats",
     "text_top_bigrams",
+    "text_bpe_merges",
     # no CORRECTNESS row in r03 (registration positions 50-61 last round)
     "similarity_pq_codes",
     "similarity_pq_topk",
@@ -375,6 +376,7 @@ GATE_TAIL = [
     "events_topk_per_type",
     "events_sliding_window_counts",
     "events_asof_last_error",
+    "events_value_deviation",
 ]
 
 

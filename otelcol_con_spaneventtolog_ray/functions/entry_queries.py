@@ -22,6 +22,7 @@ def register(name: str, fn: Callable[[str], Any], sql: str | None = None) -> Non
 
 # registration side effects (safe partial-import: register is defined above)
 from . import (  # noqa: E402,F401
+    bpe,
     corpus,
     decontam,
     dedup,

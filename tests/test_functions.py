@@ -40,7 +40,7 @@ ROWS_ONLY_RUN = [
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
     "similarity_pq_codes", "similarity_pq_topk",
     "similarity_pq_rerank", "corpus_training_chunks",
-    "sketch_bloom_users", "sketch_cms_top_tokens",
+    "sketch_bloom_users", "sketch_cms_top_tokens", "text_bpe_merges",
 ]
 
 

@@ -237,6 +237,79 @@ def test_bloom_partial_or_merge_equals_single_fold(ray_session):
 
 
 # ---------------------------------------------------------------------------
+# BPE merge training
+# ---------------------------------------------------------------------------
+
+def _scalar_bpe(texts, n_merges):
+    """Trivial Python BPE mirror: greedy left-to-right merge application,
+    exact global top pair per round, ties by (left, right) ascending."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    docs = [[t for t in ws.split(x) if t] for x in texts]
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for d in docs:
+            for a, b in zip(d, d[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < 2:
+            break
+        merges.append((a, b, n))
+        new_docs = []
+        for d in docs:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == a and d[i + 1] == b:
+                    out.append(a + "\x1f" + b)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            new_docs.append(out)
+        docs = new_docs
+    return merges
+
+
+def test_bpe_merges_match_scalar_mirror(ray_session, tmp_path):
+    rng = np.random.default_rng(17)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [
+        " ".join(rng.choice(vocab, size=30)) for _ in range(60)
+    ] + ["aa aa aa aa aa"]  # self-run: exercises greedy non-overlap
+    sf = _write_docs(tmp_path, texts)
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["text_bpe_merges"](sf))
+    exp = _scalar_bpe(texts, len(out))
+    assert len(out) > 0
+    for i, (a, b, n) in enumerate(exp):
+        assert out.iloc[i]["merged"] == (a + "\x1f" + b).replace("\x1f", " ")
+        assert out.iloc[i]["n"] == n
+
+
+def test_bpe_merge_once_run_parity():
+    """'x x x x x' merging (x, x) -> [xx, xx, x]: even-offset candidates
+    merge, the odd ones are consumed."""
+    from otelcol_con_spaneventtolog_ray.functions.bpe import _merge_once
+
+    syms = np.array(["x"] * 5, dtype=object)
+    offs = np.array([0, 5], dtype=np.int64)
+    out, new_offs = _merge_once(syms, offs, "x", "x")
+    assert list(out) == ["x\x1fx", "x\x1fx", "x"]
+    assert list(new_offs) == [0, 3]
+    # doc boundary blocks a merge
+    syms = np.array(["x", "x"], dtype=object)
+    offs = np.array([0, 1, 2], dtype=np.int64)
+    out, new_offs = _merge_once(syms, offs, "x", "x")
+    assert list(out) == ["x", "x"] and list(new_offs) == [0, 1, 2]
+
+
+# ---------------------------------------------------------------------------
 # Count-Min heavy hitters
 # ---------------------------------------------------------------------------
 
