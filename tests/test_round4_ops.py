@@ -236,6 +236,30 @@ def test_bloom_partial_or_merge_equals_single_fold(ray_session):
     assert (whole == merged).all()
 
 
+def test_event_ops_handle_null_event_type(ray_session, tmp_path):
+    """A NULL event_type row (schema-legal) must group/skip like the SQL
+    mirrors do, not crash the vectorized folds (review finding)."""
+    T = 1_700_000_000_000_000
+    eid = [1, 2, 3, 4]
+    ts = [T, T, T + 5, T + 6]
+    uid = [1, 1, 1, 2]
+    et = ["view", None, None, "click"]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(et, pa.string()),
+            "value": pa.array([1.0] * 4, pa.float64()),
+            "props": pa.array(['{"k": 7}'] * 4, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    for name in ("events_dedup", "events_funnel", "events_props_stats",
+                 "events_rate_limit"):
+        _sql_parity(str(tmp_path), name)
+
+
 # ---------------------------------------------------------------------------
 # BPE merge training
 # ---------------------------------------------------------------------------
