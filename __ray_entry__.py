@@ -338,6 +338,7 @@ GATE_FRONT = [
     "events_props_stats",
     "text_top_bigrams",
     "text_bpe_merges",
+    "corpus_report",
     # no CORRECTNESS row in r03 (registration positions 50-61 last round)
     "similarity_pq_codes",
     "similarity_pq_topk",
@@ -377,6 +378,7 @@ GATE_TAIL = [
     "events_sliding_window_counts",
     "events_asof_last_error",
     "events_value_deviation",
+    "events_sessionization",
 ]
 
 

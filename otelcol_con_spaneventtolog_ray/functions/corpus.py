@@ -306,6 +306,101 @@ def q_training_chunks(sf_dir: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# corpus report — the one-pass dashboard summary: every statistic is an
+# integer partial (counts, sums, per-batch distinct sets for the tiny
+# lang/source vocabularies) folded once, so a 100-TB corpus costs one
+# column-pruned scan and one tiny driver fold; means derive from the exact
+# integer pairs AFTER the fold.
+# ---------------------------------------------------------------------------
+
+def _report_partial(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    text = batch.column("text")
+    toks = (
+        pc.count_substring(text, pattern=" ")
+        .to_numpy(zero_copy_only=False).astype(np.int64) + 1
+    )
+    chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+    empty = int((chars == 0).sum())
+    langs = pc.unique(batch.column("lang")).to_pylist()
+    sources = pc.unique(batch.column("source")).to_pylist()
+    return pa.table(
+        {
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "n_tokens": pa.array([int(toks.sum())], pa.int64()),
+            "n_chars": pa.array([int(chars.sum())], pa.int64()),
+            "n_empty": pa.array([empty], pa.int64()),
+            "langs": pa.array([",".join(sorted(map(str, langs)))], pa.string()),
+            "sources": pa.array(
+                [",".join(sorted(map(str, sources)))], pa.string()
+            ),
+        }
+    )
+
+
+def q_corpus_report(sf_dir: str):
+    """One summary row: doc/token/char totals, empty-doc count, distinct
+    lang and source counts, mean tokens/chars per doc (6dp, derived from
+    exact integer totals)."""
+    df = (
+        _dedup._docs(sf_dir, columns=("doc_id", "text", "lang", "source"))
+        .map_batches(_report_partial, batch_format="pyarrow",
+                     **remote_kwargs())
+        .to_pandas()
+    )
+    if len(df) == 0 or "n_docs" not in df.columns:
+        n_docs = n_tokens = n_chars = n_empty = 0
+        langs, sources = set(), set()
+    else:
+        n_docs = int(df["n_docs"].sum())
+        n_tokens = int(df["n_tokens"].sum())
+        n_chars = int(df["n_chars"].sum())
+        n_empty = int(df["n_empty"].sum())
+        langs = set()
+        sources = set()
+        for v in df["langs"]:
+            langs.update(x for x in v.split(",") if x)
+        for v in df["sources"]:
+            sources.update(x for x in v.split(",") if x)
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "n_chars": pa.array([n_chars], pa.int64()),
+            "n_empty": pa.array([n_empty], pa.int64()),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+            "n_sources": pa.array([len(sources)], pa.int64()),
+            "mean_tokens": pa.array(
+                [round(n_tokens / max(n_docs, 1), 6)], pa.float64()
+            ),
+            "mean_chars": pa.array(
+                [round(n_chars / max(n_docs, 1), 6)], pa.float64()
+            ),
+        }
+    )
+
+
+_REPORT_SQL = """
+SELECT count(*) AS n_docs,
+       CAST(coalesce(sum((length(text) - length(replace(text, ' ', '')))
+                         + 1), 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sum(length(text)), 0) AS BIGINT) AS n_chars,
+       CAST(coalesce(sum(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_empty,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       round(CAST(coalesce(sum((length(text) - length(replace(text, ' ', '')))
+                               + 1), 0) AS BIGINT)
+             / CAST(greatest(count(*), 1) AS DOUBLE), 6) AS mean_tokens,
+       round(CAST(coalesce(sum(length(text)), 0) AS BIGINT)
+             / CAST(greatest(count(*), 1) AS DOUBLE), 6) AS mean_chars
+FROM documents
+"""
+
+
 register("corpus_clean_keep", q_corpus_clean_keep)  # rows-only
 register("corpus_training_chunks", q_training_chunks)  # rows-only (composition)
 register("corpus_source_mixture", q_source_mixture, _SOURCE_MIX_SQL)
+register("corpus_report", q_corpus_report, _REPORT_SQL)

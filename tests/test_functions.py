@@ -25,7 +25,7 @@ SQL_CHECKED = [
     "events_distinct_users_exact", "text_chunking",
     "text_line_dedup", "events_dedup", "events_funnel",
     "events_retention_cohorts", "text_dup_spans", "events_rate_limit",
-    "events_props_stats", "text_top_bigrams",
+    "events_props_stats", "text_top_bigrams", "corpus_report",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
