@@ -207,11 +207,8 @@ def _source_partials(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     src = batch.column("source").to_numpy(zero_copy_only=False)
-    # ws_tokens matches text_stats: single-space count + 1
-    toks = (
-        pc.count_substring(batch.column("text"), pattern=" ")
-        .to_numpy(zero_copy_only=False).astype(np.int64) + 1
-    )
+    # shared null-safe ws_tokens convention (textstats.ws_token_counts)
+    toks = _textstats.ws_token_counts(batch.column("text"))
     order = np.argsort(src, kind="stable")
     s, t = src[order], toks[order]
     uniq, first = np.unique(s, return_index=True)
@@ -314,28 +311,41 @@ def q_training_chunks(sf_dir: str):
 # integer pairs AFTER the fold.
 # ---------------------------------------------------------------------------
 
+#: fan-in delimiter for the per-batch distinct lang/source sets — NUL, the
+#: same reserved byte eventops' NULL-group sentinel uses, so a value
+#: containing ',' can't split into two (NULL values are excluded outright,
+#: matching SQL's count(DISTINCT))
+_SET_SEP = "\x00"
+
+
 def _report_partial(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     text = batch.column("text")
-    toks = (
-        pc.count_substring(text, pattern=" ")
-        .to_numpy(zero_copy_only=False).astype(np.int64) + 1
-    )
-    chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
-    empty = int((chars == 0).sum())
-    langs = pc.unique(batch.column("lang")).to_pylist()
-    sources = pc.unique(batch.column("source")).to_pylist()
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    null = pc.is_null(text).to_numpy(zero_copy_only=False).astype(bool)
+    # NULL text contributes nothing (SQL's sum() skips the row) and is not
+    # "empty"; ws_token_counts is the shared null-safe convention
+    toks = _textstats.ws_token_counts(text)
+    ln = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+    chars = np.where(
+        null, 0.0, np.nan_to_num(ln.astype(np.float64))
+    ).astype(np.int64)
+    empty = int(((chars == 0) & ~null).sum())
+
+    def distinct(col):
+        vals = pc.unique(batch.column(col)).to_pylist()
+        return _SET_SEP.join(sorted(str(x) for x in vals if x is not None))
+
     return pa.table(
         {
             "n_docs": pa.array([batch.num_rows], pa.int64()),
             "n_tokens": pa.array([int(toks.sum())], pa.int64()),
             "n_chars": pa.array([int(chars.sum())], pa.int64()),
             "n_empty": pa.array([empty], pa.int64()),
-            "langs": pa.array([",".join(sorted(map(str, langs)))], pa.string()),
-            "sources": pa.array(
-                [",".join(sorted(map(str, sources)))], pa.string()
-            ),
+            "langs": pa.array([distinct("lang")], pa.string()),
+            "sources": pa.array([distinct("source")], pa.string()),
         }
     )
 
@@ -345,7 +355,7 @@ def q_corpus_report(sf_dir: str):
     lang and source counts, mean tokens/chars per doc (6dp, derived from
     exact integer totals)."""
     df = (
-        _dedup._docs(sf_dir, columns=("doc_id", "text", "lang", "source"))
+        _dedup._docs(sf_dir, columns=("text", "lang", "source"))
         .map_batches(_report_partial, batch_format="pyarrow",
                      **remote_kwargs())
         .to_pandas()
@@ -361,9 +371,9 @@ def q_corpus_report(sf_dir: str):
         langs = set()
         sources = set()
         for v in df["langs"]:
-            langs.update(x for x in v.split(",") if x)
+            langs.update(x for x in v.split(_SET_SEP) if x)
         for v in df["sources"]:
-            sources.update(x for x in v.split(",") if x)
+            sources.update(x for x in v.split(_SET_SEP) if x)
     return pa.table(
         {
             "n_docs": pa.array([n_docs], pa.int64()),

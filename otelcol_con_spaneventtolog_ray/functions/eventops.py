@@ -862,9 +862,8 @@ def props_extract_partial(t: pa.Table) -> pa.Table:
     if has_null_type:  # NULL event_type groups like SQL's NULL group row
         idx = pc.fill_null(idx, len(enc.dictionary))
     codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
-    kv = np.nan_to_num(
-        k.to_numpy(zero_copy_only=False).astype(np.float64), nan=0.0
-    )
+    # NaN only appears at invalid positions, which the mask excludes
+    kv = k.to_numpy(zero_copy_only=False).astype(np.float64)
     nt = len(enc.dictionary) + (1 if has_null_type else 0)
     n = np.bincount(codes[valid], minlength=nt)
     s = np.bincount(codes[valid], weights=kv[valid],

@@ -46,6 +46,22 @@ def _count_sub(col: pa.ChunkedArray | pa.Array, sub: str) -> np.ndarray:
     )
 
 
+def ws_token_counts(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Null-safe ws_tokens (the repo's pinned single-space convention:
+    space count + 1). NULL text yields 0 — the aggregate mirrors' sum()
+    skips NULL rows — instead of the INT64_MIN that a bare
+    NaN->astype(int64) produces. Shared by corpus_report and
+    corpus_source_mixture so the convention has one definition."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    null = pc.is_null(text).to_numpy(zero_copy_only=False).astype(bool)
+    sub = pc.count_substring(text, pattern=" ").to_numpy(zero_copy_only=False)
+    out = np.where(
+        null, 0.0, np.nan_to_num(sub.astype(np.float64)) + 1.0
+    )
+    return out.astype(np.int64)
+
+
 def text_stats_batch(batch: pa.Table) -> pa.Table:
     """documents(doc_id, text) -> per-doc token counts + quality score."""
     text = batch.column("text")

@@ -260,6 +260,27 @@ def test_event_ops_handle_null_event_type(ray_session, tmp_path):
         _sql_parity(str(tmp_path), name)
 
 
+def test_corpus_report_null_text_and_comma_lang(ray_session, tmp_path):
+    """NULL text contributes nothing (not INT64_MIN garbage); a lang value
+    containing ',' is ONE language; NULL lang/source are excluded like
+    SQL's count(DISTINCT) (review findings)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["hello world", None, "", "a b c"], pa.string()),
+            "lang": pa.array(["en,fr", None, "en", "de"], pa.string()),
+            "source": pa.array(["w1", "w2", None, "w1"], pa.string()),
+            "n_chars": pa.array([11, 0, 0, 5], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    got = _sql_parity(str(tmp_path), "corpus_report")
+    row = got.iloc[0]
+    assert row.n_docs == 4 and row.n_tokens == 2 + 0 + 1 + 3
+    assert row.n_langs == 3 and row.n_sources == 2
+    assert row.n_empty == 1  # the "" doc; the NULL doc is not "empty"
+
+
 # ---------------------------------------------------------------------------
 # BPE merge training
 # ---------------------------------------------------------------------------
