@@ -268,7 +268,8 @@ ANALYSIS_BASKET = [
     "events_dedup", "events_funnel", "events_retention_cohorts",
     "events_rate_limit", "events_props_stats", "events_sessionization",
     "sketch_bloom_users", "sketch_cms_top_tokens",
-    "sketch_hll_distinct_users",
+    "sketch_hll_distinct_users", "text_top_bigrams", "text_bpe_merges",
+    "corpus_report",
 ]
 
 
