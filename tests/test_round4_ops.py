@@ -562,3 +562,24 @@ def test_cms_linearity(ray_session):
     whole = cms_fold(h)
     merged = cms_fold(h[:2222]) + cms_fold(h[2222:])
     assert (whole == merged).all()
+
+
+def test_footer_helpers_accept_directories(tmp_path):
+    """column_stats_bounds / file_num_rows over a DIRECTORY of parquet
+    files — the shape a web-scale table actually has."""
+    from otelcol_con_spaneventtolog_ray.parquet_stats import (
+        column_stats_bounds,
+        file_num_rows,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"doc_id": pa.array([5, 7], pa.int64())}), d / "a.parquet"
+    )
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 9], pa.int64())}), d / "b.parquet"
+    )
+    assert file_num_rows(str(d)) == 4
+    assert column_stats_bounds(str(d), "doc_id") == (1, 9)
+    assert file_num_rows(str(d / "a.parquet")) == 2
