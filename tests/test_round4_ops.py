@@ -583,3 +583,44 @@ def test_footer_helpers_accept_directories(tmp_path):
     assert file_num_rows(str(d)) == 4
     assert column_stats_bounds(str(d), "doc_id") == (1, 9)
     assert file_num_rows(str(d / "a.parquet")) == 2
+
+
+def test_minhash_and_dup_spans_on_directory_table(ray_session, tmp_path):
+    """documents.parquet as a DIRECTORY of files (the web-scale layout):
+    the footer planning, pushdown range reads, and sorted folds must give
+    byte-identical results to the single-file layout."""
+    rng = np.random.default_rng(23)
+    words = "alpha beta gamma delta epsilon zeta".split()
+    texts = [" ".join(rng.choice(words, size=40)) for _ in range(30)]
+    texts += [texts[0] + " zeta", texts[5] + " beta"]  # planted near-dups
+    ids = list(range(len(texts)))
+
+    single = tmp_path / "single"
+    single.mkdir()
+    _write_docs(single, texts, ids)
+
+    multi = tmp_path / "multi"
+    (multi / "documents.parquet").mkdir(parents=True)
+    half = len(texts) // 2
+    for part, (i, t) in enumerate(((0, slice(0, half)), (1, slice(half, None)))):
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(ids[t], pa.int64()),
+                "text": pa.array(texts[t], pa.string()),
+                "lang": pa.array(["en"] * len(ids[t])),
+                "source": pa.array(["web"] * len(ids[t])),
+                "n_chars": pa.array([len(x) for x in texts[t]], pa.int64()),
+            }
+        )
+        pq.write_table(
+            tbl, multi / "documents.parquet" / f"part-{part}.parquet"
+        )
+
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    for name in ("dedup_minhash_near_dups", "text_dup_spans"):
+        a = _canon(_to_df(qs[name](str(single))))
+        b = _canon(_to_df(qs[name](str(multi))))
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert len(a) > 0, name
