@@ -339,6 +339,7 @@ GATE_FRONT = [
     "text_top_bigrams",
     "text_bpe_merges",
     "corpus_report",
+    "text_tokenize_ids",
     # no CORRECTNESS row in r03 (registration positions 50-61 last round)
     "similarity_pq_codes",
     "similarity_pq_topk",
@@ -379,6 +380,7 @@ GATE_TAIL = [
     "events_asof_last_error",
     "events_value_deviation",
     "events_sessionization",
+    "events_hourly_counts",
 ]
 
 

@@ -955,8 +955,117 @@ register("text_top_quality", q_top_quality, _TOP_QUALITY_SQL)
 register("text_sample_stratified", q_sample_stratified, _SAMPLE_SQL)
 register("text_stats", q_text_stats, _TEXT_STATS_SQL)
 register("text_quality_filter", q_quality_filter, _QUALITY_FILTER_SQL)
+# ---------------------------------------------------------------------------
+# tokenize-to-ids — the unit a trainer actually consumes: map every token
+# to its 1-based rank in the corpus top-K vocabulary (0 = OOV), one
+# list<int32> per document. The vocabulary is built once (the same
+# deterministic (count desc, token asc) fold corpus_vocab/lm_score use)
+# and broadcast via ray.put; the encode pass is one dictionary-encode +
+# ONE searchsorted per batch — tokens never shuffle.
+# ---------------------------------------------------------------------------
+
+def _tokenize_fn(vocab_ref):
+    import ray
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vocab_sorted, ranks = ray.get(vocab_ref)
+        flat, parents = _words_flat(batch)
+        n = batch.num_rows
+        counts = np.bincount(parents, minlength=n) if len(parents) else (
+            np.zeros(n, dtype=np.int64)
+        )
+        if len(flat):
+            toks = np.asarray(flat.to_pylist(), dtype=object)
+            if len(vocab_sorted):
+                pos = np.searchsorted(vocab_sorted, toks)
+                pos[pos == len(vocab_sorted)] = 0
+                hit = vocab_sorted[pos] == toks
+                ids = np.where(hit, ranks[pos], 0).astype(np.int32)
+            else:
+                ids = np.zeros(len(toks), dtype=np.int32)
+        else:
+            ids = np.zeros(0, dtype=np.int32)
+        offs = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(counts, out=offs[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pa.array(ids, pa.int32())
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(counts.astype(np.int64), pa.int64()),
+                "ids": lst,
+            }
+        )
+
+    return encode
+
+
+def tokenize_ids_dataset(sf_dir: str):
+    """(doc_id, n_tokens, ids list<int32>) — the library form a trainer
+    consumes directly."""
+    import ray
+
+    vocab, _counts, _total = corpus_vocab(sf_dir)
+    toks = np.asarray(vocab.to_pylist(), dtype=object)
+    ranks_in_vocab = np.arange(1, len(toks) + 1, dtype=np.int32)
+    order = np.argsort(toks, kind="stable")
+    vocab_ref = ray.put((toks[order], ranks_in_vocab[order]))
+    return _docs(sf_dir).map_batches(
+        _tokenize_fn(vocab_ref), batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+def q_tokenize_ids(sf_dir: str):
+    """Gate form of tokenize_ids_dataset: ids rendered as a space-joined
+    string so the driver's value-hash sees a scalar column (no SQL-gated
+    query has shipped a list column through the gate before; list-vs-array
+    CSV formatting across engines is not a contract worth betting on)."""
+
+    def stringify(t: pa.Table) -> pa.Table:
+        ids = t.column("ids")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": t.column("n_tokens"),
+                "ids_str": pc.binary_join(
+                    pc.cast(ids, pa.list_(pa.string())), " "
+                ),
+            }
+        )
+
+    return tokenize_ids_dataset(sf_dir).map_batches(
+        stringify, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+_TOKENIZE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x != '') AS toks
+  FROM documents),
+w AS (SELECT unnest(toks) AS token FROM t),
+c AS (SELECT token, count(*) AS n FROM w GROUP BY 1),
+v AS (SELECT token,
+             CAST(row_number() OVER (ORDER BY n DESC, token) AS INT) AS id
+      FROM c QUALIFY id <= {LM_VOCAB_K}),
+e AS (SELECT t.doc_id AS doc_id, r.i AS i, t.toks[r.i] AS tok
+      FROM t, LATERAL (SELECT unnest(range(1, len(t.toks) + 1)) AS i) r),
+j AS (SELECT e.doc_id, e.i, coalesce(v.id, 0) AS id
+      FROM e LEFT JOIN v ON e.tok = v.token)
+SELECT t.doc_id, len(t.toks) AS n_tokens,
+       coalesce(array_to_string(ids.ids, ' '), '') AS ids_str
+FROM t LEFT JOIN (
+  SELECT doc_id, list(id ORDER BY i) AS ids FROM j GROUP BY 1
+) ids USING (doc_id)
+"""
+
+
 register("text_top_tokens", q_top_tokens, _TOP_TOKENS_SQL)
 register("text_top_bigrams", q_top_bigrams, _TOP_BIGRAMS_SQL)
+register("text_tokenize_ids", q_tokenize_ids, _TOKENIZE_SQL)
 register("text_lang_id", q_lang_id, _LANG_ID_SQL)
 register("text_fingerprint", q_fingerprint, _FINGERPRINT_SQL)
 register("text_rolling_fingerprint", q_rolling_fingerprint)  # rows-only
