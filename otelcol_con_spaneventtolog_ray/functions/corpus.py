@@ -207,6 +207,11 @@ def _source_partials(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     src = batch.column("source").to_numpy(zero_copy_only=False)
+    # NULL source groups like SQL's NULL group row; Ray's sort-based
+    # aggregate cannot partition None keys, so it travels as the NUL
+    # sentinel (same trick as eventops' props stats) and is restored in
+    # q_source_mixture's finish
+    src = np.where(pd.isna(src), _SET_SEP, src.astype(object))
     # shared null-safe ws_tokens convention (textstats.ws_token_counts)
     toks = _textstats.ws_token_counts(batch.column("text"))
     order = np.argsort(src, kind="stable")
@@ -242,8 +247,16 @@ def q_source_mixture(sf_dir: str):
              "keep_rate": pa.array([], pa.float64())}
         )
     df = df.rename(columns={"sum(docs)": "n_docs", "sum(tokens)": "n_tokens"})
-    lo = int(df["n_tokens"].min())
-    df["keep_rate"] = (lo / df["n_tokens"]).round(6)
+    # restore the NULL source group the NUL sentinel carried (see partial)
+    df["source"] = df["source"].replace({_SET_SEP: None})
+    # budget floor over POSITIVE-token groups; a zero-token group (e.g.
+    # all-NULL-text source) has nothing to keep -> rate 0.0, and must not
+    # drag the floor to 0 for everyone (SQL mirror pins the same rule)
+    pos = df["n_tokens"] > 0
+    lo = int(df.loc[pos, "n_tokens"].min()) if pos.any() else 0
+    df["keep_rate"] = np.where(
+        pos, np.round(lo / df["n_tokens"].where(pos, 1), 6), 0.0
+    )
     df = df.sort_values("source").reset_index(drop=True)
     return pa.Table.from_pandas(
         df[["source", "n_docs", "n_tokens", "keep_rate"]], preserve_index=False
@@ -253,12 +266,15 @@ def q_source_mixture(sf_dir: str):
 _SOURCE_MIX_SQL = """
 WITH s AS (
   SELECT source, count(*) AS n_docs,
-         CAST(sum((length(text) - length(replace(text, ' ', ''))) + 1)
+         CAST(coalesce(sum(coalesce(
+                (length(text) - length(replace(text, ' ', ''))) + 1, 0)), 0)
               AS BIGINT) AS n_tokens
   FROM documents GROUP BY 1)
 SELECT source, n_docs, n_tokens,
-       round((SELECT min(n_tokens) FROM s) / CAST(n_tokens AS DOUBLE), 6)
-         AS keep_rate
+       CASE WHEN n_tokens > 0 THEN
+         round((SELECT min(n_tokens) FROM s WHERE n_tokens > 0)
+               / CAST(n_tokens AS DOUBLE), 6)
+       ELSE 0.0 END AS keep_rate
 FROM s ORDER BY source
 """
 
@@ -335,8 +351,15 @@ def _report_partial(batch: pa.Table) -> pa.Table:
     empty = int(((chars == 0) & ~null).sum())
 
     def distinct(col):
-        vals = pc.unique(batch.column(col)).to_pylist()
-        return _SET_SEP.join(sorted(str(x) for x in vals if x is not None))
+        # '' is a legitimate DISTINCT value (SQL counts it); only NULL is
+        # excluded. An empty set fans in as NULL so "" can't be conjured
+        # from the join of nothing.
+        vals = sorted(
+            str(x)
+            for x in pc.unique(batch.column(col)).to_pylist()
+            if x is not None
+        )
+        return _SET_SEP.join(vals) if vals else None
 
     return pa.table(
         {
@@ -371,9 +394,11 @@ def q_corpus_report(sf_dir: str):
         langs = set()
         sources = set()
         for v in df["langs"]:
-            langs.update(x for x in v.split(_SET_SEP) if x)
+            if v is not None:
+                langs.update(v.split(_SET_SEP))
         for v in df["sources"]:
-            sources.update(x for x in v.split(_SET_SEP) if x)
+            if v is not None:
+                sources.update(v.split(_SET_SEP))
     return pa.table(
         {
             "n_docs": pa.array([n_docs], pa.int64()),

@@ -574,12 +574,20 @@ def _words_token_table(batch: pa.Table) -> pa.Table:
 
 
 def _words_flat(batch: pa.Table):
-    """(flat tokens array, parents row indices) for a documents batch."""
+    """(flat tokens array, parents row indices) for a documents batch.
+
+    NULL text rows contribute no tokens (list flatten already skips null
+    lists; the null list's NaN length must become 0 before np.repeat, or
+    the float cast crashes) — matching the SQL mirrors, where
+    string_split_regex(NULL) unnests to nothing."""
     toks = pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.flatten()
-    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    counts = np.nan_to_num(
+        pc.list_value_length(toks)
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    ).astype(np.int64)
     parents = np.repeat(np.arange(batch.num_rows), counts)
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
     return flat.filter(pa.array(keep)), parents[keep]
@@ -965,26 +973,27 @@ register("text_quality_filter", q_quality_filter, _QUALITY_FILTER_SQL)
 # ---------------------------------------------------------------------------
 
 def _tokenize_fn(vocab_ref):
+    """Encode via pc.index_in against the rank-ordered vocab (the same
+    native idiom _vocab_score_fn uses): index+1 IS the 1-based rank, null
+    (not found) -> 0. No Python-object token materialization."""
     import ray
 
     def encode(batch: pa.Table) -> pa.Table:
-        vocab_sorted, ranks = ray.get(vocab_ref)
+        vocab = ray.get(vocab_ref)
         flat, parents = _words_flat(batch)
         n = batch.num_rows
         counts = np.bincount(parents, minlength=n) if len(parents) else (
             np.zeros(n, dtype=np.int64)
         )
-        if len(flat):
-            toks = np.asarray(flat.to_pylist(), dtype=object)
-            if len(vocab_sorted):
-                pos = np.searchsorted(vocab_sorted, toks)
-                pos[pos == len(vocab_sorted)] = 0
-                hit = vocab_sorted[pos] == toks
-                ids = np.where(hit, ranks[pos], 0).astype(np.int32)
-            else:
-                ids = np.zeros(len(toks), dtype=np.int32)
+        if len(flat) and len(vocab):
+            idx = pc.index_in(flat, value_set=vocab)
+            ids = (
+                pc.fill_null(pc.add(idx, 1), 0)
+                .cast(pa.int32()).to_numpy(zero_copy_only=False)
+                .astype(np.int32)
+            )
         else:
-            ids = np.zeros(0, dtype=np.int32)
+            ids = np.zeros(len(flat), dtype=np.int32)
         offs = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(counts, out=offs[1:])
         lst = pa.ListArray.from_arrays(
@@ -1006,11 +1015,8 @@ def tokenize_ids_dataset(sf_dir: str):
     consumes directly."""
     import ray
 
-    vocab, _counts, _total = corpus_vocab(sf_dir)
-    toks = np.asarray(vocab.to_pylist(), dtype=object)
-    ranks_in_vocab = np.arange(1, len(toks) + 1, dtype=np.int32)
-    order = np.argsort(toks, kind="stable")
-    vocab_ref = ray.put((toks[order], ranks_in_vocab[order]))
+    vocab, _counts, _total = corpus_vocab(sf_dir)  # already rank-ordered
+    vocab_ref = ray.put(vocab)
     return _docs(sf_dir).map_batches(
         _tokenize_fn(vocab_ref), batch_format="pyarrow", **remote_kwargs()
     )
@@ -1055,7 +1061,7 @@ e AS (SELECT t.doc_id AS doc_id, r.i AS i, t.toks[r.i] AS tok
       FROM t, LATERAL (SELECT unnest(range(1, len(t.toks) + 1)) AS i) r),
 j AS (SELECT e.doc_id, e.i, coalesce(v.id, 0) AS id
       FROM e LEFT JOIN v ON e.tok = v.token)
-SELECT t.doc_id, len(t.toks) AS n_tokens,
+SELECT t.doc_id, coalesce(len(t.toks), 0) AS n_tokens,
        coalesce(array_to_string(ids.ids, ' '), '') AS ids_str
 FROM t LEFT JOIN (
   SELECT doc_id, list(id ORDER BY i) AS ids FROM j GROUP BY 1

@@ -18,8 +18,10 @@ def _footer_files(path: str) -> list[str]:
     """A single parquet file, or every *.parquet under a directory — the
     shape a web-scale table actually has (one file per written partition)."""
     if os.path.isdir(path):
-        files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
-                                 recursive=True))
+        files = sorted(
+            glob.glob(os.path.join(glob.escape(path), "**", "*.parquet"),
+                      recursive=True)
+        )
         if not files:
             raise FileNotFoundError(f"no parquet files under {path}")
         return files

@@ -279,6 +279,24 @@ def test_corpus_report_null_text_and_comma_lang(ray_session, tmp_path):
     assert row.n_docs == 4 and row.n_tokens == 2 + 0 + 1 + 3
     assert row.n_langs == 3 and row.n_sources == 2
     assert row.n_empty == 1  # the "" doc; the NULL doc is not "empty"
+    # empty-string lang is a DISTINCT value (not dropped by the fan-in);
+    # NULL lang/source are excluded — and the token/vocab ops plus the
+    # mixture planner survive the same adversarial rows with SQL parity
+    tbl2 = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["x y", None, "x z"], pa.string()),
+            "lang": pa.array(["", "en", "en"], pa.string()),
+            "source": pa.array(["w1", None, "w1"], pa.string()),
+            "n_chars": pa.array([3, 0, 3], pa.int64()),
+        }
+    )
+    pq.write_table(tbl2, os.path.join(tmp_path, "documents.parquet"))
+    out = _sql_parity(str(tmp_path), "corpus_report")
+    assert out.iloc[0].n_langs == 2  # '' and 'en'
+    for name in ("corpus_source_mixture", "text_tokenize_ids",
+                 "text_top_tokens", "text_top_bigrams"):
+        _sql_parity(str(tmp_path), name)
 
 
 # ---------------------------------------------------------------------------
