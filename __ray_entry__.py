@@ -340,6 +340,7 @@ GATE_FRONT = [
     "text_bpe_merges",
     "corpus_report",
     "text_tokenize_ids",
+    "events_active_users",
     # no CORRECTNESS row in r03 (registration positions 50-61 last round)
     "similarity_pq_codes",
     "similarity_pq_topk",
@@ -381,6 +382,7 @@ GATE_TAIL = [
     "events_value_deviation",
     "events_sessionization",
     "events_hourly_counts",
+    "events_severity_route",
 ]
 
 

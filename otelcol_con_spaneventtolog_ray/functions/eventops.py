@@ -932,7 +932,124 @@ FROM x GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# DAU / WAU active-user rollup — product-analytics daily/trailing-7-day
+# distinct users, computed WITHOUT a per-day distinct pass: after
+# sort(user_id), one block fold takes each user's distinct active days,
+# merges them into covered intervals [day, day+6] (runs where consecutive
+# active days are <= 6 apart), and emits per-day DAU partials plus
+# interval-boundary +1/-1 deltas. A tiny groupby(day) folds both; the WAU
+# series is ONE cumulative sum over the (timeline-bounded) day table on
+# the driver. Only O(days) rows ever reach the driver — never a
+# (day x user) pair.
+# ---------------------------------------------------------------------------
+
+WAU_WINDOW_DAYS = 7
+
+
+def active_users_block(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table(
+            {"day": pa.array([], pa.int64()),
+             "dau": pa.array([], pa.int64()),
+             "delta": pa.array([], pa.int64())}
+        )
+    user, ts, _eid = _block_sorted(t)
+    day = ts // _US_PER_DAY
+    # distinct (user, day), sorted by (user, day)
+    order = np.lexsort((day, user))
+    u, d = user[order], day[order]
+    first = np.concatenate([[True], (u[1:] != u[:-1]) | (d[1:] != d[:-1])])
+    u, d = u[first], d[first]
+    # DAU partials: count per day (each distinct pair contributes once)
+    du, dc = np.unique(d, return_counts=True)
+    # interval merge per user: new interval when user changes or the gap
+    # between consecutive active days exceeds the window span
+    W = WAU_WINDOW_DAYS - 1
+    brk = np.concatenate([[True], (u[1:] != u[:-1]) | (d[1:] - d[:-1] > W)])
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], len(d)) - 1
+    s_day = d[starts]                # interval covers [s_day, d[end] + W]
+    e_day = d[ends] + W + 1          # exclusive end for the +1/-1 diff
+    days = np.concatenate([du, s_day, e_day])
+    deltas = np.concatenate(
+        [np.zeros(len(du), np.int64),
+         np.ones(len(s_day), np.int64),
+         -np.ones(len(e_day), np.int64)]
+    )
+    dau = np.concatenate(
+        [dc.astype(np.int64),
+         np.zeros(len(s_day) + len(e_day), np.int64)]
+    )
+    return pa.table(
+        {
+            "day": pa.array(days, pa.int64()),
+            "dau": pa.array(dau, pa.int64()),
+            "delta": pa.array(deltas, pa.int64()),
+        }
+    )
+
+
+def q_active_users(sf_dir: str):
+    """(day, dau, wau, stickiness) for every day with >= 1 event: daily and
+    trailing-7-day distinct users (day = epoch_us // 86400e6)."""
+    folded = (
+        _events(sf_dir, ["event_id", "ts", "user_id"])
+        .sort("user_id")
+        .map_batches(active_users_block, batch_format="pyarrow",
+                     batch_size=None, **remote_kwargs())
+        .groupby("day")
+        .sum(["dau", "delta"])
+        .to_pandas()  # O(timeline days + interval boundaries), tiny
+    )
+    if len(folded) == 0 or "day" not in folded.columns:
+        return pa.table(
+            {"day": pa.array([], pa.int64()),
+             "dau": pa.array([], pa.int64()),
+             "wau": pa.array([], pa.int64()),
+             "stickiness": pa.array([], pa.float64())}
+        )
+    folded = folded.sort_values("day").reset_index(drop=True)
+    wau = folded["sum(delta)"].cumsum()  # active intervals covering each day
+    dau = folded["sum(dau)"]
+    keep = dau > 0  # boundary-only days (interval ends) are not event days
+    out = pa.table(
+        {
+            "day": pa.array(
+                folded["day"][keep].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "dau": pa.array(dau[keep].to_numpy().astype(np.int64), pa.int64()),
+            "wau": pa.array(wau[keep].to_numpy().astype(np.int64), pa.int64()),
+            "stickiness": pa.array(
+                np.round(
+                    dau[keep].to_numpy() / wau[keep].to_numpy(), 6
+                ),
+                pa.float64(),
+            ),
+        }
+    )
+    return out
+
+
+_ACTIVE_SQL = f"""
+WITH p AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // {_US_PER_DAY} AS day
+  FROM events),
+days AS (SELECT DISTINCT day FROM p),
+dau AS (SELECT day, count(*) AS dau FROM p GROUP BY 1),
+wau AS (SELECT d.day, count(DISTINCT p.user_id) AS wau
+        FROM days d JOIN p
+          ON p.day BETWEEN d.day - {WAU_WINDOW_DAYS - 1} AND d.day
+        GROUP BY 1)
+SELECT d.day, dau.dau, wau.wau,
+       round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+FROM days d JOIN dau USING (day) JOIN wau USING (day)
+"""
+
+
 register("events_distinct_users_exact", q_distinct_users_exact, _DISTINCT_SQL)
+register("events_active_users", q_active_users, _ACTIVE_SQL)
 register("events_dedup", q_events_dedup, _EVDEDUP_SQL)
 register("events_rate_limit", q_rate_limit, _RATE_LIMIT_SQL)
 register("events_props_stats", q_props_stats, _PROPS_SQL)

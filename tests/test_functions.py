@@ -26,7 +26,7 @@ SQL_CHECKED = [
     "text_line_dedup", "events_dedup", "events_funnel",
     "events_retention_cohorts", "text_dup_spans", "events_rate_limit",
     "events_props_stats", "text_top_bigrams", "corpus_report",
-    "text_tokenize_ids",
+    "text_tokenize_ids", "events_active_users",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

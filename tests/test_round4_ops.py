@@ -642,3 +642,28 @@ def test_minhash_and_dup_spans_on_directory_table(ray_session, tmp_path):
         b = _canon(_to_df(qs[name](str(multi))))
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
         assert len(a) > 0, name
+
+
+def test_active_users_interval_merge_semantics(ray_session, tmp_path):
+    """WAU counts a user for every day within 6 days AFTER an active day;
+    a >6-day gap starts a new interval (the merge rule); DAU only counts
+    the active day itself."""
+    US_DAY = 86_400_000_000
+    sf = _write_events(
+        tmp_path,
+        [
+            (1, 0 * US_DAY, 1, "view"),     # user 1 active day 0
+            (2, 10 * US_DAY, 1, "view"),    # and day 10 (gap > 6: new interval)
+            (3, 3 * US_DAY, 2, "view"),     # user 2 active day 3
+            (4, 10 * US_DAY, 2, "view"),    # and day 10 (gap 7 > 6)
+        ],
+    )
+    _sql_parity(sf, "events_active_users")
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["events_active_users"](sf)).set_index("day")
+    assert out.loc[0, "dau"] == 1 and out.loc[0, "wau"] == 1
+    # day 3: user 1 covered (day 0 + 6 >= 3) + user 2 active
+    assert out.loc[3, "dau"] == 1 and out.loc[3, "wau"] == 2
+    # day 10: both active; neither prior interval reaches (0+6<10, 3+6<10)
+    assert out.loc[10, "dau"] == 2 and out.loc[10, "wau"] == 2
