@@ -211,7 +211,12 @@ def q_value_quantiles(sf_dir: str):
     histogram sketch. Accuracy: the estimate lies within one bin width of the
     exact enclosing order statistics (a histogram tracks the data, not
     quantile_cont's between-points interpolation, which on sparse data can
-    land many bins from any observation) — pinned in pytest."""
+    land many bins from any observation) — pinned in pytest.
+
+    SQL-gated: the sketch is DETERMINISTIC (footer-stats bounds + linear
+    binning + fixed interpolation), so a DuckDB mirror reproduces the
+    estimates exactly — the oracle checks the sketch's arithmetic, not an
+    exact quantile."""
     import ray.data
 
     path = os.path.join(sf_dir, "events.parquet")
@@ -490,7 +495,57 @@ def q_cms_top_tokens(sf_dir: str):
     )
 
 
+# DuckDB mirror of the deterministic histogram-quantile sketch: same
+# footer-derived (min, max) bounds, same clipped linear bin, same
+# present-bins cumulative search (first bin with cum > rank + 1e-9), same
+# within-bin interpolation and operation ORDER (w/Q_BINS computed first,
+# matching quantiles_from_histogram) so float64 results are bit-identical.
+_VALUE_QUANTILES_SQL = f"""
+WITH bounds AS (
+  SELECT min(value) AS lo, max(value) AS hi,
+         CASE WHEN max(value) - min(value) = 0 THEN 1.0
+              ELSE max(value) - min(value) END AS w
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+hist AS (
+  SELECT event_type,
+         CAST(LEAST(GREATEST(CAST(trunc((value - lo) / w * {Q_BINS}) AS BIGINT),
+                             0), {Q_BINS - 1}) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM events, bounds
+  WHERE value IS NOT NULL AND NOT isnan(value)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM hist
+),
+qs AS (SELECT * FROM (VALUES (0.5, 'p50'), (0.9, 'p90'), (0.99, 'p99'))
+       t(q, qname)),
+picked AS (
+  SELECT c.event_type, q.qname, c.bin, c.n, c.cum, c.total,
+         q.q * (c.total - 1) AS rnk,
+         row_number() OVER (PARTITION BY c.event_type, q.qname
+                            ORDER BY c.bin) AS rn
+  FROM cum c CROSS JOIN qs q
+  WHERE c.cum > q.q * (c.total - 1) + 1e-9
+),
+est AS (
+  SELECT p.event_type, p.qname,
+         round(b.lo + (p.bin + LEAST((p.rnk - (p.cum - p.n)) / p.n, 1.0))
+                      * (b.w / {Q_BINS}), 6) AS v
+  FROM picked p, bounds b WHERE p.rn = 1
+)
+SELECT event_type,
+       max(CASE WHEN qname = 'p50' THEN v END) AS p50,
+       max(CASE WHEN qname = 'p90' THEN v END) AS p90,
+       max(CASE WHEN qname = 'p99' THEN v END) AS p99
+FROM est GROUP BY 1 ORDER BY 1
+"""
+
 register("sketch_bloom_users", q_bloom_users)  # rows-only (sketch)
 register("sketch_cms_top_tokens", q_cms_top_tokens)  # rows-only (sketch)
 register("sketch_hll_distinct_users", q_hll_distinct_users)  # rows-only
-register("sketch_value_quantiles", q_value_quantiles)  # rows-only
+register("sketch_value_quantiles", q_value_quantiles, _VALUE_QUANTILES_SQL)

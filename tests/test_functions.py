@@ -27,6 +27,7 @@ SQL_CHECKED = [
     "events_retention_cohorts", "text_dup_spans", "events_rate_limit",
     "events_props_stats", "text_top_bigrams", "corpus_report",
     "text_tokenize_ids", "events_active_users",
+    "sketch_value_quantiles",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
@@ -36,7 +37,7 @@ ROWS_ONLY_RUN = [
     "dedup_minhash_keep",
     "similarity_lsh_buckets", "similarity_ivf_topk",
     "dedup_embedding_neardup_lsh", "similarity_knn_join",
-    "dedup_simhash_near_dups", "sketch_value_quantiles", "corpus_clean_keep",
+    "dedup_simhash_near_dups", "corpus_clean_keep",
     "multimodal_audio_energy",
     "text_rolling_fingerprint", "sketch_hll_distinct_users",
     "similarity_pq_codes", "similarity_pq_topk",
