@@ -327,6 +327,10 @@ def entry() -> Any:
 # asserts this invariant against the newest CORRECTNESS_r*.json on disk.
 GATE_FRONT = [
     # new in round 4 — never driver-gated
+    "rel_order_revenue_topk",
+    "text_gopher_rules",
+    "text_idf_top_terms",
+    "events_user_lifetime",
     "text_line_dedup",
     "events_dedup",
     "events_funnel",
@@ -357,6 +361,10 @@ GATE_FRONT = [
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round
+    "multimodal_features",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "rel_pricing_summary",
     "pipeline_routed_rows",
     "pipeline_raw_lines",
     "pipeline_body_mapping",

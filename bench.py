@@ -162,8 +162,17 @@ def run_single(
             )
 
             exchange = minhash_exchange_stats(sf_dir)
+
+            # same artifact for the embedding-LSH fan-out (round-3 ask was
+            # BOTH heavy dedup exchanges tracked per round)
+            from otelcol_con_spaneventtolog_ray.functions.similarity import (
+                embedding_lsh_exchange_stats,
+            )
+
+            lsh_exchange = embedding_lsh_exchange_stats(sf_dir)
         else:
             exchange = None
+            lsh_exchange = None
 
         total = queries["pipeline_full"]
         out = {
@@ -183,6 +192,8 @@ def run_single(
         }
         if exchange is not None:
             out["minhash_exchange"] = exchange
+        if lsh_exchange is not None:
+            out["embedding_lsh_exchange"] = lsh_exchange
         return out
     finally:
         ray.shutdown()

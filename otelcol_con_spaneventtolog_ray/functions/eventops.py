@@ -1061,3 +1061,121 @@ register("events_sliding_window_counts", q_sliding_window_counts, _SLIDING_SQL)
 register("events_asof_last_error", q_asof_last_error, _ASOF_SQL)
 register("events_topk_per_type", q_topk_per_type, _TOPK_SQL)
 register("events_value_deviation", q_value_deviation, _DEVIATION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# per-user lifetime rollup — first/last activity, active-day count, event
+# count. Classic two-phase distinct: per-block partials collapse to one row
+# per (user, day) BEFORE the exchange (the distinct-day combiner), then a
+# (user, day) groupby folds cross-block duplicates, then a per-user groupby
+# turns day-rows into active_days via Count. Only |users| x |days| rows ever
+# shuffle — never raw events. No co-location assumption (pure aggregates).
+
+US_PER_DAY = 86_400_000_000
+
+
+def _lifetime_partials(batch: pa.Table) -> pa.Table:
+    t = batch.combine_chunks() if isinstance(batch, pa.Table) else batch
+    user = (
+        t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    ts = (
+        t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    if len(user) == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "day": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "min_us": pa.array([], pa.int64()),
+             "max_us": pa.array([], pa.int64())}
+        )
+    day = ts // US_PER_DAY
+    order = np.lexsort((day, user))
+    u_s, d_s, t_s = user[order], day[order], ts[order]
+    boundary = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
+    first = np.flatnonzero(np.concatenate([[True], boundary]))
+    return pa.table(
+        {
+            "user_id": pa.array(u_s[first], pa.int64()),
+            "day": pa.array(d_s[first], pa.int64()),
+            "n": pa.array(
+                np.diff(np.append(first, len(u_s))).astype(np.int64),
+                pa.int64(),
+            ),
+            "min_us": pa.array(np.minimum.reduceat(t_s, first), pa.int64()),
+            "max_us": pa.array(np.maximum.reduceat(t_s, first), pa.int64()),
+        }
+    )
+
+
+def _lifetime_rename(t: pa.Table) -> pa.Table:
+    """Strip the aggregate-name decorations; empty shuffle partitions arrive
+    as schema-less zero-row tables and must pass through typed."""
+    if t.num_rows == 0 or "user_id" not in t.column_names:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "min_us": pa.array([], pa.int64()),
+             "max_us": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {"user_id": t.column("user_id"),
+         "n": t.column("sum(n)"),
+         "min_us": t.column("min(min_us)"),
+         "max_us": t.column("max(max_us)")}
+    )
+
+
+def q_user_lifetime(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    per_day = (
+        _events(sf_dir, ["user_id", "ts"])
+        .map_batches(_lifetime_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("n"), Min("min_us"), Max("max_us"))
+        .map_batches(_lifetime_rename, batch_format="pyarrow",
+                     **remote_kwargs())
+    )
+    df = (
+        per_day.groupby("user_id")
+        .aggregate(Count(), Sum("n"), Min("min_us"), Max("max_us"))
+        .to_pandas()  # O(|users|)
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "active_days": pa.array([], pa.int64()),
+             "first_us": pa.array([], pa.int64()),
+             "last_us": pa.array([], pa.int64()),
+             "lifetime_days": pa.array([], pa.float64())}
+        )
+    df = df.rename(columns={
+        "count()": "active_days", "sum(n)": "n_events",
+        "min(min_us)": "first_us", "max(max_us)": "last_us",
+    })
+    df["lifetime_days"] = (
+        (df["last_us"] - df["first_us"]) / float(US_PER_DAY)
+    ).round(6)
+    df = df.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["user_id", "n_events", "active_days", "first_us", "last_us",
+            "lifetime_days"]],
+        preserve_index=False,
+    )
+
+
+_LIFETIME_SQL = f"""
+SELECT user_id, count(*) AS n_events,
+       count(DISTINCT epoch_us(ts) // {US_PER_DAY}) AS active_days,
+       min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
+       round((max(epoch_us(ts)) - min(epoch_us(ts)))
+             / {float(US_PER_DAY)}, 6) AS lifetime_days
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+register("events_user_lifetime", q_user_lifetime, _LIFETIME_SQL)

@@ -246,5 +246,200 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — the repo's first FACT-FACT hash-shuffle join. Unlike
+# rel_revenue_by_nation (dimension broadcast), BOTH sides here are fact-scale
+# (per-order revenue partials x open orders), so a broadcast is impossible at
+# 100 TB; Ray 2.49's hash-partitioned ``Dataset.join`` is the idiomatic
+# exchange. The lineitem side is pre-aggregated per orderkey INSIDE
+# map_batches before the join, so the shuffle carries one row per
+# (orderkey, block), never raw line items; the top-k after the join is a
+# per-block partial fold, so the driver sees O(k x blocks) rows.
+
+Q3_CUTOFF = "1998-07-01"
+TOPK_ORDERS = 10
+#: hash-join partition count — sized to this box; at cluster scale set to
+#: O(total cores) so every aggregator holds ~1/N of the smaller side
+Q3_JOIN_PARTITIONS = 8
+
+
+def _q3_lineitem_partials(batch: pa.Table) -> pa.Table:
+    """Per-block combiner: one row per orderkey with integer-scaled revenue
+    sum over post-cutoff shipments (revenue = price * (1 - disc), exact at
+    x10000)."""
+    cutoff = np.datetime64(Q3_CUTOFF)
+    ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+    keep = ship > cutoff
+    if not keep.all():
+        batch = batch.filter(pa.array(keep))
+    if batch.num_rows == 0:
+        return pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "rev_cc": pa.array([], pa.int64())}
+        )
+    okey = (
+        batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    price_c = np.rint(
+        batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    disc_c = np.rint(
+        batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    rev_cc = price_c * (100 - disc_c)
+    order = np.argsort(okey, kind="stable")
+    ok_s = okey[order]
+    first = np.flatnonzero(
+        np.concatenate([[True], ok_s[1:] != ok_s[:-1]])
+    )
+    return pa.table(
+        {
+            "o_orderkey": pa.array(ok_s[first], pa.int64()),
+            "rev_cc": pa.array(np.add.reduceat(rev_cc[order], first), pa.int64()),
+        }
+    )
+
+
+def _q3_rev_schema(t: pa.Table) -> pa.Table:
+    """Empty shuffle partitions come out of the aggregate as SCHEMA-LESS
+    zero-row blocks; the hash join requires every left block to carry the
+    key column, so retype them."""
+    if t.num_rows == 0 or "o_orderkey" not in t.column_names:
+        return pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "rev_cc": pa.array([], pa.int64())}
+        )
+    return pa.table(
+        {"o_orderkey": t.column("o_orderkey"), "rev_cc": t.column("rev_cc")}
+    )
+
+
+def _q3_orders_filter(batch: pa.Table) -> pa.Table:
+    cutoff = np.datetime64(Q3_CUTOFF)
+    od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+    return batch.filter(pa.array(od < cutoff))
+
+
+def _q3_join_sentinels(num_partitions: int) -> list[int]:
+    """Negative orderkeys covering every hash partition.
+
+    Ray 2.49's join finalize crashes when a hash partition receives no rows
+    on either side (the empty partition builds a SCHEMA-LESS table and the
+    Arrow join can't find the key column). Ray routes a row to partition
+    ``hash((key_scalar,)) % P`` where ``key_scalar`` is a pyarrow Int64Scalar
+    — deterministic across processes for integers — so we can compute, on
+    the driver, a set of impossible (negative) keys that lands one sentinel
+    row in every partition on BOTH sides; the inner join pairs them up and
+    the top-k fold drops everything below key 0."""
+    keys: list[int] = []
+    covered: set[int] = set()
+    k = -1
+    while len(covered) < num_partitions:
+        pid = hash((pa.scalar(k, pa.int64()),)) % num_partitions
+        if pid not in covered:
+            covered.add(pid)
+            keys.append(k)
+        k -= 1
+    return keys
+
+
+def _q3_topk_block(batch: pa.Table) -> pa.Table:
+    """Per-block partial top-k by (revenue desc, orderkey asc) — only
+    TOPK_ORDERS rows per block reach the driver fold. Drops the negative
+    sentinel keys planted by _q3_join_sentinels."""
+    batch = batch.filter(pc.greater_equal(batch.column("o_orderkey"), 0))
+    df = batch.to_pandas().sort_values(
+        ["rev_cc", "o_orderkey"], ascending=[False, True], kind="stable"
+    ).head(TOPK_ORDERS)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_order_revenue_topk(sf_dir: str):
+    """Top-K open orders by shipped revenue: lineitem partials
+    (l_shipdate > cutoff, pre-aggregated per orderkey per block) hash-join
+    orders (o_orderdate < cutoff) on orderkey, then per-block top-k and a
+    tiny driver fold. Revenue folded as exact x10000 integers so distributed
+    sum order cannot drift vs the DuckDB mirror."""
+    from ray.data.aggregate import Sum
+
+    rev = (
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(_q3_lineitem_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev_cc", alias_name="rev_cc"))
+        .map_batches(_q3_rev_schema, batch_format="pyarrow",
+                     **remote_kwargs())
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(_q3_orders_filter, batch_format="pyarrow", **remote_kwargs())
+    import ray.data
+
+    sent = _q3_join_sentinels(Q3_JOIN_PARTITIONS)
+    sdate = np.full(len(sent), np.datetime64("1970-01-01", "us"))
+    rev = rev.union(ray.data.from_arrow(pa.table(
+        {"o_orderkey": pa.array(sent, pa.int64()),
+         "rev_cc": pa.array([0] * len(sent), pa.int64())}
+    )))
+    orders = orders.union(ray.data.from_arrow(pa.table(
+        {"o_orderkey": pa.array(sent, pa.int64()),
+         "o_orderdate": pa.array(sdate),
+         "o_orderpriority": pa.array([""] * len(sent), pa.string())}
+    )))
+    joined = rev.join(
+        orders, join_type="inner", num_partitions=Q3_JOIN_PARTITIONS,
+        on=("o_orderkey",),
+    )
+    partials = joined.map_batches(
+        _q3_topk_block, batch_format="pyarrow", **remote_kwargs()
+    ).to_pandas()
+    if len(partials) == 0:
+        return pa.table(
+            {"rank": pa.array([], pa.int64()),
+             "o_orderkey": pa.array([], pa.int64()),
+             "orderdate_us": pa.array([], pa.int64()),
+             "o_orderpriority": pa.array([], pa.string()),
+             "revenue": pa.array([], pa.float64())}
+        )
+    df = partials.sort_values(
+        ["rev_cc", "o_orderkey"], ascending=[False, True], kind="stable"
+    ).head(TOPK_ORDERS).reset_index(drop=True)
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    df["orderdate_us"] = (
+        df["o_orderdate"].astype("datetime64[us]").astype("int64")
+    )
+    df["revenue"] = (df["rev_cc"] / 10000.0).round(6)
+    return pa.Table.from_pandas(
+        df[["rank", "o_orderkey", "orderdate_us", "o_orderpriority",
+            "revenue"]],
+        preserve_index=False,
+    )
+
+
+_Q3_SQL = f"""
+WITH r AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_cc
+  FROM lineitem
+  WHERE l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+  GROUP BY 1),
+j AS (
+  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority, r.rev_cc
+  FROM r JOIN orders o ON r.o_orderkey = o.o_orderkey
+  WHERE o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00')
+SELECT row_number() OVER (ORDER BY rev_cc DESC, o_orderkey) AS rank,
+       o_orderkey, epoch_us(o_orderdate) AS orderdate_us, o_orderpriority,
+       round(rev_cc / 10000.0, 6) AS revenue
+FROM j
+ORDER BY rev_cc DESC, o_orderkey
+LIMIT {TOPK_ORDERS}
+"""
+
+
 register("rel_pricing_summary", q_pricing_summary, _PRICING_SQL)
 register("rel_revenue_by_nation", q_revenue_by_nation, _REVENUE_SQL)
+register("rel_order_revenue_topk", q_order_revenue_topk, _Q3_SQL)

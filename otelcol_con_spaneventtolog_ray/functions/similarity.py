@@ -1116,3 +1116,42 @@ register("dedup_embedding_neardup", q_embedding_neardup, _NEARDUP_SQL)
 register("dedup_embedding_neardup_lsh", q_embedding_neardup_lsh)  # rows-only
 register("similarity_ivf_cells", q_ivf_cells, _IVF_CELLS_SQL)
 register("similarity_ivf_topk", q_ivf_topk)  # rows-only (ANN)
+
+
+def embedding_lsh_exchange_stats(sf_dir: str) -> dict:
+    """Measure the embedding-LSH fan-out exchange, don't estimate it:
+    materialize the id-only (table, bucket, vec_id) dataset — the exact
+    input `q_embedding_neardup_lsh` feeds its heavy groupby — and report
+    its Arrow bytes, alongside what the round-2 shape (the float32 vector
+    replicated onto each of its NEARDUP_LSH_TABLES rows) would have
+    shipped. Companion of dedup.minhash_exchange_stats; both feed bench.py
+    so the multi-node byte trade is a per-round recorded artifact."""
+    fan = _emb(sf_dir).map_batches(
+        _neardup_lsh_batch, batch_format="pyarrow", **remote_kwargs()
+    ).materialize()
+    id_only_bytes = int(fan.size_bytes())
+    n_rows = int(fan.count())
+
+    def vec_bytes(batch: pa.Table) -> pa.Table:
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        nfloats = len(emb.flatten())
+        return pa.table(
+            {"b": pa.array([nfloats * 4 * NEARDUP_LSH_TABLES], pa.int64())}
+        )
+
+    r2 = int(
+        _emb(sf_dir)
+        .map_batches(vec_bytes, batch_format="pyarrow", **remote_kwargs())
+        .sum("b")
+        or 0
+    )
+    return {
+        "exchange_rows": n_rows,
+        "exchange_bytes_id_only": id_only_bytes,
+        "exchange_bytes_r2_shape": id_only_bytes + r2,
+        "exchange_bytes_ratio": round((id_only_bytes + r2) / id_only_bytes, 1)
+        if id_only_bytes
+        else None,
+    }

@@ -1075,3 +1075,185 @@ register("text_tokenize_ids", q_tokenize_ids, _TOKENIZE_SQL)
 register("text_lang_id", q_lang_id, _LANG_ID_SQL)
 register("text_fingerprint", q_fingerprint, _FINGERPRINT_SQL)
 register("text_rolling_fingerprint", q_rolling_fingerprint)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter — the published rule-based corpus-quality recipe
+# (word-count bounds, mean-word-length bounds, alphabetic-word fraction,
+# minimum distinct stopwords), one flag column per rule so drop accounting
+# per rule is a trivial aggregate over the output. One vectorized pass per
+# block (flatten once, every rule a bincount over the same parents array);
+# nothing but the per-doc flag rows leaves the workers.
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 25, 80
+GOPHER_MIN_MEAN_LEN, GOPHER_MAX_MEAN_LEN = 3.0, 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_STOPWORDS = ("a", "and", "be", "in", "is", "of", "the", "to")
+GOPHER_MIN_STOPWORDS = 2
+
+
+def _gopher_rules_batch(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    flat, parents = _words_flat(batch)
+    n_words = np.bincount(parents, minlength=n).astype(np.int64)
+    lens = (
+        pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    sum_len = np.bincount(parents, weights=lens, minlength=n)
+    alpha = (
+        pc.match_substring_regex(flat, "[A-Za-z]")
+        .to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    n_alpha = np.bincount(parents, weights=alpha, minlength=n)
+    low = pc.utf8_lower(flat)
+    n_stop = np.zeros(n, dtype=np.int64)
+    for sw in GOPHER_STOPWORDS:  # loop over the 8 CONSTANTS, not rows
+        m = pc.equal(low, sw).to_numpy(zero_copy_only=False).astype(bool)
+        if m.any():
+            n_stop += (np.bincount(parents[m], minlength=n) > 0)
+    # one division per doc from exact integer tallies — identical float64
+    # ops to the DuckDB mirror, so the boundary comparisons cannot diverge
+    nz = np.maximum(n_words, 1).astype(np.float64)
+    mean_len = np.where(n_words > 0, sum_len / nz, 0.0)
+    alpha_frac = np.where(n_words > 0, n_alpha / nz, 0.0)
+    r_nwords = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mean_len = (mean_len >= GOPHER_MIN_MEAN_LEN) & (
+        mean_len <= GOPHER_MAX_MEAN_LEN
+    )
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    keep = r_nwords & r_mean_len & r_alpha & r_stop
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_words": pa.array(n_words, pa.int64()),
+            "r_nwords": pa.array(r_nwords.astype(np.int64), pa.int64()),
+            "r_mean_len": pa.array(r_mean_len.astype(np.int64), pa.int64()),
+            "r_alpha": pa.array(r_alpha.astype(np.int64), pa.int64()),
+            "r_stop": pa.array(r_stop.astype(np.int64), pa.int64()),
+            "keep": pa.array(keep.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_gopher_rules(sf_dir: str):
+    """Per-document Gopher-rule flags (1 = passes) + the composed keep bit.
+    Embarrassingly parallel map_batches — no shuffle at any scale."""
+    return _docs(sf_dir).map_batches(
+        _gopher_rules_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+_SW_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+_GOPHER_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_words,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE list_sum(list_transform(toks, x -> length(x)))
+                   / CAST(len(toks) AS DOUBLE) END AS mean_len,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                   / CAST(len(toks) AS DOUBLE) END AS alpha_frac,
+         len(list_distinct(list_filter(list_transform(toks, x -> lower(x)),
+             x -> x IN ({_SW_SQL})))) AS n_stop
+  FROM t)
+SELECT doc_id, n_words,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS INT)
+         AS r_nwords,
+       CAST(mean_len >= {GOPHER_MIN_MEAN_LEN}
+            AND mean_len <= {GOPHER_MAX_MEAN_LEN} AS INT) AS r_mean_len,
+       CAST(alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS INT) AS r_alpha,
+       CAST(n_stop >= {GOPHER_MIN_STOPWORDS} AS INT) AS r_stop,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND mean_len >= {GOPHER_MIN_MEAN_LEN}
+            AND mean_len <= {GOPHER_MAX_MEAN_LEN}
+            AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+            AND n_stop >= {GOPHER_MIN_STOPWORDS} AS INT) AS keep
+FROM m ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# IDF top terms — document frequency (distinct docs containing each token)
+# via within-block (doc, token) dedup (docs never span blocks) -> salted
+# two-phase count -> per-block partial top-k -> tiny driver fold. N comes
+# from parquet footers (zero data read). The full distinct-token DF table
+# never leaves the workers.
+
+TOP_IDF_TERMS = 50
+
+
+def _doc_token_distinct(batch: pa.Table) -> pa.Table:
+    """One row per DISTINCT (doc, token) in the block, emitting only the
+    token — the downstream count is then document frequency."""
+    flat, parents = _words_flat(batch)
+    if len(flat) == 0:
+        return pa.table({"token": pa.array([], pa.string())})
+    d = pc.dictionary_encode(flat)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nd = len(d.dictionary)
+    uniq = np.unique(parents.astype(np.int64) * nd + codes)
+    toks = pc.take(d.dictionary, pa.array((uniq % nd).astype(np.int64)))
+    return pa.table({"token": pc.cast(toks, pa.string())})
+
+
+def q_idf_top_terms(sf_dir: str):
+    """Top terms by document frequency with idf = ln(N / df) — the inverse
+    side of text_top_tokens' term frequency. (df desc, token asc) order."""
+    from ..parquet_stats import file_num_rows
+    from ..stages.aggregate import counts_by
+
+    n_docs = file_num_rows(os.path.join(sf_dir, "documents.parquet"))
+    counts = counts_by(
+        _docs(sf_dir).map_batches(
+            _doc_token_distinct, batch_format="pyarrow", **remote_kwargs()
+        ),
+        ["token"],
+    )
+    partials = counts.map_batches(
+        make_local_topk_block(TOP_IDF_TERMS), batch_format="pyarrow",
+        **remote_kwargs(),
+    ).to_pandas()
+    if len(partials) == 0:
+        return pa.table(
+            {"rank": pa.array([], pa.int64()),
+             "token": pa.array([], pa.string()),
+             "df": pa.array([], pa.int64()),
+             "idf": pa.array([], pa.float64())}
+        )
+    top = partials.sort_values(
+        ["n", "token"], ascending=[False, True], kind="stable"
+    ).head(TOP_IDF_TERMS).reset_index(drop=True)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top = top.rename(columns={"n": "df"})
+    top["idf"] = np.round(np.log(n_docs / top["df"].to_numpy(np.float64)), 6)
+    return pa.Table.from_pandas(
+        top[["rank", "token", "df", "idf"]], preserve_index=False
+    )
+
+
+_IDF_SQL = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x != '')) AS token
+  FROM documents),
+c AS (SELECT token, count(*) AS df FROM w GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+r AS (SELECT token, df,
+             row_number() OVER (ORDER BY df DESC, token) AS rank FROM c)
+SELECT rank, token, df,
+       round(ln((SELECT nd FROM n) / CAST(df AS DOUBLE)), 6) AS idf
+FROM r WHERE rank <= {TOP_IDF_TERMS} ORDER BY rank
+"""
+
+
+register("text_gopher_rules", q_gopher_rules, _GOPHER_SQL)
+register("text_idf_top_terms", q_idf_top_terms, _IDF_SQL)

@@ -28,6 +28,8 @@ SQL_CHECKED = [
     "events_props_stats", "text_top_bigrams", "corpus_report",
     "text_tokenize_ids", "events_active_users",
     "sketch_value_quantiles",
+    "rel_order_revenue_topk", "text_gopher_rules", "text_idf_top_terms",
+    "events_user_lifetime",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

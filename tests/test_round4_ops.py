@@ -543,6 +543,7 @@ NEW_OPS_EMPTY = [
     "text_line_dedup", "text_dup_spans", "events_dedup", "events_funnel",
     "events_retention_cohorts", "events_rate_limit", "events_props_stats",
     "sketch_bloom_users", "sketch_cms_top_tokens",
+    "text_gopher_rules", "text_idf_top_terms", "events_user_lifetime",
 ]
 
 
@@ -667,3 +668,188 @@ def test_active_users_interval_merge_semantics(ray_session, tmp_path):
     assert out.loc[3, "dau"] == 1 and out.loc[3, "wau"] == 2
     # day 10: both active; neither prior interval reaches (0+6<10, 3+6<10)
     assert out.loc[10, "dau"] == 2 and out.loc[10, "wau"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule filter
+# ---------------------------------------------------------------------------
+
+def test_gopher_rules_each_rule_trips(ray_session, tmp_path):
+    """One planted doc per rule violation; every other rule passes on that
+    doc, so each flag column is exercised independently."""
+    filler = ["word"] * 26  # 4-char alpha tokens keep mean_len ~4
+    docs = [
+        " ".join(filler + ["the", "a", "good", "text"]),      # 0: keeps
+        "the a tiny document here",                            # 1: too short
+        " ".join(["word"] * 96 + ["the", "a", "x", "y"]),      # 2: too long
+        " ".join(["extraordinarily"] * 28 + ["the", "a"]),     # 3: mean_len
+        " ".join(["12345"] * 28 + ["the", "a"]),               # 4: alpha
+        " ".join(["word"] * 30),                               # 5: stopwords
+    ]
+    sf = _write_docs(tmp_path, docs)
+    _write_events_empty(tmp_path)
+    got = _sql_parity(sf, "text_gopher_rules").set_index("doc_id")
+    assert got.loc[0, "keep"] == 1
+    assert (got.loc[0, ["r_nwords", "r_mean_len", "r_alpha", "r_stop"]]
+            == 1).all()
+    for doc, rule in [(1, "r_nwords"), (2, "r_nwords"), (3, "r_mean_len"),
+                      (4, "r_alpha"), (5, "r_stop")]:
+        assert got.loc[doc, rule] == 0, (doc, rule)
+        assert got.loc[doc, "keep"] == 0
+        others = {"r_nwords", "r_mean_len", "r_alpha", "r_stop"} - {rule}
+        assert (got.loc[doc, sorted(others)] == 1).all(), (doc, rule)
+
+
+def test_gopher_rules_discriminate_on_driver_data(ray_session):
+    """At sf0.001 the rules must produce BOTH kept and dropped docs — a
+    filter that keeps (or drops) everything is vacuous."""
+    import __ray_entry__ as e
+
+    out = _to_df(e.queries()["text_gopher_rules"]("/root/testdata/sf0.001"))
+    assert 0 < out["keep"].sum() < len(out)
+
+
+# ---------------------------------------------------------------------------
+# IDF top terms
+# ---------------------------------------------------------------------------
+
+def test_idf_df_counts_planted(ray_session, tmp_path):
+    """df counts distinct DOCS per token (repeats inside a doc count once);
+    idf = round(ln(N/df), 6)."""
+    sf = _write_docs(
+        tmp_path,
+        ["apple banana", "apple", "apple cherry cherry"],
+    )
+    _write_events_empty(tmp_path)
+    got = _sql_parity(sf, "text_idf_top_terms").set_index("token")
+    assert got.loc["apple", "df"] == 3
+    assert got.loc["banana", "df"] == 1
+    assert got.loc["cherry", "df"] == 1  # twice in one doc -> df 1
+    assert got.loc["apple", "idf"] == round(float(np.log(1.0)), 6)
+    assert got.loc["cherry", "idf"] == round(float(np.log(3.0)), 6)
+    # rank: df desc, token asc
+    assert list(got.sort_values("rank").index) == ["apple", "banana",
+                                                   "cherry"]
+
+
+# ---------------------------------------------------------------------------
+# per-user lifetime rollup
+# ---------------------------------------------------------------------------
+
+def test_user_lifetime_planted(ray_session, tmp_path):
+    day = 86_400_000_000
+    rows = [
+        (1, 10 * day + 100, 7, "view"),     # user 7: day 10 twice, day 12
+        (2, 10 * day + 500, 7, "view"),
+        (3, 12 * day + 9, 7, "click"),
+        (4, 11 * day, 8, "view"),           # user 8: single event
+    ]
+    sf = _write_events(tmp_path, rows)
+    _write_docs(tmp_path, ["x"])
+    got = _sql_parity(sf, "events_user_lifetime").set_index("user_id")
+    assert got.loc[7, "n_events"] == 3
+    assert got.loc[7, "active_days"] == 2
+    assert got.loc[7, "first_us"] == 10 * day + 100
+    assert got.loc[7, "last_us"] == 12 * day + 9
+    assert got.loc[7, "lifetime_days"] == round(
+        (2 * day - 91) / float(day), 6
+    )
+    assert got.loc[8, "n_events"] == 1
+    assert got.loc[8, "active_days"] == 1
+    assert got.loc[8, "lifetime_days"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-shape fact-fact hash join
+# ---------------------------------------------------------------------------
+
+def _write_q3_fixture(tmp_path, orders_rows, lineitem_rows):
+    """orders_rows: (okey, odate_day, priority); lineitem_rows:
+    (okey, price, disc, shipdate_day). Days are offsets from 1995-01-01."""
+    base = np.datetime64("1995-01-01", "us").astype("int64")
+    day = 86_400_000_000
+    ok, od, op = zip(*orders_rows) if orders_rows else ((), (), ())
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(list(ok), pa.int64()),
+                "o_custkey": pa.array([1] * len(ok), pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(ok), pa.string()),
+                "o_totalprice": pa.array([0.0] * len(ok), pa.float64()),
+                "o_orderdate": pa.array(
+                    np.array([base + d * day for d in od],
+                             dtype=np.int64).astype("datetime64[us]")
+                ),
+                "o_orderpriority": pa.array(list(op), pa.string()),
+            }
+        ),
+        os.path.join(tmp_path, "orders.parquet"),
+    )
+    lk, lp, ld, ls = zip(*lineitem_rows) if lineitem_rows else ((), (), (), ())
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(list(lk), pa.int64()),
+                "l_extendedprice": pa.array(list(lp), pa.float64()),
+                "l_discount": pa.array(list(ld), pa.float64()),
+                "l_shipdate": pa.array(
+                    np.array([base + d * day for d in ls],
+                             dtype=np.int64).astype("datetime64[us]")
+                ),
+            }
+        ),
+        os.path.join(tmp_path, "lineitem.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_order_revenue_topk_join_semantics(ray_session, tmp_path):
+    """Inner-join semantics + integer-exact revenue + deterministic
+    (revenue desc, orderkey asc) tie-break, against the DuckDB mirror."""
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions.relational import Q3_CUTOFF
+
+    cut = (np.datetime64(Q3_CUTOFF) - np.datetime64("1995-01-01")).astype(
+        "timedelta64[D]"
+    ).astype(int)
+    orders = [
+        (1, cut - 10, "1-URGENT"),     # open, two post-cutoff lines
+        (2, cut - 10, "2-HIGH"),       # open, line shipped BEFORE cutoff
+        (3, cut - 5, "3-MEDIUM"),      # open, one line; revenue ties okey 6
+        (4, cut + 5, "5-LOW"),         # ordered AFTER cutoff -> excluded
+        (6, cut - 5, "4-NOT SPECIFIED"),
+    ]
+    lines = [
+        (1, 100.0, 0.10, cut + 1),     # 100 * .9  = 90
+        (1, 200.0, 0.00, cut + 2),     # + 200     = 290
+        (2, 500.0, 0.00, cut - 1),     # pre-cutoff ship -> no revenue row
+        (3, 50.0, 0.00, cut + 3),      # 50 -- ties with okey 6
+        (6, 50.0, 0.00, cut + 3),
+        (9, 999.0, 0.00, cut + 1),     # no matching open order
+        (4, 123.0, 0.00, cut + 1),     # order excluded by orderdate
+    ]
+    sf = _write_q3_fixture(tmp_path, orders, lines)
+    got = _to_df(e.queries()["rel_order_revenue_topk"](sf))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf, t + '.parquet')}')"
+        )
+    exp = con.execute(e.oracle_sql()["rel_order_revenue_topk"]).df()
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(exp), check_dtype=False, check_exact=True
+    )
+    got = got.set_index("o_orderkey")
+    assert list(got.index) == [1, 3, 6]           # 4 and 9 dropped by join
+    assert got.loc[1, "revenue"] == 290.0
+    assert got.loc[1, "rank"] == 1
+    assert got.loc[3, "rank"] == 2 and got.loc[6, "rank"] == 3  # tie: okey asc
+
+
+def test_order_revenue_topk_empty(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    sf = _write_q3_fixture(tmp_path, [], [])
+    out = _to_df(e.queries()["rel_order_revenue_topk"](sf))
+    assert len(out) == 0
