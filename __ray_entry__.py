@@ -327,6 +327,8 @@ def entry() -> Any:
 # asserts this invariant against the newest CORRECTNESS_r*.json on disk.
 GATE_FRONT = [
     # new in round 4 — never driver-gated
+    "corpus_pack_sequences",
+    "similarity_label_centroids",
     "rel_order_revenue_topk",
     "text_gopher_rules",
     "text_idf_top_terms",
@@ -365,6 +367,8 @@ GATE_TAIL = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "rel_pricing_summary",
+    "rel_revenue_by_nation",
+    "corpus_source_mixture",
     "pipeline_routed_rows",
     "pipeline_raw_lines",
     "pipeline_body_mapping",

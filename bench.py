@@ -281,6 +281,9 @@ ANALYSIS_BASKET = [
     "sketch_bloom_users", "sketch_cms_top_tokens",
     "sketch_hll_distinct_users", "text_top_bigrams", "text_bpe_merges",
     "corpus_report",
+    "rel_order_revenue_topk", "text_gopher_rules", "text_idf_top_terms",
+    "events_user_lifetime", "sketch_value_quantiles",
+    "corpus_pack_sequences", "similarity_label_centroids",
 ]
 
 

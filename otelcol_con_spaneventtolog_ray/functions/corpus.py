@@ -439,3 +439,143 @@ register("corpus_clean_keep", q_corpus_clean_keep)  # rows-only
 register("corpus_training_chunks", q_training_chunks)  # rows-only (composition)
 register("corpus_source_mixture", q_source_mixture, _SOURCE_MIX_SQL)
 register("corpus_report", q_corpus_report, _REPORT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — the GPT-style "concatenate the corpus in doc_id order,
+# then cut fixed-length training sequences" assignment: every doc gets the
+# pack (sequence) index and intra-pack offset where its tokens start. The
+# global prefix sum is computed in two phases so no stage ever sees the
+# whole corpus: (1) docs hash into contiguous doc_id BUCKETS; per-bucket
+# token totals (a tiny |buckets| table) come from a per-block combiner +
+# groupby, and the exclusive cumsum over buckets happens on the driver
+# (O(corpus/PACK_BUCKET) rows — ~1.5M at 10^11 docs); (2) each bucket's
+# rows co-locate via ONE groupby and a vectorized in-group cumsum adds the
+# broadcast bucket base. A bucket (PACK_BUCKET docs x 24 B) is the unit
+# that must fit a block — the same bounded-group contract as the kNN IVF
+# cells, and orders of magnitude below block limits.
+
+PACK_SEQ_LEN = 2048
+PACK_BUCKET = 65_536  # docs per prefix bucket
+
+
+def _pack_token_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, bucket) — one row per doc; the only columns the
+    packing pipeline ever shuffles (text stays in the scan stage)."""
+    flat, parents = _textstats._words_flat(batch)
+    n = batch.num_rows
+    n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+    doc_id = (
+        batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "bucket": pa.array(doc_id // PACK_BUCKET, pa.int64()),
+        }
+    )
+
+
+def _pack_bucket_partials(batch: pa.Table) -> pa.Table:
+    b = batch.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
+    t = (
+        batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    if len(b) == 0:
+        return pa.table(
+            {"bucket": pa.array([], pa.int64()),
+             "s": pa.array([], pa.int64())}
+        )
+    order = np.argsort(b, kind="stable")
+    b_s = b[order]
+    first = np.flatnonzero(np.concatenate([[True], b_s[1:] != b_s[:-1]]))
+    return pa.table(
+        {
+            "bucket": pa.array(b_s[first], pa.int64()),
+            "s": pa.array(np.add.reduceat(t[order], first), pa.int64()),
+        }
+    )
+
+
+def q_pack_sequences(sf_dir: str):
+    """(doc_id, n_tokens, pack_id, pack_offset): pack_id = which SEQ_LEN
+    training sequence this doc's tokens start in when the corpus is
+    concatenated in doc_id order; pack_offset = position inside it."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    tok = (
+        _dedup._docs(sf_dir)
+        .map_batches(_pack_token_rows, batch_format="pyarrow",
+                     **remote_kwargs())
+        .materialize()  # 24 B/doc; re-read by both phases
+    )
+    bsum = (
+        tok.map_batches(_pack_bucket_partials, batch_format="pyarrow",
+                        **remote_kwargs())
+        .groupby("bucket").aggregate(Sum("s"))
+        .to_pandas()  # O(|buckets|)
+    )
+    if len(bsum) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "pack_id": pa.array([], pa.int64()),
+             "pack_offset": pa.array([], pa.int64())}
+        )
+    bsum = bsum.sort_values("bucket").reset_index(drop=True)
+    buckets = bsum["bucket"].to_numpy(np.int64)
+    totals = bsum["sum(s)"].to_numpy(np.int64)
+    bases = np.concatenate([[0], np.cumsum(totals)[:-1]])  # exclusive
+    base_ref = ray.put((buckets, bases))
+
+    def _fold(group: pa.Table) -> pa.Table:
+        bks, bss = ray.get(base_ref)
+        d = (
+            group.column("doc_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        t = (
+            group.column("n_tokens").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.argsort(d, kind="stable")
+        d_s, t_s = d[order], t[order]
+        cum_before = np.concatenate([[0], np.cumsum(t_s)[:-1]])
+        base = bss[np.searchsorted(bks, d_s[0] // PACK_BUCKET)]
+        pos = base + cum_before
+        return pa.table(
+            {
+                "doc_id": pa.array(d_s, pa.int64()),
+                "n_tokens": pa.array(t_s, pa.int64()),
+                "pack_id": pa.array(pos // PACK_SEQ_LEN, pa.int64()),
+                "pack_offset": pa.array(pos % PACK_SEQ_LEN, pa.int64()),
+            }
+        )
+
+    return tok.groupby("bucket").map_groups(
+        _fold, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+_PACK_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                         x -> x != '')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cb
+  FROM t)
+SELECT doc_id, n_tokens,
+       CAST(cb AS BIGINT) // {PACK_SEQ_LEN} AS pack_id,
+       CAST(cb AS BIGINT) % {PACK_SEQ_LEN} AS pack_offset
+FROM c ORDER BY doc_id
+"""
+
+register("corpus_pack_sequences", q_pack_sequences, _PACK_SQL)

@@ -1155,3 +1155,104 @@ def embedding_lsh_exchange_stats(sf_dir: str) -> dict:
         if id_only_bytes
         else None,
     }
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids — the class-prototype aggregate behind
+# nearest-class-mean classification, cluster drift monitoring and per-label
+# ANN routing. Per-block combiner packs one row per (label, dim) with an
+# INTEGER sum of floor-quantized micro-units (floor, not round: floor has no
+# tie-breaking rule to diverge between engines, where round-half-even vs
+# round-half-away could), so the distributed groupby sum is exact int64
+# arithmetic in any fold order and the final mean is one float division —
+# bit-identical to the DuckDB mirror. Only |labels| x dim x |blocks| rows
+# cross the exchange, never vectors.
+
+CENTROID_MICRO = 1_000_000
+
+
+def _centroid_partials(batch: pa.Table) -> pa.Table:
+    emb = batch.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    labels = (
+        batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    n = len(labels)
+    if n == 0:
+        return pa.table(
+            {"label": pa.array([], pa.int64()),
+             "dim": pa.array([], pa.int64()),
+             "s_q": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = flat.reshape(n, -1)
+    d = mat.shape[1]
+    q = np.floor(mat * CENTROID_MICRO).astype(np.int64)
+    order = np.argsort(labels, kind="stable")
+    l_s = labels[order]
+    first = np.flatnonzero(np.concatenate([[True], l_s[1:] != l_s[:-1]]))
+    sums = np.add.reduceat(q[order], first, axis=0)  # (groups, dim)
+    counts = np.diff(np.append(first, n)).astype(np.int64)
+    g = len(first)
+    return pa.table(
+        {
+            "label": pa.array(np.repeat(l_s[first], d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), g),
+                            pa.int64()),
+            "s_q": pa.array(sums.reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(counts, d), pa.int64()),
+        }
+    )
+
+
+def q_label_centroids(sf_dir: str):
+    """(label, dim, n, mean) — per-label per-dimension centroid over the
+    embeddings table. dim is 1-based to match SQL generate_subscripts."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+    df = (
+        ds.map_batches(_centroid_partials, batch_format="pyarrow",
+                       **remote_kwargs())
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s_q"), Sum("n"))
+        .to_pandas()  # O(|labels| x dim)
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"label": pa.array([], pa.int64()),
+             "dim": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "mean": pa.array([], pa.float64())}
+        )
+    df = df.rename(columns={"sum(s_q)": "s_q", "sum(n)": "n"})
+    # NO final rounding: with integer micro sums, exact .5-at-6dp ties are
+    # common and np.round (half-even) vs SQL round (half-away) would
+    # diverge; one IEEE float64 division of identical int64 inputs is
+    # bit-identical across engines instead
+    df["mean"] = df["s_q"].to_numpy(np.float64) / (
+        df["n"].to_numpy(np.float64) * float(CENTROID_MICRO)
+    )
+    df = df.sort_values(["label", "dim"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["label", "dim", "n", "mean"]], preserve_index=False
+    )
+
+
+_CENTROID_SQL = f"""
+SELECT label, dim, count(*) AS n,
+       sum(CAST(floor(CAST(v AS DOUBLE) * {CENTROID_MICRO}) AS BIGINT))
+         / (count(*) * {CENTROID_MICRO}.0) AS mean
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+register("similarity_label_centroids", q_label_centroids, _CENTROID_SQL)

@@ -29,7 +29,8 @@ SQL_CHECKED = [
     "text_tokenize_ids", "events_active_users",
     "sketch_value_quantiles",
     "rel_order_revenue_topk", "text_gopher_rules", "text_idf_top_terms",
-    "events_user_lifetime",
+    "events_user_lifetime", "corpus_pack_sequences",
+    "similarity_label_centroids",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

@@ -853,3 +853,93 @@ def test_order_revenue_topk_empty(ray_session, tmp_path):
     sf = _write_q3_fixture(tmp_path, [], [])
     out = _to_df(e.queries()["rel_order_revenue_topk"](sf))
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_cross_bucket_prefix(ray_session, tmp_path):
+    """doc_ids spanning multiple PACK_BUCKET ranges exercise the two-phase
+    prefix sum: the bucket base offsets (driver cumsum) must chain exactly
+    into the in-bucket cumsums, and pack boundaries must fall mid-doc-run."""
+    from otelcol_con_spaneventtolog_ray.functions.corpus import (
+        PACK_BUCKET, PACK_SEQ_LEN,
+    )
+
+    texts = {
+        0: "a b c",                   # cb 0
+        1: " ".join(["tok"] * 3000),  # cb 3
+        PACK_BUCKET - 1: "x y",       # cb 3003 -> pack 1, offset 955
+        PACK_BUCKET: "p q r s",       # bucket 1; cb 3005
+        PACK_BUCKET + 7: "z",         # cb 3009
+    }
+    ids = sorted(texts)
+    sf = _write_docs(tmp_path, [texts[i] for i in ids], ids=ids)
+    _write_events_empty(tmp_path)
+    got = _sql_parity(sf, "corpus_pack_sequences").set_index("doc_id")
+    assert got.loc[0, ["pack_id", "pack_offset"]].tolist() == [0, 0]
+    assert got.loc[1, ["pack_id", "pack_offset"]].tolist() == [0, 3]
+    assert got.loc[PACK_BUCKET - 1, "pack_id"] == 3003 // PACK_SEQ_LEN
+    assert got.loc[PACK_BUCKET - 1, "pack_offset"] == 3003 % PACK_SEQ_LEN
+    # first doc of bucket 1 continues EXACTLY where bucket 0 ended
+    assert got.loc[PACK_BUCKET, "pack_offset"] == 3005 % PACK_SEQ_LEN
+    assert got.loc[PACK_BUCKET + 7, "pack_offset"] == 3009 % PACK_SEQ_LEN
+
+
+# ---------------------------------------------------------------------------
+# per-label embedding centroids
+# ---------------------------------------------------------------------------
+
+def _write_embeddings(tmp_path, vecs, labels):
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_label_centroids_planted(ray_session, tmp_path):
+    """Known means, including negative components (floor quantization is
+    toward -inf on both engines — no tie-breaking rule to diverge)."""
+    import __ray_entry__ as e
+
+    sf = _write_embeddings(
+        tmp_path,
+        [[1.0, -1.0], [3.0, -2.0],     # label 0: mean (2.0, -1.5)
+         [0.25, 0.75]],                # label 1
+        [0, 0, 1],
+    )
+    got = _to_df(e.queries()["similarity_label_centroids"](sf))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'embeddings.parquet')}')"
+    )
+    exp = con.execute(e.oracle_sql()["similarity_label_centroids"]).df()
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(exp), check_dtype=False, check_exact=True
+    )
+    g = got.set_index(["label", "dim"])
+    assert g.loc[(0, 1), "mean"] == 2.0
+    assert g.loc[(0, 2), "mean"] == -1.5
+    assert g.loc[(1, 1), "mean"] == 0.25
+    assert g.loc[(0, 1), "n"] == 2 and g.loc[(1, 2), "n"] == 1
+
+
+def test_pack_and_centroids_survive_empty_input(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    _write_docs(tmp_path, [])
+    _write_embeddings(tmp_path, [], [])
+    assert len(_to_df(e.queries()["corpus_pack_sequences"](str(tmp_path)))) == 0
+    assert len(
+        _to_df(e.queries()["similarity_label_centroids"](str(tmp_path)))
+    ) == 0
