@@ -329,6 +329,7 @@ GATE_FRONT = [
     # new in round 4 — never driver-gated
     "corpus_pack_sequences",
     "similarity_label_centroids",
+    "similarity_nearest_centroid",
     "rel_order_revenue_topk",
     "text_gopher_rules",
     "text_idf_top_terms",
@@ -369,6 +370,7 @@ GATE_TAIL = [
     "rel_pricing_summary",
     "rel_revenue_by_nation",
     "corpus_source_mixture",
+    "events_distinct_users_exact",
     "pipeline_routed_rows",
     "pipeline_raw_lines",
     "pipeline_body_mapping",

@@ -1256,3 +1256,123 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 register("similarity_label_centroids", q_label_centroids, _CENTROID_SQL)
+
+
+# ---------------------------------------------------------------------------
+# nearest-centroid assignment — the classification/pseudo-labeling pass over
+# the centroids above: every vector gets the label of its nearest centroid
+# by squared L2 distance. Both the vector and the centroid are
+# floor-quantized to micro-units, so dist2 = sum((qv - qc)^2) is EXACT int64
+# arithmetic in both engines (64 dims x (4e6)^2 ~ 1e15 << 2^63) and the
+# argmin (tie -> smaller label) cannot drift. Distributed shape: the tiny
+# (labels x dim) centroid table folds first and broadcasts via ray.put; the
+# assignment is one map_batches over the vectors — no shuffle carries them.
+
+def _centroid_micro_table(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(labels sorted asc, qc int64[labels, dim]) — micro-quantized
+    centroids, computed with the same arithmetic the SQL mirror writes:
+    qc = floor((s_q / (n * 1e6)) * 1e6)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    df = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["label", "embedding"],
+        )
+        .map_batches(_centroid_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s_q"), Sum("n"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return np.zeros(0, np.int64), np.zeros((0, 0), np.int64)
+    df = df.sort_values(["label", "dim"]).reset_index(drop=True)
+    labels = np.unique(df["label"].to_numpy(np.int64))
+    d = int(df["dim"].max())
+    mean = df["sum(s_q)"].to_numpy(np.float64) / (
+        df["sum(n)"].to_numpy(np.float64) * float(CENTROID_MICRO)
+    )
+    qc = np.floor(mean * CENTROID_MICRO).astype(np.int64).reshape(len(labels), d)
+    return labels, qc
+
+
+def q_nearest_centroid(sf_dir: str):
+    """(vec_id, label, dist2) — nearest centroid per vector; dist2 in
+    squared micro-units (exact int64)."""
+    import ray
+
+    labels, qc = _centroid_micro_table(sf_dir)
+    if len(labels) == 0:
+        return pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "label": pa.array([], pa.int64()),
+             "dist2": pa.array([], pa.int64())}
+        )
+    cent_ref = ray.put((labels, qc))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        labels, qc = ray.get(cent_ref)
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64()),
+                 "dist2": pa.array([], pa.int64())}
+            )
+        qv = np.floor(mat * CENTROID_MICRO).astype(np.int64)
+        # exact int64 distances, one label at a time (labels are few; the
+        # inner op is a vectorized C loop over n x dim)
+        d2 = np.empty((len(ids), len(labels)), dtype=np.int64)
+        for j in range(len(labels)):
+            diff = qv - qc[j]
+            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+        best = np.argmin(d2, axis=1)  # first minimum = smallest label (sorted)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "label": pa.array(labels[best], pa.int64()),
+                "dist2": pa.array(d2[np.arange(len(ids)), best], pa.int64()),
+            }
+        )
+
+    return _emb(sf_dir).map_batches(
+        _assign, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+_NEAREST_SQL = f"""
+WITH u AS (
+  SELECT vec_id, label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings),
+q AS (
+  SELECT vec_id, dim,
+         CAST(floor(CAST(v AS DOUBLE) * {CENTROID_MICRO}) AS BIGINT) AS qv
+  FROM u),
+cs AS (
+  SELECT label, dim,
+         sum(CAST(floor(CAST(v AS DOUBLE) * {CENTROID_MICRO}) AS BIGINT))
+           AS s_q,
+         count(*) AS n
+  FROM u GROUP BY 1, 2),
+c AS (
+  SELECT label, dim,
+         CAST(floor((s_q / (n * {CENTROID_MICRO}.0)) * {CENTROID_MICRO})
+              AS BIGINT) AS qc
+  FROM cs),
+d AS (
+  SELECT q.vec_id, c.label,
+         sum((q.qv - c.qc) * (q.qv - c.qc)) AS dist2
+  FROM q JOIN c USING (dim) GROUP BY 1, 2),
+r AS (
+  SELECT vec_id, label, dist2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist2, label) AS rn
+  FROM d)
+SELECT vec_id, label, CAST(dist2 AS BIGINT) AS dist2
+FROM r WHERE rn = 1 ORDER BY vec_id
+"""
+
+register("similarity_nearest_centroid", q_nearest_centroid, _NEAREST_SQL)

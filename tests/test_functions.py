@@ -30,7 +30,7 @@ SQL_CHECKED = [
     "sketch_value_quantiles",
     "rel_order_revenue_topk", "text_gopher_rules", "text_idf_top_terms",
     "events_user_lifetime", "corpus_pack_sequences",
-    "similarity_label_centroids",
+    "similarity_label_centroids", "similarity_nearest_centroid",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

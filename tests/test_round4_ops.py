@@ -943,3 +943,36 @@ def test_pack_and_centroids_survive_empty_input(ray_session, tmp_path):
     assert len(
         _to_df(e.queries()["similarity_label_centroids"](str(tmp_path)))
     ) == 0
+
+
+def test_nearest_centroid_planted(ray_session, tmp_path):
+    """Vectors cluster around two planted prototypes; every vector must be
+    assigned its own cluster's label, a centroid member at distance ~0."""
+    import __ray_entry__ as e
+
+    a, b = [10.0, 0.0], [0.0, 10.0]
+    vecs = [a, [10.2, 0.1], [9.8, -0.1],        # label 3 cluster
+            b, [0.1, 10.4]]                      # label 7 cluster
+    sf = _write_embeddings(tmp_path, vecs, [3, 3, 3, 7, 7])
+    got = _to_df(e.queries()["similarity_nearest_centroid"](sf))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'embeddings.parquet')}')"
+    )
+    exp = con.execute(e.oracle_sql()["similarity_nearest_centroid"]).df()
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(exp), check_dtype=False, check_exact=True
+    )
+    g = got.set_index("vec_id")
+    assert g.loc[[0, 1, 2], "label"].tolist() == [3, 3, 3]
+    assert g.loc[[3, 4], "label"].tolist() == [7, 7]
+    assert (g["dist2"] >= 0).all()
+
+
+def test_nearest_centroid_empty(ray_session, tmp_path):
+    import __ray_entry__ as e
+
+    _write_embeddings(tmp_path, [], [])
+    out = _to_df(e.queries()["similarity_nearest_centroid"](str(tmp_path)))
+    assert len(out) == 0
