@@ -976,3 +976,22 @@ def test_nearest_centroid_empty(ray_session, tmp_path):
     _write_embeddings(tmp_path, [], [])
     out = _to_df(e.queries()["similarity_nearest_centroid"](str(tmp_path)))
     assert len(out) == 0
+
+
+def test_q3_sentinels_cover_every_ray_hash_partition():
+    """Source pin: the sentinel keys must land one row in EVERY partition
+    under Ray's OWN partitioner (transform_pyarrow.hash_partition). If a
+    Ray upgrade changes the row-routing hash, this fails loudly here
+    instead of resurfacing as the empty-partition join crash."""
+    from ray.data._internal.arrow_ops.transform_pyarrow import hash_partition
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        Q3_JOIN_PARTITIONS, _q3_join_sentinels,
+    )
+
+    sent = _q3_join_sentinels(Q3_JOIN_PARTITIONS)
+    t = pa.table({"o_orderkey": pa.array(sent, pa.int64())})
+    parts = hash_partition(
+        t, hash_cols=["o_orderkey"], num_partitions=Q3_JOIN_PARTITIONS
+    )
+    covered = {p for p, tbl in parts.items() if tbl.num_rows > 0}
+    assert covered == set(range(Q3_JOIN_PARTITIONS))
