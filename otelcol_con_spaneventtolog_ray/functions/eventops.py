@@ -1070,8 +1070,7 @@ register("events_value_deviation", q_value_deviation, _DEVIATION_SQL)
 # (user, day) groupby folds cross-block duplicates, then a per-user groupby
 # turns day-rows into active_days via Count. Only |users| x |days| rows ever
 # shuffle — never raw events. No co-location assumption (pure aggregates).
-
-US_PER_DAY = 86_400_000_000
+# (day constant shared with retention/rate-limit/active-users: _US_PER_DAY)
 
 
 def _lifetime_partials(batch: pa.Table) -> pa.Table:
@@ -1091,7 +1090,7 @@ def _lifetime_partials(batch: pa.Table) -> pa.Table:
              "min_us": pa.array([], pa.int64()),
              "max_us": pa.array([], pa.int64())}
         )
-    day = ts // US_PER_DAY
+    day = ts // _US_PER_DAY
     order = np.lexsort((day, user))
     u_s, d_s, t_s = user[order], day[order], ts[order]
     boundary = (u_s[1:] != u_s[:-1]) | (d_s[1:] != d_s[:-1])
@@ -1111,20 +1110,16 @@ def _lifetime_partials(batch: pa.Table) -> pa.Table:
 
 
 def _lifetime_rename(t: pa.Table) -> pa.Table:
-    """Strip the aggregate-name decorations; empty shuffle partitions arrive
-    as schema-less zero-row tables and must pass through typed."""
-    if t.num_rows == 0 or "user_id" not in t.column_names:
-        return pa.table(
-            {"user_id": pa.array([], pa.int64()),
-             "n": pa.array([], pa.int64()),
-             "min_us": pa.array([], pa.int64()),
-             "max_us": pa.array([], pa.int64())}
-        )
-    return pa.table(
-        {"user_id": t.column("user_id"),
-         "n": t.column("sum(n)"),
-         "min_us": t.column("min(min_us)"),
-         "max_us": t.column("max(max_us)")}
+    """Strip the aggregate-name decorations; schema-less empty shuffle
+    partitions pass through typed (blockutil)."""
+    from .blockutil import retype_block
+
+    return retype_block(
+        t,
+        {"user_id": ("user_id", pa.int64()),
+         "n": ("sum(n)", pa.int64()),
+         "min_us": ("min(min_us)", pa.int64()),
+         "max_us": ("max(max_us)", pa.int64())},
     )
 
 
@@ -1158,9 +1153,14 @@ def q_user_lifetime(sf_dir: str):
         "count()": "active_days", "sum(n)": "n_events",
         "min(min_us)": "first_us", "max(max_us)": "last_us",
     })
+    # NO final rounding: exact int64 microsecond spans divided once in
+    # float64 are bit-identical across engines, where pandas round
+    # (half-even) vs DuckDB round (half-away) diverge on reachable inputs
+    # (any span that is an odd multiple of 43,200 us) — the same contract
+    # the centroid queries adopted after measuring the divergence.
     df["lifetime_days"] = (
-        (df["last_us"] - df["first_us"]) / float(US_PER_DAY)
-    ).round(6)
+        (df["last_us"] - df["first_us"]) / float(_US_PER_DAY)
+    )
     df = df.sort_values("user_id").reset_index(drop=True)
     return pa.Table.from_pandas(
         df[["user_id", "n_events", "active_days", "first_us", "last_us",
@@ -1169,12 +1169,20 @@ def q_user_lifetime(sf_dir: str):
     )
 
 
+# day bucketing mirrors numpy's FLOOR division exactly (DuckDB // truncates
+# toward zero, so pre-1970 timestamps would diverge): subtract the
+# non-negative modulus first, then divide the exact multiple.
+_FLOOR_DAY_SQL = (
+    f"(epoch_us(ts) - ((epoch_us(ts) % {_US_PER_DAY}) + {_US_PER_DAY})"
+    f" % {_US_PER_DAY}) // {_US_PER_DAY}"
+)
+
 _LIFETIME_SQL = f"""
 SELECT user_id, count(*) AS n_events,
-       count(DISTINCT epoch_us(ts) // {US_PER_DAY}) AS active_days,
+       count(DISTINCT {_FLOOR_DAY_SQL}) AS active_days,
        min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
-       round((max(epoch_us(ts)) - min(epoch_us(ts)))
-             / {float(US_PER_DAY)}, 6) AS lifetime_days
+       (max(epoch_us(ts)) - min(epoch_us(ts)))
+         / {float(_US_PER_DAY)} AS lifetime_days
 FROM events GROUP BY 1 ORDER BY 1
 """
 

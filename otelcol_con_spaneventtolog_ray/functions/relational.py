@@ -302,16 +302,14 @@ def _q3_lineitem_partials(batch: pa.Table) -> pa.Table:
 
 
 def _q3_rev_schema(t: pa.Table) -> pa.Table:
-    """Empty shuffle partitions come out of the aggregate as SCHEMA-LESS
-    zero-row blocks; the hash join requires every left block to carry the
-    key column, so retype them."""
-    if t.num_rows == 0 or "o_orderkey" not in t.column_names:
-        return pa.table(
-            {"o_orderkey": pa.array([], pa.int64()),
-             "rev_cc": pa.array([], pa.int64())}
-        )
-    return pa.table(
-        {"o_orderkey": t.column("o_orderkey"), "rev_cc": t.column("rev_cc")}
+    """The hash join requires every left block to carry the key column —
+    retype the aggregate's schema-less empty partitions (blockutil)."""
+    from .blockutil import retype_block
+
+    return retype_block(
+        t,
+        {"o_orderkey": ("o_orderkey", pa.int64()),
+         "rev_cc": ("rev_cc", pa.int64())},
     )
 
 

@@ -1207,23 +1207,41 @@ def _centroid_partials(batch: pa.Table) -> pa.Table:
     )
 
 
-def q_label_centroids(sf_dir: str):
-    """(label, dim, n, mean) — per-label per-dimension centroid over the
-    embeddings table. dim is 1-based to match SQL generate_subscripts."""
+def _centroid_df(sf_dir: str):
+    """Sorted (label, dim, s_q, n, mean) pandas frame — THE single home of
+    the parity-critical centroid arithmetic, shared by q_label_centroids
+    and the nearest-centroid quantizer so the contract cannot drift between
+    them. NO final rounding on mean: with integer micro sums, exact
+    .5-at-6dp ties are common and np.round (half-even) vs SQL round
+    (half-away) would diverge; one IEEE float64 division of identical int64
+    inputs is bit-identical across engines instead."""
     import ray.data
     from ray.data.aggregate import Sum
 
-    ds = ray.data.read_parquet(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["label", "embedding"],
-    )
     df = (
-        ds.map_batches(_centroid_partials, batch_format="pyarrow",
-                       **remote_kwargs())
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"),
+            columns=["label", "embedding"],
+        )
+        .map_batches(_centroid_partials, batch_format="pyarrow",
+                     **remote_kwargs())
         .groupby(["label", "dim"])
         .aggregate(Sum("s_q"), Sum("n"))
         .to_pandas()  # O(|labels| x dim)
     )
+    if len(df) == 0:
+        return df
+    df = df.rename(columns={"sum(s_q)": "s_q", "sum(n)": "n"})
+    df["mean"] = df["s_q"].to_numpy(np.float64) / (
+        df["n"].to_numpy(np.float64) * float(CENTROID_MICRO)
+    )
+    return df.sort_values(["label", "dim"]).reset_index(drop=True)
+
+
+def q_label_centroids(sf_dir: str):
+    """(label, dim, n, mean) — per-label per-dimension centroid over the
+    embeddings table. dim is 1-based to match SQL generate_subscripts."""
+    df = _centroid_df(sf_dir)
     if len(df) == 0:
         return pa.table(
             {"label": pa.array([], pa.int64()),
@@ -1231,15 +1249,6 @@ def q_label_centroids(sf_dir: str):
              "n": pa.array([], pa.int64()),
              "mean": pa.array([], pa.float64())}
         )
-    df = df.rename(columns={"sum(s_q)": "s_q", "sum(n)": "n"})
-    # NO final rounding: with integer micro sums, exact .5-at-6dp ties are
-    # common and np.round (half-even) vs SQL round (half-away) would
-    # diverge; one IEEE float64 division of identical int64 inputs is
-    # bit-identical across engines instead
-    df["mean"] = df["s_q"].to_numpy(np.float64) / (
-        df["n"].to_numpy(np.float64) * float(CENTROID_MICRO)
-    )
-    df = df.sort_values(["label", "dim"]).reset_index(drop=True)
     return pa.Table.from_pandas(
         df[["label", "dim", "n", "mean"]], preserve_index=False
     )
@@ -1270,31 +1279,17 @@ register("similarity_label_centroids", q_label_centroids, _CENTROID_SQL)
 
 def _centroid_micro_table(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """(labels sorted asc, qc int64[labels, dim]) — micro-quantized
-    centroids, computed with the same arithmetic the SQL mirror writes:
-    qc = floor((s_q / (n * 1e6)) * 1e6)."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    df = (
-        ray.data.read_parquet(
-            os.path.join(sf_dir, "embeddings.parquet"),
-            columns=["label", "embedding"],
-        )
-        .map_batches(_centroid_partials, batch_format="pyarrow",
-                     **remote_kwargs())
-        .groupby(["label", "dim"])
-        .aggregate(Sum("s_q"), Sum("n"))
-        .to_pandas()
-    )
+    centroids from the SHARED _centroid_df arithmetic, matching the SQL
+    mirror's qc = floor((s_q / (n * 1e6)) * 1e6)."""
+    df = _centroid_df(sf_dir)
     if len(df) == 0:
         return np.zeros(0, np.int64), np.zeros((0, 0), np.int64)
-    df = df.sort_values(["label", "dim"]).reset_index(drop=True)
     labels = np.unique(df["label"].to_numpy(np.int64))
     d = int(df["dim"].max())
-    mean = df["sum(s_q)"].to_numpy(np.float64) / (
-        df["sum(n)"].to_numpy(np.float64) * float(CENTROID_MICRO)
+    qc = (
+        np.floor(df["mean"].to_numpy(np.float64) * CENTROID_MICRO)
+        .astype(np.int64).reshape(len(labels), d)
     )
-    qc = np.floor(mean * CENTROID_MICRO).astype(np.int64).reshape(len(labels), d)
     return labels, qc
 
 

@@ -202,7 +202,10 @@ def quantiles_from_histogram(
         i = min(i, len(bins) - 1)
         prev = int(cum[i - 1]) if i > 0 else 0
         inside = (rank - prev) / max(int(counts[i]), 1)
-        out.append(round(lo + (bins[i] + min(inside, 1.0)) * width, 6))
+        # NO rounding: identical float64 inputs through identical ops are
+        # bit-equal across engines; Python round (half-even) vs DuckDB
+        # round (half-away) would diverge on x.0000005-family doubles
+        out.append(lo + (bins[i] + min(inside, 1.0)) * width)
     return out
 
 
@@ -534,8 +537,8 @@ picked AS (
 ),
 est AS (
   SELECT p.event_type, p.qname,
-         round(b.lo + (p.bin + LEAST((p.rnk - (p.cum - p.n)) / p.n, 1.0))
-                      * (b.w / {Q_BINS}), 6) AS v
+         b.lo + (p.bin + LEAST((p.rnk - (p.cum - p.n)) / p.n, 1.0))
+                * (b.w / {Q_BINS}) AS v
   FROM picked p, bounds b WHERE p.rn = 1
 )
 SELECT event_type,

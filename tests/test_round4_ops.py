@@ -751,9 +751,7 @@ def test_user_lifetime_planted(ray_session, tmp_path):
     assert got.loc[7, "active_days"] == 2
     assert got.loc[7, "first_us"] == 10 * day + 100
     assert got.loc[7, "last_us"] == 12 * day + 9
-    assert got.loc[7, "lifetime_days"] == round(
-        (2 * day - 91) / float(day), 6
-    )
+    assert got.loc[7, "lifetime_days"] == (2 * day - 91) / float(day)
     assert got.loc[8, "n_events"] == 1
     assert got.loc[8, "active_days"] == 1
     assert got.loc[8, "lifetime_days"] == 0.0
@@ -995,3 +993,24 @@ def test_q3_sentinels_cover_every_ray_hash_partition():
     )
     covered = {p for p, tbl in parts.items() if tbl.num_rows > 0}
     assert covered == set(range(Q3_JOIN_PARTITIONS))
+
+
+def test_user_lifetime_half_tie_and_pre_epoch(ray_session, tmp_path):
+    """Round-4 review regressions: (a) a lifetime span that is an odd
+    multiple of 43,200 us used to round half-even on the Ray side and
+    half-away in DuckDB (now neither side rounds — one exact float64
+    division); (b) pre-1970 timestamps used to day-bucket with numpy floor
+    division vs DuckDB truncation-toward-zero (the mirror now floors)."""
+    day = 86_400_000_000
+    rows = [
+        (1, 1000, 5, "view"),              # user 5: span exactly half a day
+        (2, 1000 + day // 2, 5, "view"),
+        (3, -1, 6, "view"),                # user 6: straddles the epoch
+        (4, 1, 6, "view"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    _write_docs(tmp_path, ["x"])
+    got = _sql_parity(sf, "events_user_lifetime").set_index("user_id")
+    assert got.loc[5, "lifetime_days"] == 0.5
+    # ts=-1us is day -1 under floor division; ts=+1us is day 0 -> 2 days
+    assert got.loc[6, "active_days"] == 2
