@@ -36,6 +36,15 @@ from ..rayenv import remote_kwargs
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 TOPK_PER_TYPE = 3
+_US_PER_DAY = 86_400_000_000
+
+
+def _floor_div_sql(x: str, d: int) -> str:
+    """SQL for numpy-style FLOOR division (DuckDB // truncates toward zero,
+    so negative dividends — pre-1970 timestamps — would diverge from the
+    numpy day/week/window bucketing): subtract the non-negative modulus
+    first, then divide the exact multiple."""
+    return f"(({x}) - ((({x}) % {d}) + {d}) % {d}) // {d}"
 
 
 def _events(sf_dir: str, columns: list[str]):
@@ -388,7 +397,8 @@ def q_sliding_window_counts(sf_dir: str):
 
 
 _SLIDING_SQL = f"""
-SELECT (epoch_us(ts) // {SLIDE_US} - t.k) * {SLIDE_US} AS window_us,
+SELECT ({_floor_div_sql("epoch_us(ts)", SLIDE_US)} - t.k) * {SLIDE_US}
+         AS window_us,
        event_type, count(*) AS n
 FROM events, (SELECT unnest([0, 1]) AS k) t
 GROUP BY 1, 2 ORDER BY 1, 2
@@ -701,7 +711,7 @@ FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
 # the final tiny groupby.
 # ---------------------------------------------------------------------------
 
-_US_PER_DAY = 86_400_000_000
+# (_US_PER_DAY and _floor_div_sql are defined at module top)
 
 
 def retention_block(t: pa.Table) -> pa.Table:
@@ -760,7 +770,9 @@ def q_retention_cohorts(sf_dir: str):
 
 _RETENTION_SQL = f"""
 WITH w AS (
-  SELECT user_id, (epoch_us(ts) // {_US_PER_DAY} + 3) // 7 AS wk
+  SELECT user_id,
+         {_floor_div_sql(_floor_div_sql("epoch_us(ts)", 86_400_000_000)
+                         + " + 3", 7)} AS wk
   FROM events),
 d AS (SELECT DISTINCT user_id, wk FROM w),
 f AS (SELECT user_id, min(wk) AS cw FROM d GROUP BY 1)
@@ -824,7 +836,8 @@ _RATE_LIMIT_SQL = f"""
 WITH r AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
          row_number() OVER (
-           PARTITION BY user_id, epoch_us(ts) // {_RATE_WINDOW_US}
+           PARTITION BY user_id, {_floor_div_sql("epoch_us(ts)",
+                                                 _RATE_WINDOW_US)}
            ORDER BY ts, event_id) AS rk
   FROM events)
 SELECT event_id, user_id, ts_us, event_type FROM r
@@ -1034,7 +1047,7 @@ def q_active_users(sf_dir: str):
 _ACTIVE_SQL = f"""
 WITH p AS (
   SELECT DISTINCT user_id,
-         epoch_us(ts) // {_US_PER_DAY} AS day
+         {_floor_div_sql("epoch_us(ts)", 86_400_000_000)} AS day
   FROM events),
 days AS (SELECT DISTINCT day FROM p),
 dau AS (SELECT day, count(*) AS dau FROM p GROUP BY 1),
@@ -1169,13 +1182,7 @@ def q_user_lifetime(sf_dir: str):
     )
 
 
-# day bucketing mirrors numpy's FLOOR division exactly (DuckDB // truncates
-# toward zero, so pre-1970 timestamps would diverge): subtract the
-# non-negative modulus first, then divide the exact multiple.
-_FLOOR_DAY_SQL = (
-    f"(epoch_us(ts) - ((epoch_us(ts) % {_US_PER_DAY}) + {_US_PER_DAY})"
-    f" % {_US_PER_DAY}) // {_US_PER_DAY}"
-)
+_FLOOR_DAY_SQL = _floor_div_sql("epoch_us(ts)", _US_PER_DAY)
 
 _LIFETIME_SQL = f"""
 SELECT user_id, count(*) AS n_events,
