@@ -330,6 +330,7 @@ GATE_FRONT = [
     "corpus_pack_sequences",
     "similarity_label_centroids",
     "similarity_nearest_centroid",
+    "events_hourly_anomalies",
     "rel_order_revenue_topk",
     "text_gopher_rules",
     "text_idf_top_terms",
@@ -371,6 +372,7 @@ GATE_TAIL = [
     "rel_revenue_by_nation",
     "corpus_source_mixture",
     "events_distinct_users_exact",
+    "text_lm_score",
     "pipeline_routed_rows",
     "pipeline_raw_lines",
     "pipeline_body_mapping",

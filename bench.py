@@ -284,7 +284,7 @@ ANALYSIS_BASKET = [
     "rel_order_revenue_topk", "text_gopher_rules", "text_idf_top_terms",
     "events_user_lifetime", "sketch_value_quantiles",
     "corpus_pack_sequences", "similarity_label_centroids",
-    "similarity_nearest_centroid",
+    "similarity_nearest_centroid", "events_hourly_anomalies",
 ]
 
 

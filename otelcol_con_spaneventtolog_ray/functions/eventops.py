@@ -1194,3 +1194,99 @@ FROM events GROUP BY 1 ORDER BY 1
 """
 
 register("events_user_lifetime", q_user_lifetime, _LIFETIME_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hourly anomaly detection — the log-pipeline alerting stage: per-type
+# z-score of each hour's event count against that type's hourly
+# distribution. Heavy phase (events -> per-(type, hour) counts) is the
+# salted two-phase aggregate; the stats fold runs on the driver over the
+# tiny timeline-bounded (types x hours) table, like the DAU/WAU rollup.
+# Parity contract: every float is derived from EXACTLY-converted int64
+# tallies through the same op sequence the SQL mirror writes — variance as
+# s2/h - (s/h)^2 (never (s*s)/h: DuckDB would form the product exactly in
+# HUGEINT while float64 rounds it, diverging for large counts), sd via
+# IEEE sqrt (correctly rounded in both engines), z = 0 when var <= 0.
+
+_US_PER_HOUR = 3_600_000_000
+ANOMALY_Z = 3.0
+
+
+def q_hourly_anomalies(sf_dir: str):
+    """(event_type, hour_us, n, z, is_anomaly) for every observed hour."""
+    from ..stages.aggregate import counts_by
+
+    def project(t: pa.Table) -> pa.Table:
+        ts = (
+            t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "hour_idx": pa.array(ts // _US_PER_HOUR, pa.int64()),
+            }
+        )
+
+    df = counts_by(
+        _events(sf_dir, ["ts", "event_type"]).map_batches(
+            project, batch_format="pyarrow", **remote_kwargs()
+        ),
+        ["event_type", "hour_idx"],
+    ).to_pandas()  # O(types x observed hours)
+    if len(df) == 0:
+        return pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "hour_us": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()),
+             "z": pa.array([], pa.float64()),
+             "is_anomaly": pa.array([], pa.int64())}
+        )
+    g = df.groupby("event_type")["n"]
+    h = g.transform("size").to_numpy(np.float64)
+    s = g.transform("sum").to_numpy(np.float64)
+    df["n2"] = df["n"] * df["n"]  # per-hour square: exact int64 both engines
+    s2 = (
+        df.groupby("event_type")["n2"].transform("sum").to_numpy(np.float64)
+    )
+    n_f = df["n"].to_numpy(np.float64)
+    mean = s / h
+    var = s2 / h - (s / h) * (s / h)
+    with np.errstate(invalid="ignore"):
+        sd = np.sqrt(np.where(var > 0, var, 1.0))
+    z = np.where(var > 0, (n_f - mean) / sd, 0.0)
+    out = pd.DataFrame(
+        {
+            "event_type": df["event_type"],
+            "hour_us": df["hour_idx"].to_numpy(np.int64) * _US_PER_HOUR,
+            "n": df["n"].to_numpy(np.int64),
+            "z": z,
+            "is_anomaly": (np.abs(z) > ANOMALY_Z).astype(np.int64),
+        }
+    ).sort_values(["event_type", "hour_us"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_ANOMALY_SQL = f"""
+WITH c AS (
+  SELECT event_type,
+         {_floor_div_sql("epoch_us(ts)", _US_PER_HOUR)} AS hour_idx,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+st AS (
+  SELECT event_type, count(*) AS h, sum(n) AS s, sum(n * n) AS s2
+  FROM c GROUP BY 1),
+jz AS (
+  SELECT c.event_type, c.hour_idx * {_US_PER_HOUR} AS hour_us, c.n,
+         s2 / CAST(h AS DOUBLE)
+           - (s / CAST(h AS DOUBLE)) * (s / CAST(h AS DOUBLE)) AS var,
+         s / CAST(h AS DOUBLE) AS mean
+  FROM c JOIN st USING (event_type))
+SELECT event_type, hour_us, n,
+       CASE WHEN var > 0 THEN (n - mean) / sqrt(var) ELSE 0.0 END AS z,
+       CAST(abs(CASE WHEN var > 0 THEN (n - mean) / sqrt(var)
+                     ELSE 0.0 END) > {ANOMALY_Z} AS INT) AS is_anomaly
+FROM jz ORDER BY 1, 2
+"""
+
+register("events_hourly_anomalies", q_hourly_anomalies, _ANOMALY_SQL)

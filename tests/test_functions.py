@@ -31,6 +31,7 @@ SQL_CHECKED = [
     "rel_order_revenue_topk", "text_gopher_rules", "text_idf_top_terms",
     "events_user_lifetime", "corpus_pack_sequences",
     "similarity_label_centroids", "similarity_nearest_centroid",
+    "events_hourly_anomalies",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

@@ -1014,3 +1014,25 @@ def test_user_lifetime_half_tie_and_pre_epoch(ray_session, tmp_path):
     assert got.loc[5, "lifetime_days"] == 0.5
     # ts=-1us is day -1 under floor division; ts=+1us is day 0 -> 2 days
     assert got.loc[6, "active_days"] == 2
+
+
+def test_hourly_anomalies_planted_spike(ray_session, tmp_path):
+    """A flat hourly series with one spiked hour: only the spike trips the
+    3-sigma flag, z is exactly reproduced by the DuckDB mirror, and a
+    constant series (zero variance) yields z = 0 everywhere."""
+    hour = 3_600_000_000
+    rows, eid = [], 0
+    for h in range(24):          # 'view': 5/hour, except hour 7 gets 100
+        for _ in range(100 if h == 7 else 5):
+            rows.append((eid, h * hour + eid % 60, 1, "view")); eid += 1
+    for h in range(10):          # 'ping': constant 3/hour -> var 0, z 0
+        for _ in range(3):
+            rows.append((eid, h * hour + eid % 60, 2, "ping")); eid += 1
+    sf = _write_events(tmp_path, rows)
+    _write_docs(tmp_path, ["x"])
+    got = _sql_parity(sf, "events_hourly_anomalies")
+    view = got[got.event_type == "view"].set_index("hour_us")
+    assert view.loc[7 * hour, "is_anomaly"] == 1
+    assert view["is_anomaly"].sum() == 1           # only the spike
+    ping = got[got.event_type == "ping"]
+    assert (ping["z"] == 0.0).all() and (ping["is_anomaly"] == 0).all()
