@@ -331,6 +331,8 @@ GATE_FRONT = [
     "similarity_label_centroids",
     "similarity_nearest_centroid",
     "events_hourly_anomalies",
+    "events_type_transitions",
+    "similarity_centroid_confusion",
     "rel_order_revenue_topk",
     "text_gopher_rules",
     "text_idf_top_terms",
@@ -373,6 +375,8 @@ GATE_TAIL = [
     "corpus_source_mixture",
     "events_distinct_users_exact",
     "text_lm_score",
+    "text_decontaminate",
+    "events_range_join_neighbors",
     "pipeline_routed_rows",
     "pipeline_raw_lines",
     "pipeline_body_mapping",

@@ -285,6 +285,7 @@ ANALYSIS_BASKET = [
     "events_user_lifetime", "sketch_value_quantiles",
     "corpus_pack_sequences", "similarity_label_centroids",
     "similarity_nearest_centroid", "events_hourly_anomalies",
+    "events_type_transitions", "similarity_centroid_confusion",
 ]
 
 

@@ -1290,3 +1290,83 @@ FROM jz ORDER BY 1, 2
 """
 
 register("events_hourly_anomalies", q_hourly_anomalies, _ANOMALY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix — per-user Markov bigrams: how often type A
+# is immediately followed by type B in a user's (ts, event_id)-ordered
+# stream. sort(user_id) co-locates each user; ONE vectorized block fold
+# emits (src, dst) pair rows only for same-user adjacencies; the salted
+# two-phase count folds them and the tiny (types^2) table gets transition
+# probabilities as one exact-int float division (no rounding — the
+# engine-parity contract used across this module).
+
+def transitions_block(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    # vectorized NULL-type drop (mirrors the SQL's WHERE, and keeps the
+    # hot path free of per-row Python — no Dataset.filter(lambda))
+    et_col = t.column("event_type")
+    valid = pc.is_valid(et_col)
+    if t.num_rows and not pc.all(valid).as_py():
+        t = t.filter(valid)
+    if t.num_rows == 0:
+        return pa.table(
+            {"src": pa.array([], pa.string()),
+             "dst": pa.array([], pa.string())}
+        )
+    user, _ts, _eid, et = _block_sorted(t, extra=("event_type",))
+    same_user = user[1:] == user[:-1]
+    idx = np.flatnonzero(same_user)
+    return pa.table(
+        {
+            "src": et.take(pa.array(idx)),
+            "dst": et.take(pa.array(idx + 1)),
+        }
+    )
+
+
+def q_type_transitions(sf_dir: str):
+    """(src, dst, n, p) — transition counts and per-src probabilities.
+    NULL event_type rows are excluded up front (mirrored in SQL)."""
+    import pyarrow.compute as pc
+
+    from ..stages.aggregate import counts_by
+
+    ds = (
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .sort("user_id")
+        .map_batches(transitions_block, batch_format="pyarrow",
+                     batch_size=None, **remote_kwargs())
+    )
+    df = counts_by(ds, ["src", "dst"]).to_pandas()  # O(types^2)
+    if len(df) == 0:
+        return pa.table(
+            {"src": pa.array([], pa.string()),
+             "dst": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64()),
+             "p": pa.array([], pa.float64())}
+        )
+    tot = df.groupby("src")["n"].transform("sum").to_numpy(np.float64)
+    df["p"] = df["n"].to_numpy(np.float64) / tot
+    df = df.sort_values(["src", "dst"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["src", "dst", "n", "p"]], preserve_index=False
+    )
+
+
+_TRANSITIONS_SQL = """
+WITH e AS (SELECT * FROM events WHERE event_type IS NOT NULL),
+o AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM e),
+c AS (SELECT src, dst, count(*) AS n FROM o WHERE dst IS NOT NULL
+      GROUP BY 1, 2),
+t AS (SELECT src, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.src, c.dst, c.n, c.n / CAST(t.tot AS DOUBLE) AS p
+FROM c JOIN t USING (src) ORDER BY 1, 2
+"""
+
+register("events_type_transitions", q_type_transitions, _TRANSITIONS_SQL)

@@ -1371,3 +1371,77 @@ FROM r WHERE rn = 1 ORDER BY vec_id
 """
 
 register("similarity_nearest_centroid", q_nearest_centroid, _NEAREST_SQL)
+
+
+def q_centroid_confusion(sf_dir: str):
+    """(true_label, assigned_label, n) — the confusion matrix of the
+    nearest-centroid classifier against the embeddings' own labels: the
+    standard pseudo-labeling quality check. Same broadcast-prototypes /
+    no-vector-shuffle shape as q_nearest_centroid; only the tiny
+    (labels^2) count table leaves the workers."""
+    import ray
+
+    from ..stages.aggregate import counts_by
+
+    labels, qc = _centroid_micro_table(sf_dir)
+    if len(labels) == 0:
+        return pa.table(
+            {"true_label": pa.array([], pa.int64()),
+             "assigned_label": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64())}
+        )
+    cent_ref = ray.put((labels, qc))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        labels, qc = ray.get(cent_ref)
+        true_lab = (
+            batch.column("label").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(true_lab)
+        if n == 0:
+            return pa.table(
+                {"true_label": pa.array([], pa.int64()),
+                 "assigned_label": pa.array([], pa.int64())}
+            )
+        mat = (
+            emb.flatten().to_numpy(zero_copy_only=False)
+            .astype(np.float64).reshape(n, -1)
+        )
+        qv = np.floor(mat * CENTROID_MICRO).astype(np.int64)
+        d2 = np.empty((n, len(labels)), dtype=np.int64)
+        for j in range(len(labels)):
+            diff = qv - qc[j]
+            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+        best = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                "true_label": pa.array(true_lab, pa.int64()),
+                "assigned_label": pa.array(labels[best], pa.int64()),
+            }
+        )
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    ).map_batches(_assign, batch_format="pyarrow", **remote_kwargs())
+    df = counts_by(ds, ["true_label", "assigned_label"]).to_pandas()
+    df = df.sort_values(["true_label", "assigned_label"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["true_label", "assigned_label", "n"]], preserve_index=False
+    )
+
+
+_CONFUSION_SQL = f"""
+WITH assigned AS ({_NEAREST_SQL})
+SELECT e.label AS true_label, a.label AS assigned_label, count(*) AS n
+FROM embeddings e JOIN assigned a ON e.vec_id = a.vec_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+register("similarity_centroid_confusion", q_centroid_confusion, _CONFUSION_SQL)

@@ -31,7 +31,8 @@ SQL_CHECKED = [
     "rel_order_revenue_topk", "text_gopher_rules", "text_idf_top_terms",
     "events_user_lifetime", "corpus_pack_sequences",
     "similarity_label_centroids", "similarity_nearest_centroid",
-    "events_hourly_anomalies",
+    "events_hourly_anomalies", "events_type_transitions",
+    "similarity_centroid_confusion",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

@@ -1036,3 +1036,72 @@ def test_hourly_anomalies_planted_spike(ray_session, tmp_path):
     assert view["is_anomaly"].sum() == 1           # only the spike
     ping = got[got.event_type == "ping"]
     assert (ping["z"] == 0.0).all() and (ping["is_anomaly"] == 0).all()
+
+
+def test_type_transitions_planted(ray_session, tmp_path):
+    """Transitions never cross user boundaries; probabilities are per-src;
+    NULL event_type rows are excluded on both engines."""
+    T = 1_700_000_000_000_000
+    rows = [
+        (1, T + 1, 1, "view"), (2, T + 2, 1, "click"),
+        (3, T + 3, 1, "view"), (4, T + 4, 1, "click"),   # view->click x2
+        (5, T + 5, 2, "click"), (6, T + 6, 2, "buy"),    # click->buy
+        (7, T + 7, 3, "view"),                           # lone event: no pair
+    ]
+    sf = _write_events(tmp_path, rows)
+    _write_docs(tmp_path, ["x"])
+    got = _sql_parity(sf, "events_type_transitions").set_index(["src", "dst"])
+    assert got.loc[("view", "click"), "n"] == 2
+    assert got.loc[("view", "click"), "p"] == 1.0
+    assert got.loc[("click", "view"), "n"] == 1   # within user 1 only
+    assert got.loc[("click", "buy"), "n"] == 1
+    assert got.loc[("click", "view"), "p"] == 0.5
+    # user 2's buy never links to user 3's view (boundary respected)
+    assert ("buy", "view") not in got.index
+
+
+def test_type_transitions_null_type(ray_session, tmp_path):
+    T = 1_700_000_000_000_000
+    eid, ts, uid = [1, 2, 3], [T + 1, T + 2, T + 3], [1, 1, 1]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(uid, pa.int64()),
+            "event_type": pa.array(["view", None, "click"], pa.string()),
+            "value": pa.array([1.0] * 3, pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    _write_docs(tmp_path, ["x"])
+    got = _sql_parity(str(tmp_path), "events_type_transitions")
+    # the NULL row is dropped BEFORE pairing: view->click becomes adjacent
+    assert len(got) == 1
+    assert got.iloc[0][["src", "dst"]].tolist() == ["view", "click"]
+
+
+def test_centroid_confusion_planted(ray_session, tmp_path):
+    """Two tight clusters with one mislabeled vector: exactly one
+    off-diagonal cell."""
+    import __ray_entry__ as e
+
+    vecs = [[10.0, 0.0], [10.1, 0.2], [9.9, -0.1],
+            [0.0, 10.0], [0.2, 9.8],
+            [10.05, 0.05]]          # sits in cluster 3 but labeled 7
+    sf = _write_embeddings(tmp_path, vecs, [3, 3, 3, 7, 7, 7])
+    got = _to_df(e.queries()["similarity_centroid_confusion"](sf))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'embeddings.parquet')}')"
+    )
+    exp = con.execute(e.oracle_sql()["similarity_centroid_confusion"]).df()
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(exp), check_dtype=False, check_exact=True
+    )
+    g = got.set_index(["true_label", "assigned_label"])["n"]
+    assert g.loc[(3, 3)] == 3
+    assert g.loc[(7, 3)] == 1    # the mislabeled vector
+    assert g.loc[(7, 7)] == 2
+    assert (3, 7) not in g.index
