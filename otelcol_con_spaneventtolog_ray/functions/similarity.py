@@ -1293,6 +1293,20 @@ def _centroid_micro_table(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return labels, qc
 
 
+def _nearest_micro(mat: np.ndarray, qc: np.ndarray):
+    """(argmin index per row, full int64 dist2 matrix) — THE shared
+    exact-distance kernel of nearest-centroid and the confusion matrix:
+    floor-quantize the vectors, one exact int64 squared-L2 per centroid
+    (a vectorized C loop over n x dim per label; labels are few), argmin
+    with first-minimum = smallest label (qc rows are label-sorted)."""
+    qv = np.floor(mat * CENTROID_MICRO).astype(np.int64)
+    d2 = np.empty((mat.shape[0], qc.shape[0]), dtype=np.int64)
+    for j in range(qc.shape[0]):
+        diff = qv - qc[j]
+        d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+    return np.argmin(d2, axis=1), d2
+
+
 def q_nearest_centroid(sf_dir: str):
     """(vec_id, label, dist2) — nearest centroid per vector; dist2 in
     squared micro-units (exact int64)."""
@@ -1316,14 +1330,7 @@ def q_nearest_centroid(sf_dir: str):
                  "label": pa.array([], pa.int64()),
                  "dist2": pa.array([], pa.int64())}
             )
-        qv = np.floor(mat * CENTROID_MICRO).astype(np.int64)
-        # exact int64 distances, one label at a time (labels are few; the
-        # inner op is a vectorized C loop over n x dim)
-        d2 = np.empty((len(ids), len(labels)), dtype=np.int64)
-        for j in range(len(labels)):
-            diff = qv - qc[j]
-            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
-        best = np.argmin(d2, axis=1)  # first minimum = smallest label (sorted)
+        best, d2 = _nearest_micro(mat, qc)
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
@@ -1411,12 +1418,7 @@ def q_centroid_confusion(sf_dir: str):
             emb.flatten().to_numpy(zero_copy_only=False)
             .astype(np.float64).reshape(n, -1)
         )
-        qv = np.floor(mat * CENTROID_MICRO).astype(np.int64)
-        d2 = np.empty((n, len(labels)), dtype=np.int64)
-        for j in range(len(labels)):
-            diff = qv - qc[j]
-            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
-        best = np.argmin(d2, axis=1)
+        best, _d2 = _nearest_micro(mat, qc)
         return pa.table(
             {
                 "true_label": pa.array(true_lab, pa.int64()),
