@@ -333,6 +333,8 @@ GATE_FRONT = [
     "events_hourly_anomalies",
     "events_type_transitions",
     "similarity_centroid_confusion",
+    "dedup_group_stats",
+    "dedup_dup_rate_by_source",
     "rel_order_revenue_topk",
     "text_gopher_rules",
     "text_idf_top_terms",
@@ -377,6 +379,8 @@ GATE_TAIL = [
     "text_lm_score",
     "text_decontaminate",
     "events_range_join_neighbors",
+    "text_rolling_fingerprint",
+    "multimodal_audio_energy",
     "pipeline_routed_rows",
     "pipeline_raw_lines",
     "pipeline_body_mapping",

@@ -286,6 +286,7 @@ ANALYSIS_BASKET = [
     "corpus_pack_sequences", "similarity_label_centroids",
     "similarity_nearest_centroid", "events_hourly_anomalies",
     "events_type_transitions", "similarity_centroid_confusion",
+    "dedup_group_stats", "dedup_dup_rate_by_source",
 ]
 
 

@@ -1248,3 +1248,142 @@ register("dedup_minhash_near_dups", q_minhash_near_dups)  # rows-only
 register("dedup_minhash_keep", q_minhash_dedup_keep)  # rows-only
 register("dedup_simhash", q_simhash)  # rows-only
 register("dedup_simhash_near_dups", q_simhash_near_dups)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# dedup profiling — the corpus-health reports a cleaning run is judged by.
+# Both compose the exact-dedup machinery: only (hash, partial-count) rows
+# ever shuffle; the outputs are timeline-independent tiny tables. As with
+# dedup_exact, the DuckDB mirrors group by the TEXT itself while the Ray
+# side groups by the collision-resistant 128-bit content key — identical
+# groups at any realistic corpus size (see exact_hash_batch docstring).
+
+def _groupsize_partials(t: pa.Table) -> pa.Table:
+    """(group_size, n_groups) partial per block of per-text counts."""
+    if t.num_rows == 0 or "count()" not in t.column_names:
+        return pa.table(
+            {"group_size": pa.array([], pa.int64()),
+             "n_groups": pa.array([], pa.int64())}
+        )
+    sizes = (
+        t.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    uniq, counts = np.unique(sizes, return_counts=True)
+    return pa.table(
+        {
+            "group_size": pa.array(uniq, pa.int64()),
+            "n_groups": pa.array(counts.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def q_dedup_group_stats(sf_dir: str):
+    """(group_size, n_groups, n_docs) — the histogram of exact-duplicate
+    cluster sizes. Two-phase: per-text counts (hash groupby), then a
+    count-of-counts combiner per block folded by one tiny groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _docs(sf_dir)
+        .map_batches(exact_hash_batch, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby(["h1", "h2"]).count()
+    )
+    df = (
+        counts.map_batches(_groupsize_partials, batch_format="pyarrow",
+                           **remote_kwargs())
+        .groupby("group_size").aggregate(Sum("n_groups"))
+        .to_pandas()  # O(distinct group sizes)
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"group_size": pa.array([], pa.int64()),
+             "n_groups": pa.array([], pa.int64()),
+             "n_docs": pa.array([], pa.int64())}
+        )
+    df = df.rename(columns={"sum(n_groups)": "n_groups"})
+    df["n_docs"] = df["group_size"] * df["n_groups"]
+    df = df.sort_values("group_size").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["group_size", "n_groups", "n_docs"]], preserve_index=False
+    )
+
+
+_GROUP_STATS_SQL = """
+WITH g AS (SELECT count(*) AS group_size FROM documents GROUP BY text)
+SELECT group_size, count(*) AS n_groups, group_size * count(*) AS n_docs
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """(source, n_docs, n_distinct, dup_rate) — per-source duplication,
+    the number a mixture planner weighs each source by. Distinct counts
+    are a (source, hash) groupby (combiner collapses within-block repeats
+    first); dup_rate is one exact-int float division (no rounding — the
+    engine-parity contract)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        h1, h2 = batch_content_hash(batch.column("text"))
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "h1": pa.array(h1.view(np.int64), pa.int64()),
+                "h2": pa.array(h2.view(np.int64), pa.int64()),
+            }
+        )
+        # within-block distinct (source, h) + per-key doc tally
+        df = t.to_pandas().groupby(
+            ["source", "h1", "h2"], sort=False
+        ).size().reset_index(name="docs")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    per_key = (
+        _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(key_rows, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["source", "h1", "h2"]).aggregate(Sum("docs"))
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        from .blockutil import retype_block
+
+        return retype_block(
+            t,
+            {"source": ("source", pa.string()),
+             "docs": ("sum(docs)", pa.int64())},
+        )
+
+    df = (
+        per_key.map_batches(rename, batch_format="pyarrow", **remote_kwargs())
+        .groupby("source").aggregate(Count(), Sum("docs"))
+        .to_pandas()  # O(|sources|)
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "n_distinct": pa.array([], pa.int64()),
+             "dup_rate": pa.array([], pa.float64())}
+        )
+    df = df.rename(columns={"count()": "n_distinct", "sum(docs)": "n_docs"})
+    nd = df["n_docs"].to_numpy(np.float64)
+    df["dup_rate"] = (nd - df["n_distinct"].to_numpy(np.float64)) / nd
+    df = df.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["source", "n_docs", "n_distinct", "dup_rate"]],
+        preserve_index=False,
+    )
+
+
+_DUP_RATE_SQL = """
+SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
+       (count(*) - count(DISTINCT text)) / CAST(count(*) AS DOUBLE)
+         AS dup_rate
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+register("dedup_group_stats", q_dedup_group_stats, _GROUP_STATS_SQL)
+register("dedup_dup_rate_by_source", q_dup_rate_by_source, _DUP_RATE_SQL)

@@ -32,7 +32,8 @@ SQL_CHECKED = [
     "events_user_lifetime", "corpus_pack_sequences",
     "similarity_label_centroids", "similarity_nearest_centroid",
     "events_hourly_anomalies", "events_type_transitions",
-    "similarity_centroid_confusion",
+    "similarity_centroid_confusion", "dedup_group_stats",
+    "dedup_dup_rate_by_source",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

@@ -1105,3 +1105,44 @@ def test_centroid_confusion_planted(ray_session, tmp_path):
     assert g.loc[(7, 3)] == 1    # the mislabeled vector
     assert g.loc[(7, 7)] == 2
     assert (3, 7) not in g.index
+
+
+def test_dedup_group_stats_planted_clusters(ray_session, tmp_path):
+    """3 singletons + one pair + one triple -> histogram rows (1,3,3),
+    (2,1,2), (3,1,3)."""
+    sf = _write_docs(
+        tmp_path,
+        ["a", "b", "c", "dup two", "dup two", "dup three", "dup three",
+         "dup three"],
+    )
+    _write_events_empty(tmp_path)
+    got = _sql_parity(sf, "dedup_group_stats").set_index("group_size")
+    assert got.loc[1, ["n_groups", "n_docs"]].tolist() == [3, 3]
+    assert got.loc[2, ["n_groups", "n_docs"]].tolist() == [1, 2]
+    assert got.loc[3, ["n_groups", "n_docs"]].tolist() == [1, 3]
+
+
+def test_dup_rate_by_source_planted(ray_session, tmp_path):
+    """Source A: 4 docs, 2 distinct -> rate 0.5; source B: all unique.
+    A text shared ACROSS sources counts as distinct within each."""
+    texts = ["x", "x", "y", "y",            # A: 2 distinct of 4
+             "p", "q", "x"]                 # B: 3 distinct of 3 ('x' too)
+    sources = ["A"] * 4 + ["B"] * 3
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts)),
+            "source": pa.array(sources, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    _write_events_empty(tmp_path)
+    got = _sql_parity(str(tmp_path), "dedup_dup_rate_by_source").set_index(
+        "source"
+    )
+    assert got.loc["A", ["n_docs", "n_distinct"]].tolist() == [4, 2]
+    assert got.loc["A", "dup_rate"] == 0.5
+    assert got.loc["B", ["n_docs", "n_distinct"]].tolist() == [3, 3]
+    assert got.loc["B", "dup_rate"] == 0.0
