@@ -1257,6 +1257,10 @@ register("dedup_simhash_near_dups", q_simhash_near_dups)  # rows-only
 # dedup_exact, the DuckDB mirrors group by the TEXT itself while the Ray
 # side groups by the collision-resistant 128-bit content key — identical
 # groups at any realistic corpus size (see exact_hash_batch docstring).
+# NULL-handling contract: batch_content_hash hashes NULL text identically
+# to '', so the mirrors group by coalesce(text, '') — NULL-text docs merge
+# with empty docs on BOTH engines; NULL source is its own group (pandas
+# dropna=False, SQL GROUP BY keeps NULLs).
 
 def _groupsize_partials(t: pa.Table) -> pa.Table:
     """(group_size, n_groups) partial per block of per-text counts."""
@@ -1311,10 +1315,14 @@ def q_dedup_group_stats(sf_dir: str):
 
 
 _GROUP_STATS_SQL = """
-WITH g AS (SELECT count(*) AS group_size FROM documents GROUP BY text)
+WITH g AS (SELECT count(*) AS group_size FROM documents
+           GROUP BY coalesce(text, ''))
 SELECT group_size, count(*) AS n_groups, group_size * count(*) AS n_docs
 FROM g GROUP BY 1 ORDER BY 1
 """
+
+
+_NULL_SOURCE = "\x00"  # shuffle-safe stand-in for a NULL source group key
 
 
 def q_dup_rate_by_source(sf_dir: str):
@@ -1335,11 +1343,27 @@ def q_dup_rate_by_source(sf_dir: str):
                 "h2": pa.array(h2.view(np.int64), pa.int64()),
             }
         )
-        # within-block distinct (source, h) + per-key doc tally
+        # within-block distinct (source, h) + per-key doc tally; NULL
+        # source stays its own group (dropna=False — the SQL GROUP BY
+        # keeps NULLs too)
         df = t.to_pandas().groupby(
-            ["source", "h1", "h2"], sort=False
+            ["source", "h1", "h2"], sort=False, dropna=False
         ).size().reset_index(name="docs")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # NULL source rides the shuffle as a NUL sentinel (Ray's sort-based
+        # groupby cannot order None against str; real sources are normal
+        # text, so NUL cannot collide) and decodes back to NULL at the end;
+        # explicit schema so an all-NULL block cannot infer double
+        import pandas as pd_
+
+        src = [_NULL_SOURCE if pd_.isna(s) else s for s in df["source"]]
+        return pa.table(
+            {
+                "source": pa.array(src, pa.string()),
+                "h1": pa.array(df["h1"].to_numpy(np.int64), pa.int64()),
+                "h2": pa.array(df["h2"].to_numpy(np.int64), pa.int64()),
+                "docs": pa.array(df["docs"].to_numpy(np.int64), pa.int64()),
+            }
+        )
 
     per_key = (
         _docs(sf_dir, columns=("doc_id", "text", "source"))
@@ -1371,6 +1395,8 @@ def q_dup_rate_by_source(sf_dir: str):
     df = df.rename(columns={"count()": "n_distinct", "sum(docs)": "n_docs"})
     nd = df["n_docs"].to_numpy(np.float64)
     df["dup_rate"] = (nd - df["n_distinct"].to_numpy(np.float64)) / nd
+    # decode the NUL sentinel back to a NULL source group (SQL parity)
+    df["source"] = df["source"].where(df["source"] != _NULL_SOURCE, None)
     df = df.sort_values("source").reset_index(drop=True)
     return pa.Table.from_pandas(
         df[["source", "n_docs", "n_distinct", "dup_rate"]],
@@ -1379,9 +1405,10 @@ def q_dup_rate_by_source(sf_dir: str):
 
 
 _DUP_RATE_SQL = """
-SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_distinct,
-       (count(*) - count(DISTINCT text)) / CAST(count(*) AS DOUBLE)
-         AS dup_rate
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT coalesce(text, '')) AS n_distinct,
+       (count(*) - count(DISTINCT coalesce(text, '')))
+         / CAST(count(*) AS DOUBLE) AS dup_rate
 FROM documents GROUP BY 1 ORDER BY 1
 """
 

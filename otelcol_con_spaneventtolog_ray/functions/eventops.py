@@ -1217,6 +1217,14 @@ def q_hourly_anomalies(sf_dir: str):
     from ..stages.aggregate import counts_by
 
     def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # NULL event_type rows are excluded on BOTH engines (mirrored in
+        # SQL): alerting is per KNOWN type, and Ray's sort-based count
+        # shuffle cannot order None against str anyway
+        valid = pc.is_valid(t.column("event_type"))
+        if t.num_rows and not pc.all(valid).as_py():
+            t = t.filter(valid)
         ts = (
             t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
             .astype(np.int64)
@@ -1272,7 +1280,7 @@ WITH c AS (
   SELECT event_type,
          {_floor_div_sql("epoch_us(ts)", _US_PER_HOUR)} AS hour_idx,
          count(*) AS n
-  FROM events GROUP BY 1, 2),
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
 st AS (
   SELECT event_type, count(*) AS h, sum(n) AS s, sum(n * n) AS s2
   FROM c GROUP BY 1),

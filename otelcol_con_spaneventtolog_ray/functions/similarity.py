@@ -40,14 +40,22 @@ def _emb(sf_dir: str):
     )
 
 
-def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+def _unpack_matrix(batch: pa.Table, key_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 key column, float64 (n, dim) embedding matrix) — THE single
+    home of the parity-sensitive list<float> -> matrix unpack."""
+    keys = (
+        batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
     emb = batch.column("embedding")
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()
     flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    mat = flat.reshape(len(ids), -1)
-    return ids, mat
+    mat = flat.reshape(len(keys), -1) if len(keys) else flat.reshape(0, 0)
+    return keys, mat
+
+
+def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    return _unpack_matrix(batch, "vec_id")
 
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
@@ -1172,12 +1180,7 @@ CENTROID_MICRO = 1_000_000
 
 
 def _centroid_partials(batch: pa.Table) -> pa.Table:
-    emb = batch.column("embedding")
-    if isinstance(emb, pa.ChunkedArray):
-        emb = emb.combine_chunks()
-    labels = (
-        batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
-    )
+    labels, mat = _unpack_matrix(batch, "label")
     n = len(labels)
     if n == 0:
         return pa.table(
@@ -1186,8 +1189,6 @@ def _centroid_partials(batch: pa.Table) -> pa.Table:
              "s_q": pa.array([], pa.int64()),
              "n": pa.array([], pa.int64())}
         )
-    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-    mat = flat.reshape(n, -1)
     d = mat.shape[1]
     q = np.floor(mat * CENTROID_MICRO).astype(np.int64)
     order = np.argsort(labels, kind="stable")
@@ -1401,23 +1402,12 @@ def q_centroid_confusion(sf_dir: str):
 
     def _assign(batch: pa.Table) -> pa.Table:
         labels, qc = ray.get(cent_ref)
-        true_lab = (
-            batch.column("label").to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        emb = batch.column("embedding")
-        if isinstance(emb, pa.ChunkedArray):
-            emb = emb.combine_chunks()
-        n = len(true_lab)
-        if n == 0:
+        true_lab, mat = _unpack_matrix(batch, "label")
+        if len(true_lab) == 0:
             return pa.table(
                 {"true_label": pa.array([], pa.int64()),
                  "assigned_label": pa.array([], pa.int64())}
             )
-        mat = (
-            emb.flatten().to_numpy(zero_copy_only=False)
-            .astype(np.float64).reshape(n, -1)
-        )
         best, _d2 = _nearest_micro(mat, qc)
         return pa.table(
             {

@@ -1146,3 +1146,63 @@ def test_dup_rate_by_source_planted(ray_session, tmp_path):
     assert got.loc["A", "dup_rate"] == 0.5
     assert got.loc["B", ["n_docs", "n_distinct"]].tolist() == [3, 3]
     assert got.loc["B", "dup_rate"] == 0.0
+
+
+def test_dedup_profiling_null_text_and_source(ray_session, tmp_path):
+    """Second-review regressions: NULL text merges with '' on BOTH engines
+    (the content hash already treats them identically; the mirrors now
+    group by coalesce(text, '')), and a NULL source is its own group on
+    BOTH engines (pandas dropna=False; SQL GROUP BY keeps NULLs)."""
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([None, "", "x", "x"], pa.string()),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["A", "A", None, None], pa.string()),
+            "n_chars": pa.array([0, 0, 1, 1], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    _write_events_empty(tmp_path)
+    stats = _sql_parity(str(tmp_path), "dedup_group_stats").set_index(
+        "group_size"
+    )
+    # NULL + '' merge into one size-2 group; the two 'x' docs another
+    assert stats.loc[2, "n_groups"] == 2 and len(stats) == 1
+    rate = _to_df(
+        __import__("__ray_entry__").queries()["dedup_dup_rate_by_source"](
+            str(tmp_path)
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp_path, 'documents.parquet')}')"
+    )
+    exp = con.execute(
+        __import__("__ray_entry__").oracle_sql()["dedup_dup_rate_by_source"]
+    ).df()
+    pd.testing.assert_frame_equal(
+        _canon(rate), _canon(exp), check_dtype=False, check_exact=True
+    )
+    assert len(rate) == 2  # 'A' and the NULL-source group
+
+
+def test_hourly_anomalies_null_type_dropped(ray_session, tmp_path):
+    """NULL event_type rows are excluded identically on both engines."""
+    hour = 3_600_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([10, hour + 10, 2 * hour + 10],
+                           pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_type": pa.array(["view", None, "view"], pa.string()),
+            "value": pa.array([1.0] * 3, pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    _write_docs(tmp_path, ["x"])
+    got = _sql_parity(str(tmp_path), "events_hourly_anomalies")
+    assert set(got["event_type"]) == {"view"} and len(got) == 2
