@@ -327,6 +327,11 @@ def entry() -> Any:
 # asserts this invariant against the newest CORRECTNESS_r*.json on disk.
 GATE_FRONT = [
     # new in round 4 — never driver-gated
+    "rel_churned_customers",
+    "rel_orders_with_returns",
+    "rel_local_supply_revenue",
+    "events_value_quantiles_exact",
+    "text_length_quantiles",
     "corpus_pack_sequences",
     "similarity_label_centroids",
     "similarity_nearest_centroid",

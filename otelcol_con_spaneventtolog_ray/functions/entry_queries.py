@@ -29,6 +29,7 @@ from . import (  # noqa: E402,F401
     eventops,
     lines,
     multimodal,
+    quantiles,
     relational,
     similarity,
     sketch,

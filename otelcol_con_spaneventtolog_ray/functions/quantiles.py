@@ -1,0 +1,241 @@
+"""Exact distributed per-group quantiles — the exact counterpart to the
+histogram-quantile sketch (`sketch.py`), the same way `events_distinct_users
+_exact` sits next to the HLL sketch: measure the trade, don't guess it.
+
+Scale shape (two-phase, nothing materializes the raw rows):
+
+1. Per-block combiner quantizes the value to an exact int64 grid (micros for
+   float metrics; identity for already-integer ones) and emits DISTINCT
+   ``(key, v, cnt)`` rows — the only rows that ever shuffle. A global
+   ``groupby((key, v)).Sum`` folds the partials into the per-key value
+   DISTRIBUTION table: one row per distinct (key, value), NOT per input row.
+2. ``groupby(key).map_groups`` co-locates each key's distribution and picks
+   the target order statistics from the cumulative counts with ONE
+   vectorized searchsorted.
+
+The bounded-group contract (same as the kNN IVF cells and pack buckets):
+one key's DISTINCT quantized values must fit a block. That holds when the
+metric has bounded resolution (a 1e-6 grid over a bounded metric range is at
+most ~millions of distinct cells no matter how many input rows hash into
+them); a group past ``QUANTILE_MAX_GROUP`` fails fast with a pointer at the
+histogram sketch, which is the right tool for unbounded-cardinality values.
+
+Rank contract (shared with the DuckDB mirror, integer arithmetic only):
+the p-th percentile of n values is the zero-based order statistic
+``((n - 1) * p) // 100`` — the "lower" interpolation, exact in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from .entry_queries import register
+from ..rayenv import remote_kwargs
+
+#: percentiles reported by every quantile query (integer percents)
+PCTS = (25, 50, 75, 90, 99)
+
+#: max DISTINCT quantized values per key group (one group must fit a block;
+#: 4M rows x ~24 B ≈ 100 MB). Past this, use sketch_value_quantiles.
+QUANTILE_MAX_GROUP = 4_000_000
+
+
+def _dist_partials(key: np.ndarray, v: np.ndarray, key_name: str) -> pa.Table:
+    """Per-block (key, v, cnt) distinct-value partial counts."""
+    if len(key) == 0:
+        return pa.table(
+            {key_name: pa.array([], pa.string()),
+             "v": pa.array([], pa.int64()),
+             "cnt": pa.array([], pa.int64())}
+        )
+    order = np.lexsort((v, key))
+    k_s, v_s = key[order], v[order]
+    boundary = (k_s[1:] != k_s[:-1]) | (v_s[1:] != v_s[:-1])
+    first = np.flatnonzero(np.concatenate([[True], boundary]))
+    return pa.table(
+        {
+            key_name: pa.array(k_s[first], pa.string()),
+            "v": pa.array(v_s[first], pa.int64()),
+            "cnt": pa.array(
+                np.diff(np.append(first, len(k_s))).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def _select_quantiles(group: pa.Table, key_name: str) -> pa.Table:
+    """One key's distribution -> one row of order statistics."""
+    if group.num_rows == 0:
+        cols = {key_name: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())}
+        for p in PCTS:
+            cols[f"p{p}"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    if group.num_rows > QUANTILE_MAX_GROUP:
+        raise ValueError(
+            f"quantile group for {key_name}="
+            f"{group.column(key_name)[0].as_py()!r} has {group.num_rows} "
+            f"distinct values (> QUANTILE_MAX_GROUP={QUANTILE_MAX_GROUP}); "
+            "the exact path requires one key's distinct quantized values to "
+            "fit a block — use sketch_value_quantiles for unbounded-"
+            "cardinality metrics or coarsen the quantization grid"
+        )
+    v = group.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = group.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    v, cnt = v[order], cnt[order]
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    targets = np.array([((n - 1) * p) // 100 for p in PCTS], dtype=np.int64)
+    idx = np.searchsorted(cum, targets, side="right")
+    cols = {
+        key_name: pa.array([group.column(key_name)[0].as_py()], pa.string()),
+        "n": pa.array([n], pa.int64()),
+    }
+    for p, i in zip(PCTS, idx):
+        cols[f"p{p}"] = pa.array([int(v[i])], pa.int64())
+    return pa.table(cols)
+
+
+def _grouped_quantiles(ds, make_partials, key_name: str):
+    """read -> combiner -> groupby((key,v)).Sum -> per-key selection."""
+    from ray.data.aggregate import Sum
+
+    def resum(t: pa.Table) -> pa.Table:
+        from .blockutil import retype_block
+
+        return retype_block(
+            t,
+            {key_name: (key_name, pa.string()),
+             "v": ("v", pa.int64()),
+             "cnt": ("sum(cnt)", pa.int64())},
+        )
+
+    dist = (
+        ds.map_batches(make_partials, batch_format="pyarrow",
+                       **remote_kwargs())
+        .groupby([key_name, "v"])
+        .aggregate(Sum("cnt"))
+        .map_batches(resum, batch_format="pyarrow", **remote_kwargs())
+    )
+    out = dist.groupby(key_name).map_groups(
+        lambda g: _select_quantiles(g, key_name),
+        batch_format="pyarrow", **remote_kwargs(),
+    )
+    df = out.to_pandas()
+    if len(df) == 0:
+        cols = {key_name: pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())}
+        for p in PCTS:
+            cols[f"p{p}"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    return df.sort_values(key_name).reset_index(drop=True)
+
+
+def q_events_value_quantiles_exact(sf_dir: str):
+    """Exact per-event-type value percentiles (micro-quantized — the same
+    1e-6 grid every float contract in this repo uses)."""
+    import ray.data
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.drop_null()
+        key = (
+            t.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        )
+        vm = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 1_000_000
+        ).astype(np.int64)
+        return _dist_partials(key, vm, "event_type")
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+    df = _grouped_quantiles(ds, partials, "event_type")
+    if isinstance(df, pa.Table):
+        cols = {"event_type": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())}
+        for p in PCTS:
+            cols[f"p{p}"] = pa.array([], pa.float64())
+        return pa.table(cols)
+    for p in PCTS:
+        df[f"p{p}"] = (df[f"p{p}"] / 1_000_000.0).round(6)
+    return pa.Table.from_pandas(
+        df[["event_type", "n"] + [f"p{p}" for p in PCTS]],
+        preserve_index=False,
+    )
+
+
+_EVENTS_Q_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+r AS (
+  SELECT event_type, vm,
+         row_number() OVER (PARTITION BY event_type ORDER BY vm) - 1 AS rk
+  FROM v),
+n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1)
+SELECT r.event_type, max(n.n) AS n,
+{", ".join(
+    f"       round(max(CASE WHEN r.rk = ((n.n - 1) * {p}) // 100 "
+    f"THEN r.vm END) / 1000000.0, 6) AS p{p}" for p in PCTS
+)}
+FROM r JOIN n USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_text_length_quantiles(sf_dir: str):
+    """Exact per-language document-length percentiles (n_chars is already
+    integral — identity quantization)."""
+    import ray.data
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.drop_null()
+        key = t.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        v = (
+            t.column("n_chars").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return _dist_partials(key, v, "lang")
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "n_chars"],
+    )
+    df = _grouped_quantiles(ds, partials, "lang")
+    if isinstance(df, pa.Table):
+        return df
+    return pa.Table.from_pandas(
+        df[["lang", "n"] + [f"p{p}" for p in PCTS]], preserve_index=False
+    )
+
+
+_TEXT_LEN_Q_SQL = f"""
+WITH v AS (
+  SELECT lang, n_chars AS vm FROM documents
+  WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+r AS (
+  SELECT lang, vm,
+         row_number() OVER (PARTITION BY lang ORDER BY vm) - 1 AS rk
+  FROM v),
+n AS (SELECT lang, count(*) AS n FROM v GROUP BY 1)
+SELECT r.lang, max(n.n) AS n,
+{", ".join(
+    f"       max(CASE WHEN r.rk = ((n.n - 1) * {p}) // 100 "
+    f"THEN r.vm END) AS p{p}" for p in PCTS
+)}
+FROM r JOIN n USING (lang)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register(
+    "events_value_quantiles_exact", q_events_value_quantiles_exact,
+    _EVENTS_Q_SQL,
+)
+register("text_length_quantiles", q_text_length_quantiles, _TEXT_LEN_Q_SQL)

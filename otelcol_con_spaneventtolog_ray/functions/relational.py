@@ -438,6 +438,506 @@ LIMIT {TOPK_ORDERS}
 """
 
 
+# ---------------------------------------------------------------------------
+# Anti-join / semi-join — churn and returns analytics on Ray 2.49's native
+# hash-partitioned ``left_anti`` / ``left_semi`` join types. Both sides are
+# fact-scale at 100 TB (customers x orders / orders x lineitems), so the
+# hash-shuffle join is the honest exchange; the probe side is pre-reduced to
+# per-block DISTINCT keys inside map_batches so the shuffle carries one
+# (key) row per block, never raw fact rows. The sentinel machinery from the
+# Q3 join covers Ray's empty-hash-partition crash: sentinels are planted on
+# BOTH sides, so the anti join drops them as matches and the semi join
+# surfaces them for a vectorized ``key >= 0`` filter.
+
+#: churn cutoff — customers with no order on/after this date count as churned
+CHURN_CUTOFF = "2000-01-01"
+ANTI_JOIN_PARTITIONS = 8
+
+
+def _recent_order_keys(batch: pa.Table) -> pa.Table:
+    """Per-block combiner for the probe side: distinct custkeys with an
+    order on/after CHURN_CUTOFF — the only column that ever shuffles."""
+    cutoff = np.datetime64(CHURN_CUTOFF)
+    od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+    keys = (
+        batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        .astype(np.int64)[od >= cutoff]
+    )
+    return pa.table({"o_custkey": pa.array(np.unique(keys), pa.int64())})
+
+
+def _churn_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (mktsegment, n, acctbal cents) partials over the anti-join
+    survivors; drops the planted negative sentinel keys defensively (matched
+    sentinels are already removed by the anti join itself)."""
+    batch = batch.filter(pc.greater_equal(batch.column("c_custkey"), 0))
+    if batch.num_rows == 0:
+        return pa.table(
+            {"c_mktsegment": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64()),
+             "bal_c": pa.array([], pa.int64())}
+        )
+    seg = (
+        batch.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        .astype(str)
+    )
+    bal_c = np.rint(
+        batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    order = np.argsort(seg, kind="stable")
+    seg_s = seg[order]
+    first = np.flatnonzero(np.concatenate([[True], seg_s[1:] != seg_s[:-1]]))
+    return pa.table(
+        {
+            "c_mktsegment": pa.array(seg_s[first], pa.string()),
+            "n": pa.array(
+                np.diff(np.append(first, len(seg_s))).astype(np.int64),
+                pa.int64(),
+            ),
+            "bal_c": pa.array(np.add.reduceat(bal_c[order], first), pa.int64()),
+        }
+    )
+
+
+def q_churned_customers(sf_dir: str):
+    """Churned customers (no order on/after CHURN_CUTOFF) per market
+    segment: count + total account balance. Distributed LEFT ANTI hash join
+    (customer ⟂ recent-order custkeys); money folded as exact cents."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        _recent_order_keys, batch_format="pyarrow", **remote_kwargs()
+    )
+    sent = _q3_join_sentinels(ANTI_JOIN_PARTITIONS)
+    cust = cust.union(ray.data.from_arrow(pa.table(
+        {"c_custkey": pa.array(sent, pa.int64()),
+         "c_mktsegment": pa.array([""] * len(sent), pa.string()),
+         "c_acctbal": pa.array([0.0] * len(sent), pa.float64())}
+    )))
+    recent = recent.union(ray.data.from_arrow(pa.table(
+        {"o_custkey": pa.array(sent, pa.int64())}
+    )))
+    churned = cust.join(
+        recent, join_type="left_anti",
+        num_partitions=ANTI_JOIN_PARTITIONS,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    df = (
+        churned.map_batches(_churn_partials, batch_format="pyarrow",
+                            **remote_kwargs())
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n"), Sum("bal_c"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"c_mktsegment": pa.array([], pa.string()),
+             "n_customers": pa.array([], pa.int64()),
+             "total_acctbal": pa.array([], pa.float64())}
+        )
+    df = df.rename(columns={"sum(n)": "n_customers", "sum(bal_c)": "bal_c"})
+    df["total_acctbal"] = (df["bal_c"] / 100.0).round(6)
+    df = df.sort_values("c_mktsegment").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["c_mktsegment", "n_customers", "total_acctbal"]],
+        preserve_index=False,
+    )
+
+
+_CHURN_SQL = f"""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 6)
+         AS total_acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '{CHURN_CUTOFF} 00:00:00')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _returned_order_keys(batch: pa.Table) -> pa.Table:
+    """Probe-side combiner: distinct orderkeys with a returned line item."""
+    flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+    keys = (
+        batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        .astype(np.int64)[flag == "R"]
+    )
+    return pa.table({"l_orderkey": pa.array(np.unique(keys), pa.int64())})
+
+
+def _returns_partials(batch: pa.Table) -> pa.Table:
+    """(orderpriority, n, totalprice cents) partials over semi-join
+    survivors; drops the planted sentinels (a semi join KEEPS matched rows,
+    so the negative keys come through and must be filtered)."""
+    batch = batch.filter(pc.greater_equal(batch.column("o_orderkey"), 0))
+    if batch.num_rows == 0:
+        return pa.table(
+            {"o_orderpriority": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64()),
+             "price_c": pa.array([], pa.int64())}
+        )
+    pri = (
+        batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        .astype(str)
+    )
+    price_c = np.rint(
+        batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    order = np.argsort(pri, kind="stable")
+    pri_s = pri[order]
+    first = np.flatnonzero(np.concatenate([[True], pri_s[1:] != pri_s[:-1]]))
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(pri_s[first], pa.string()),
+            "n": pa.array(
+                np.diff(np.append(first, len(pri_s))).astype(np.int64),
+                pa.int64(),
+            ),
+            "price_c": pa.array(
+                np.add.reduceat(price_c[order], first), pa.int64()
+            ),
+        }
+    )
+
+
+def q_orders_with_returns(sf_dir: str):
+    """Orders containing at least one returned line item, rolled up by
+    order priority (count + total order value). Distributed LEFT SEMI hash
+    join — the lineitem probe side shuffles only per-block distinct
+    orderkeys."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    )
+    ret = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"]).map_batches(
+        _returned_order_keys, batch_format="pyarrow", **remote_kwargs()
+    )
+    sent = _q3_join_sentinels(ANTI_JOIN_PARTITIONS)
+    orders = orders.union(ray.data.from_arrow(pa.table(
+        {"o_orderkey": pa.array(sent, pa.int64()),
+         "o_orderpriority": pa.array([""] * len(sent), pa.string()),
+         "o_totalprice": pa.array([0.0] * len(sent), pa.float64())}
+    )))
+    ret = ret.union(ray.data.from_arrow(pa.table(
+        {"l_orderkey": pa.array(sent, pa.int64())}
+    )))
+    kept = orders.join(
+        ret, join_type="left_semi",
+        num_partitions=ANTI_JOIN_PARTITIONS,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+    df = (
+        kept.map_batches(_returns_partials, batch_format="pyarrow",
+                         **remote_kwargs())
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n"), Sum("price_c"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"o_orderpriority": pa.array([], pa.string()),
+             "n_orders": pa.array([], pa.int64()),
+             "total_value": pa.array([], pa.float64())}
+        )
+    df = df.rename(columns={"sum(n)": "n_orders", "sum(price_c)": "price_c"})
+    df["total_value"] = (df["price_c"] / 100.0).round(6)
+    df = df.sort_values("o_orderpriority").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["o_orderpriority", "n_orders", "total_value"]],
+        preserve_index=False,
+    )
+
+
+_RETURNS_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 6)
+         AS total_value
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape — local-supply-chain revenue by nation: revenue from line
+# items where the SUPPLIER's nation equals the ordering CUSTOMER's nation,
+# restricted to one region and a date window. Composition of both join
+# strategies: the small dimensions (supplier→nation, customer→nation,
+# nation→name/region) broadcast ONCE via ray.put and resolve with
+# vectorized searchsorted inside map_batches; the fact-fact orderkey
+# equi-join (lineitem partials x filtered orders) is the hash-shuffle
+# exchange, carrying pre-aggregated (orderkey, supp_nation, rev_cc) rows.
+
+Q5_REGION = "ASIA"
+Q5_DATE_FROM = "1997-01-01"
+Q5_DATE_TO = "1999-01-01"  # exclusive
+
+
+def _dim_lookup(sf_dir: str):
+    """Broadcastable (sorted) dimension arrays: supplier→nationkey,
+    customer→nationkey, nationkey→(name, in_region)."""
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"],
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+
+    def _sorted_pair(keys, vals):
+        k = np.asarray(keys, dtype=np.int64)
+        order = np.argsort(k, kind="stable")
+        return k[order], vals[order]
+
+    sk, sn = _sorted_pair(
+        sup.column("s_suppkey").to_numpy(zero_copy_only=False),
+        sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+    )
+    ck, cn = _sorted_pair(
+        cust.column("c_custkey").to_numpy(zero_copy_only=False),
+        cust.column("c_nationkey").to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+    )
+    region_keys = {
+        rk: rn
+        for rk, rn in zip(
+            reg.column("r_regionkey").to_numpy(zero_copy_only=False),
+            reg.column("r_name").to_pylist(),
+        )
+    }
+    nk, nmeta = _sorted_pair(
+        nat.column("n_nationkey").to_numpy(zero_copy_only=False),
+        np.array(
+            list(zip(
+                nat.column("n_name").to_pylist(),
+                [
+                    region_keys.get(int(r)) == Q5_REGION
+                    for r in nat.column("n_regionkey")
+                    .to_numpy(zero_copy_only=False)
+                ],
+            )),
+            dtype=object,
+        ),
+    )
+    nname = np.array([m[0] for m in nmeta], dtype=object)
+    in_region = np.array([bool(m[1]) for m in nmeta], dtype=bool)
+    return sk, sn, ck, cn, nk, nname, in_region
+
+
+def _lookup_int(sorted_keys, sorted_vals, probe, default=-1):
+    """Vectorized sorted-array lookup: probe→val, ``default`` on miss."""
+    if len(sorted_keys) == 0:
+        return np.full(len(probe), default, dtype=np.int64)
+    pos = np.minimum(
+        np.searchsorted(sorted_keys, probe), len(sorted_keys) - 1
+    )
+    out = sorted_vals[pos].astype(np.int64, copy=True)
+    out[sorted_keys[pos] != probe] = default
+    return out
+
+
+def q_local_supply_revenue(sf_dir: str):
+    """Q5-shape: revenue by nation where supplier nation == customer nation,
+    region-restricted, over a 2-year order window."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    sk, sn, ck, cn, nk, nname, in_region = _dim_lookup(sf_dir)
+    dim_ref = ray.put((sk, sn, ck, cn, nk, nname, in_region))
+
+    def li_partials(batch: pa.Table) -> pa.Table:
+        skk, snn, *_ = ray.get(dim_ref)
+        okey = (
+            batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        supk = (
+            batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        price_c = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100
+        ).astype(np.int64)
+        disc_c = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rev_cc = price_c * (100 - disc_c)
+        snat = _lookup_int(skk, snn, supk)
+        ok = snat >= 0
+        okey, snat, rev_cc = okey[ok], snat[ok], rev_cc[ok]
+        if len(okey) == 0:
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "supp_nk": pa.array([], pa.int64()),
+                 "rev_cc": pa.array([], pa.int64())}
+            )
+        order = np.lexsort((snat, okey))
+        ok_s, sn_s = okey[order], snat[order]
+        boundary = (ok_s[1:] != ok_s[:-1]) | (sn_s[1:] != sn_s[:-1])
+        first = np.flatnonzero(np.concatenate([[True], boundary]))
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok_s[first], pa.int64()),
+                "supp_nk": pa.array(sn_s[first], pa.int64()),
+                "rev_cc": pa.array(
+                    np.add.reduceat(rev_cc[order], first), pa.int64()
+                ),
+            }
+        )
+
+    def orders_map(batch: pa.Table) -> pa.Table:
+        _, _, ckk, cnn, *_ = ray.get(dim_ref)
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (od >= np.datetime64(Q5_DATE_FROM)) & (
+            od < np.datetime64(Q5_DATE_TO)
+        )
+        okey = (
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)[keep]
+        )
+        custk = (
+            batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)[keep]
+        )
+        cnat = _lookup_int(ckk, cnn, custk)
+        ok = cnat >= 0
+        return pa.table(
+            {"o_orderkey": pa.array(okey[ok], pa.int64()),
+             "cust_nk": pa.array(cnat[ok], pa.int64())}
+        )
+
+    def post_join_partials(batch: pa.Table) -> pa.Table:
+        *_, nkk, nnm, in_reg = ray.get(dim_ref)
+        okey = (
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        snat = (
+            batch.column("supp_nk").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cnat = (
+            batch.column("cust_nk").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        rev = (
+            batch.column("rev_cc").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = (okey >= 0) & (snat == cnat) & (snat >= 0)
+        snat, rev = snat[keep], rev[keep]
+        if len(snat) > 0:
+            pos = np.minimum(np.searchsorted(nkk, snat), len(nkk) - 1)
+            valid = (nkk[pos] == snat) & in_reg[pos]
+            pos, rev = pos[valid], rev[valid]
+        else:
+            pos = np.array([], dtype=np.int64)
+        if len(pos) == 0:
+            return pa.table(
+                {"nation": pa.array([], pa.string()),
+                 "rev_cc": pa.array([], pa.int64())}
+            )
+        names = nnm[pos].astype(str)
+        order = np.argsort(names, kind="stable")
+        nm_s, rv_s = names[order], rev[order]
+        first = np.flatnonzero(np.concatenate([[True], nm_s[1:] != nm_s[:-1]]))
+        return pa.table(
+            {
+                "nation": pa.array(nm_s[first], pa.string()),
+                "rev_cc": pa.array(np.add.reduceat(rv_s, first), pa.int64()),
+            }
+        )
+
+    li = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partials, batch_format="pyarrow", **remote_kwargs())
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_map, batch_format="pyarrow", **remote_kwargs())
+
+    sent = _q3_join_sentinels(Q3_JOIN_PARTITIONS)
+    li = li.union(ray.data.from_arrow(pa.table(
+        {"o_orderkey": pa.array(sent, pa.int64()),
+         "supp_nk": pa.array([-1] * len(sent), pa.int64()),
+         "rev_cc": pa.array([0] * len(sent), pa.int64())}
+    )))
+    orders = orders.union(ray.data.from_arrow(pa.table(
+        {"o_orderkey": pa.array(sent, pa.int64()),
+         "cust_nk": pa.array([-2] * len(sent), pa.int64())}
+    )))
+    joined = li.join(
+        orders, join_type="inner", num_partitions=Q3_JOIN_PARTITIONS,
+        on=("o_orderkey",),
+    )
+    from ray.data.aggregate import Sum as _Sum
+
+    df = (
+        joined.map_batches(post_join_partials, batch_format="pyarrow",
+                           **remote_kwargs())
+        .groupby("nation")
+        .aggregate(_Sum("rev_cc"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"nation": pa.array([], pa.string()),
+             "revenue": pa.array([], pa.float64())}
+        )
+    df = df.rename(columns={"sum(rev_cc)": "rev_cc"})
+    df["revenue"] = (df["rev_cc"] / 10000.0).round(6)
+    df = df.sort_values("nation").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["nation", "revenue"]], preserve_index=False
+    )
+
+
+_Q5_SQL = f"""
+SELECT n.n_name AS nation,
+       round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+             / 10000.0, 6) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = '{Q5_REGION}'
+  AND o.o_orderdate >= TIMESTAMP '{Q5_DATE_FROM} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{Q5_DATE_TO} 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
+
+
 register("rel_pricing_summary", q_pricing_summary, _PRICING_SQL)
 register("rel_revenue_by_nation", q_revenue_by_nation, _REVENUE_SQL)
 register("rel_order_revenue_topk", q_order_revenue_topk, _Q3_SQL)
+register("rel_churned_customers", q_churned_customers, _CHURN_SQL)
+register("rel_orders_with_returns", q_orders_with_returns, _RETURNS_SQL)
+register("rel_local_supply_revenue", q_local_supply_revenue, _Q5_SQL)

@@ -34,6 +34,9 @@ SQL_CHECKED = [
     "events_hourly_anomalies", "events_type_transitions",
     "similarity_centroid_confusion", "dedup_group_stats",
     "dedup_dup_rate_by_source",
+    "rel_churned_customers", "rel_orders_with_returns",
+    "rel_local_supply_revenue",
+    "events_value_quantiles_exact", "text_length_quantiles",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

@@ -1,0 +1,221 @@
+"""Edge and property tests for the round-4 anti/semi-join and exact
+grouped-quantile operators (the SQL-parity runs live in test_functions.py's
+SQL_CHECKED sweep; these pin the contracts the sweep can't reach: the rank
+formula itself, the bounded-group fail-fast, and the empty-result paths)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_entry_queries import _to_df
+
+
+def _write(dirpath, name, table):
+    pq.write_table(table, str(dirpath / f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# quantile rank contract — pure functions, no Ray needed
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_selection_matches_numpy_order_statistics():
+    from otelcol_con_spaneventtolog_ray.functions.quantiles import (
+        PCTS,
+        _dist_partials,
+        _select_quantiles,
+    )
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-1000, 1000, size=5000).astype(np.int64)
+    key = np.array(["k"] * len(vals))
+    dist = _dist_partials(key, vals, "lang")
+    row = _select_quantiles(dist, "lang").to_pylist()[0]
+    s = np.sort(vals)
+    n = len(s)
+    assert row["n"] == n
+    for p in PCTS:
+        assert row[f"p{p}"] == s[((n - 1) * p) // 100], p
+
+
+def test_quantile_selection_heavy_ties_single_value():
+    from otelcol_con_spaneventtolog_ray.functions.quantiles import (
+        PCTS,
+        _dist_partials,
+        _select_quantiles,
+    )
+
+    # one distinct value repeated: every percentile IS that value and the
+    # distribution table is a single row regardless of input size
+    vals = np.full(100_000, 42, dtype=np.int64)
+    key = np.array(["k"] * len(vals))
+    dist = _dist_partials(key, vals, "lang")
+    assert dist.num_rows == 1  # the compression the scale path relies on
+    row = _select_quantiles(dist, "lang").to_pylist()[0]
+    assert row["n"] == 100_000
+    for p in PCTS:
+        assert row[f"p{p}"] == 42
+
+
+def test_quantile_group_cap_fails_fast(monkeypatch):
+    from otelcol_con_spaneventtolog_ray.functions import quantiles as Q
+
+    monkeypatch.setattr(Q, "QUANTILE_MAX_GROUP", 10)
+    dist = pa.table(
+        {"lang": pa.array(["x"] * 11, pa.string()),
+         "v": pa.array(np.arange(11), pa.int64()),
+         "cnt": pa.array([1] * 11, pa.int64())}
+    )
+    with pytest.raises(ValueError, match="sketch_value_quantiles"):
+        Q._select_quantiles(dist, "lang")
+
+
+def test_dist_partials_compress_per_block():
+    from otelcol_con_spaneventtolog_ray.functions.quantiles import (
+        _dist_partials,
+    )
+
+    key = np.array(["a", "b", "a", "b", "a"])
+    v = np.array([1, 1, 1, 2, 2], dtype=np.int64)
+    t = _dist_partials(key, v, "k").to_pylist()
+    assert t == [
+        {"k": "a", "v": 1, "cnt": 2},
+        {"k": "a", "v": 2, "cnt": 1},
+        {"k": "b", "v": 1, "cnt": 1},
+        {"k": "b", "v": 2, "cnt": 1},
+    ]
+
+
+# ---------------------------------------------------------------------------
+# anti/semi-join empty-result and sentinel paths (Ray)
+# ---------------------------------------------------------------------------
+
+
+def test_churned_customers_empty_when_all_active(ray_session, tmp_path):
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_churned_customers,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write(d, "customer", pa.table(
+        {"c_custkey": pa.array([1, 2, 3], pa.int64()),
+         "c_mktsegment": pa.array(["A", "B", "A"], pa.string()),
+         "c_acctbal": pa.array([10.0, 20.0, 30.0], pa.float64())}
+    ))
+    # every customer ordered after the churn cutoff
+    _write(d, "orders", pa.table(
+        {"o_custkey": pa.array([1, 2, 3], pa.int64()),
+         "o_orderdate": pa.array(
+             [pd.Timestamp("2001-01-01")] * 3,
+             pa.timestamp("us"),
+         )}
+    ))
+    out = _to_df(q_churned_customers(str(d)))
+    assert len(out) == 0
+    assert list(out.columns) == ["c_mktsegment", "n_customers",
+                                 "total_acctbal"]
+
+
+def test_churned_customers_finds_only_stale(ray_session, tmp_path):
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_churned_customers,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write(d, "customer", pa.table(
+        {"c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+         "c_mktsegment": pa.array(["A", "B", "A", "B"], pa.string()),
+         "c_acctbal": pa.array([10.5, 20.25, 30.0, 40.0], pa.float64())}
+    ))
+    # 1 ordered recently; 2 only before the cutoff; 3 never ordered;
+    # 4 ordered recently
+    _write(d, "orders", pa.table(
+        {"o_custkey": pa.array([1, 2, 4], pa.int64()),
+         "o_orderdate": pa.array(
+             [pd.Timestamp("2001-01-01"), pd.Timestamp("1999-06-01"),
+              pd.Timestamp("2000-02-03")],
+             pa.timestamp("us"),
+         )}
+    ))
+    out = _to_df(q_churned_customers(str(d)))
+    assert out.to_dict("records") == [
+        {"c_mktsegment": "A", "n_customers": 1, "total_acctbal": 30.0},
+        {"c_mktsegment": "B", "n_customers": 1, "total_acctbal": 20.25},
+    ]
+
+
+def test_orders_with_returns_semi_join_keeps_each_order_once(
+    ray_session, tmp_path
+):
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_orders_with_returns,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write(d, "orders", pa.table(
+        {"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+         "o_orderpriority": pa.array(["1-URGENT", "2-HIGH", "1-URGENT"],
+                                     pa.string()),
+         "o_totalprice": pa.array([100.0, 200.0, 300.0], pa.float64())}
+    ))
+    # order 1 has TWO returned lines (must still count once); order 2 has
+    # none; order 3 has one
+    _write(d, "lineitem", pa.table(
+        {"l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+         "l_returnflag": pa.array(["R", "R", "N", "R"], pa.string())}
+    ))
+    out = _to_df(q_orders_with_returns(str(d)))
+    assert out.to_dict("records") == [
+        {"o_orderpriority": "1-URGENT", "n_orders": 2, "total_value": 400.0},
+    ]
+
+
+def test_local_supply_revenue_requires_nation_match(ray_session, tmp_path):
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_local_supply_revenue,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write(d, "region", pa.table(
+        {"r_regionkey": pa.array([0, 1], pa.int32()),
+         "r_name": pa.array(["ASIA", "EUROPE"], pa.string())}
+    ))
+    _write(d, "nation", pa.table(
+        {"n_nationkey": pa.array([10, 11], pa.int32()),
+         "n_name": pa.array(["N_ASIA", "N_EU"], pa.string()),
+         "n_regionkey": pa.array([0, 1], pa.int32())}
+    ))
+    _write(d, "supplier", pa.table(
+        {"s_suppkey": pa.array([1, 2], pa.int64()),
+         "s_nationkey": pa.array([10, 11], pa.int32())}
+    ))
+    _write(d, "customer", pa.table(
+        {"c_custkey": pa.array([5, 6], pa.int64()),
+         "c_nationkey": pa.array([10, 11], pa.int32())}
+    ))
+    _write(d, "orders", pa.table(
+        {"o_orderkey": pa.array([100, 101], pa.int64()),
+         "o_custkey": pa.array([5, 6], pa.int64()),
+         "o_orderdate": pa.array(
+             [pd.Timestamp("1997-06-01")] * 2, pa.timestamp("us")
+         )}
+    ))
+    # line 1: supplier 1 (ASIA) on order 100 (customer 5, same nation) ✓
+    # line 2: supplier 2 (EU) on order 100 (customer 5, ASIA) — nation
+    #   mismatch, dropped
+    # line 3: supplier 2 (EU) on order 101 (customer 6, EU) — matches but
+    #   outside the ASIA region filter
+    _write(d, "lineitem", pa.table(
+        {"l_orderkey": pa.array([100, 100, 101], pa.int64()),
+         "l_suppkey": pa.array([1, 2, 2], pa.int64()),
+         "l_extendedprice": pa.array([1000.0, 500.0, 700.0], pa.float64()),
+         "l_discount": pa.array([0.10, 0.0, 0.0], pa.float64())}
+    ))
+    out = _to_df(q_local_supply_revenue(str(d)))
+    assert out.to_dict("records") == [{"nation": "N_ASIA", "revenue": 900.0}]
