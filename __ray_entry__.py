@@ -332,6 +332,8 @@ GATE_FRONT = [
     "rel_local_supply_revenue",
     "events_value_quantiles_exact",
     "text_length_quantiles",
+    "text_sample_weighted",
+    "text_above_median_length",
     "corpus_pack_sequences",
     "similarity_label_centroids",
     "similarity_nearest_centroid",

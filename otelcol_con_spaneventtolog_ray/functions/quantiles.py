@@ -234,8 +234,134 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# quantile-broadcast filter — the "compute a distributed statistic, then
+# filter the corpus by it" composition: per-language median length from the
+# exact-quantile engine (tiny |langs| table on the driver), broadcast into a
+# second streaming scan that keeps docs at/above their language's median.
+# Two passes over the corpus, both streaming; the only materialized state is
+# the |langs|-row median table.
+# ---------------------------------------------------------------------------
+
+
+def _lang_medians(sf_dir: str) -> dict[str, int]:
+    import ray.data
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.drop_null()
+        key = t.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        v = (
+            t.column("n_chars").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return _dist_partials(key, v, "lang")
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "n_chars"],
+    )
+    df = _grouped_quantiles(ds, partials, "lang")
+    if isinstance(df, pa.Table):  # empty corpus
+        return {}
+    return dict(zip(df["lang"], df["p50"].astype(int)))
+
+
+def q_above_median_length(sf_dir: str):
+    """Docs at/above their language's median length: count + total chars
+    per language (the kept-mass report a mixture planner consumes)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    medians = _lang_medians(sf_dir)
+    empty = pa.table(
+        {"lang": pa.array([], pa.string()),
+         "median": pa.array([], pa.int64()),
+         "n_kept": pa.array([], pa.int64()),
+         "total_chars": pa.array([], pa.int64())}
+    )
+    if not medians:
+        return empty
+    langs_sorted = np.array(sorted(medians), dtype=object)
+    meds_sorted = np.array(
+        [medians[l] for l in langs_sorted], dtype=np.int64
+    )
+
+    def keep_partials(batch: pa.Table) -> pa.Table:
+        t = batch.drop_null()
+        lang = t.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        v = (
+            t.column("n_chars").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        pos = np.searchsorted(langs_sorted.astype(str), lang)
+        pos = np.minimum(pos, len(langs_sorted) - 1)
+        known = langs_sorted[pos].astype(str) == lang
+        keep = known & (v >= meds_sorted[pos])
+        lang, v = lang[keep], v[keep]
+        if len(lang) == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()),
+                 "chars": pa.array([], pa.int64())}
+            )
+        order = np.argsort(lang, kind="stable")
+        l_s, v_s = lang[order], v[order]
+        first = np.flatnonzero(np.concatenate([[True], l_s[1:] != l_s[:-1]]))
+        return pa.table(
+            {
+                "lang": pa.array(l_s[first], pa.string()),
+                "n": pa.array(
+                    np.diff(np.append(first, len(l_s))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "chars": pa.array(np.add.reduceat(v_s, first), pa.int64()),
+            }
+        )
+
+    df = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["lang", "n_chars"],
+        )
+        .map_batches(keep_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("lang")
+        .aggregate(Sum("n"), Sum("chars"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return empty
+    df = df.rename(columns={"sum(n)": "n_kept", "sum(chars)": "total_chars"})
+    df["median"] = df["lang"].map(medians).astype(np.int64)
+    df = df.sort_values("lang").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["lang", "median", "n_kept", "total_chars"]],
+        preserve_index=False,
+    )
+
+
+_ABOVE_MEDIAN_SQL = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) - 1 AS rk
+  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+n AS (SELECT lang, count(*) AS n FROM r GROUP BY 1),
+m AS (
+  SELECT r.lang,
+         max(CASE WHEN r.rk = ((n.n - 1) * 50) // 100
+             THEN r.n_chars END) AS median
+  FROM r JOIN n USING (lang) GROUP BY 1)
+SELECT d.lang, max(m.median) AS median, count(*) AS n_kept,
+       CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN m ON d.lang = m.lang
+WHERE d.n_chars >= m.median
+GROUP BY 1 ORDER BY 1
+"""
+
+
 register(
     "events_value_quantiles_exact", q_events_value_quantiles_exact,
     _EVENTS_Q_SQL,
 )
 register("text_length_quantiles", q_text_length_quantiles, _TEXT_LEN_Q_SQL)
+register("text_above_median_length", q_above_median_length, _ABOVE_MEDIAN_SQL)

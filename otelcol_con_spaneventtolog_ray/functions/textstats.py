@@ -509,6 +509,52 @@ _SAMPLE_SQL = (
 
 
 # ---------------------------------------------------------------------------
+# weight-proportional sampling — each doc kept with probability ∝ its weight
+# (importance sampling by length here; any positive int column works). The
+# keep decision is EXACT integer arithmetic — a 48-bit md5 prefix compared
+# against weight x scale — so there is no float RNG, no cross-engine ULP
+# risk (an A-Res u^(1/w) ranking was measured 1-ULP-unstable between numpy
+# and DuckDB ln), and the sample is reproducible across runs, machines and
+# partitionings. Pure filter inside map_batches: no shuffle, no driver state.
+# ---------------------------------------------------------------------------
+
+#: keep iff h48(doc_id) < n_chars * SCALE; 2^48 / SCALE = 2011 chars ≙ rate 1
+WEIGHTED_SAMPLE_SCALE = 140_000_000_000
+
+
+def sample_weighted_batch(batch: pa.Table) -> pa.Table:
+    """md5 retained DELIBERATELY (same contract note as
+    sample_stratified_batch): the keep decision IS the hash value and must
+    be byte-reproducible by the mirror's substr(md5(...))."""
+    ids = batch.column("doc_id").to_pylist()
+    h48 = np.array(
+        [int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16) for i in ids],
+        dtype=np.int64,
+    )
+    w = (
+        batch.column("n_chars").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return batch.filter(pa.array(h48 < w * WEIGHTED_SAMPLE_SCALE)).select(
+        ["doc_id", "lang", "n_chars"]
+    )
+
+
+def q_sample_weighted(sf_dir: str):
+    return _docs(sf_dir, columns=("doc_id", "lang", "n_chars")).map_batches(
+        sample_weighted_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+_SAMPLE_WEIGHTED_SQL = (
+    "SELECT doc_id, lang, n_chars FROM documents"
+    " WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))"
+    " AS BIGINT)"
+    f" < n_chars * {WEIGHTED_SAMPLE_SCALE}"
+)
+
+
+# ---------------------------------------------------------------------------
 # global top-N by score — the "pick the best documents" shape: per-block
 # partial top-N over the streamed quality scores, tiny driver fold; no
 # global sort ever runs (the same partial/fold pattern as text_top_tokens)
@@ -961,6 +1007,7 @@ register("text_vocab_coverage", q_vocab_coverage, _COVERAGE_SQL)
 register("text_lm_score", q_lm_score, _LM_SCORE_SQL)  # micro-nat contract
 register("text_top_quality", q_top_quality, _TOP_QUALITY_SQL)
 register("text_sample_stratified", q_sample_stratified, _SAMPLE_SQL)
+register("text_sample_weighted", q_sample_weighted, _SAMPLE_WEIGHTED_SQL)
 register("text_stats", q_text_stats, _TEXT_STATS_SQL)
 register("text_quality_filter", q_quality_filter, _QUALITY_FILTER_SQL)
 # ---------------------------------------------------------------------------

@@ -37,6 +37,7 @@ SQL_CHECKED = [
     "rel_churned_customers", "rel_orders_with_returns",
     "rel_local_supply_revenue",
     "events_value_quantiles_exact", "text_length_quantiles",
+    "text_sample_weighted", "text_above_median_length",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

@@ -88,6 +88,46 @@ def test_dist_partials_compress_per_block():
     ]
 
 
+def test_weighted_sample_prefers_heavy_docs(ray_session):
+    """Importance-sampling semantics: the kept set's mean weight must exceed
+    the corpus mean (keep probability is proportional to n_chars)."""
+    import pyarrow.parquet as pq_mod
+
+    from otelcol_con_spaneventtolog_ray.functions.textstats import (
+        q_sample_weighted,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    kept = _to_df(q_sample_weighted(sf))
+    all_docs = pq_mod.read_table(
+        f"{sf}/documents.parquet", columns=["n_chars"]
+    ).to_pandas()
+    assert 0 < len(kept) < len(all_docs)
+    assert kept["n_chars"].mean() > all_docs["n_chars"].mean()
+
+
+def test_above_median_keeps_at_least_half_per_lang(ray_session):
+    """>= median keeps ceil(n/2) .. n rows of each language (ties at the
+    median can push the kept count above half, never below)."""
+    import duckdb
+
+    from otelcol_con_spaneventtolog_ray.functions.quantiles import (
+        q_above_median_length,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = _to_df(q_above_median_length(sf))
+    totals = dict(
+        duckdb.sql(
+            f"SELECT lang, count(*) FROM '{sf}/documents.parquet' GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(out["lang"]) == set(totals)
+    for _, row in out.iterrows():
+        n = totals[row["lang"]]
+        assert (n + 1) // 2 <= row["n_kept"] <= n
+
+
 # ---------------------------------------------------------------------------
 # anti/semi-join empty-result and sentinel paths (Ray)
 # ---------------------------------------------------------------------------
