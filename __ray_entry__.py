@@ -334,6 +334,8 @@ GATE_FRONT = [
     "text_length_quantiles",
     "text_sample_weighted",
     "text_above_median_length",
+    "rel_orders_pivot",
+    "rel_revenue_rollup",
     "corpus_pack_sequences",
     "similarity_label_centroids",
     "similarity_nearest_centroid",

@@ -287,6 +287,10 @@ ANALYSIS_BASKET = [
     "similarity_nearest_centroid", "events_hourly_anomalies",
     "events_type_transitions", "similarity_centroid_confusion",
     "dedup_group_stats", "dedup_dup_rate_by_source",
+    "rel_churned_customers", "rel_orders_with_returns",
+    "rel_local_supply_revenue", "events_value_quantiles_exact",
+    "text_length_quantiles", "text_sample_weighted",
+    "text_above_median_length", "rel_orders_pivot", "rel_revenue_rollup",
 ]
 
 

@@ -935,9 +935,241 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# OLAP shapes — pivot and rollup. Both follow the "aggregate once at the
+# finest grain, widen/derive on the tiny result" rule: the fact scan emits
+# per-block integer partials at the finest (row, column) grain, ONE small
+# groupby folds them, and the pivot/rollup reshaping happens on the driver
+# over a bounded-cardinality table (|months| x |priorities| / |nations| x
+# |years|) — never a second pass over the facts.
+
+PIVOT_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+_PIVOT_COLS = [
+    "p" + p.lower().replace("-", "_").replace(" ", "_")
+    for p in PIVOT_PRIORITIES
+]
+
+
+def _pivot_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (months-since-epoch, priority, n) partial counts."""
+    od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+    ym = od.astype("datetime64[M]").astype(np.int64)
+    pri = (
+        batch.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        .astype(str)
+    )
+    order = np.lexsort((pri, ym))
+    ym_s, pri_s = ym[order], pri[order]
+    boundary = (ym_s[1:] != ym_s[:-1]) | (pri_s[1:] != pri_s[:-1])
+    first = np.flatnonzero(np.concatenate([[True], boundary]))
+    return pa.table(
+        {
+            "ym": pa.array(ym_s[first], pa.int64()),
+            "pri": pa.array(pri_s[first], pa.string()),
+            "n": pa.array(
+                np.diff(np.append(first, len(ym_s))).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def q_orders_pivot(sf_dir: str):
+    """Order counts pivoted month x priority (wide columns, zeros filled) —
+    the classic pivot-report shape."""
+    from ray.data.aggregate import Sum
+
+    df = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+        .map_batches(_pivot_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby(["ym", "pri"])
+        .aggregate(Sum("n"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        cols = {"month": pa.array([], pa.string())}
+        for c in _PIVOT_COLS:
+            cols[c] = pa.array([], pa.int64())
+        return pa.table(cols)
+    wide = df.pivot_table(
+        index="ym", columns="pri", values="sum(n)", fill_value=0,
+        aggfunc="sum",
+    )
+    for p in PIVOT_PRIORITIES:
+        if p not in wide.columns:
+            wide[p] = 0
+    wide = wide[PIVOT_PRIORITIES].astype(np.int64).reset_index()
+    ym = wide["ym"].to_numpy(np.int64)
+    month = np.array(
+        [f"{1970 + m // 12:04d}-{m % 12 + 1:02d}" for m in ym], dtype=object
+    )
+    out = {"month": pa.array(month, pa.string())}
+    for p, c in zip(PIVOT_PRIORITIES, _PIVOT_COLS):
+        out[c] = pa.array(wide[p].to_numpy(np.int64), pa.int64())
+    order = np.argsort(month.astype(str), kind="stable")
+    return pa.table(out).take(pa.array(order))
+
+
+_PIVOT_SQL = (
+    "SELECT strftime(o_orderdate, '%Y-%m') AS month,\n"
+    + ",\n".join(
+        f"       count(*) FILTER (o_orderpriority = '{p}') AS {c}"
+        for p, c in zip(PIVOT_PRIORITIES, _PIVOT_COLS)
+    )
+    + "\nFROM orders GROUP BY 1 ORDER BY 1"
+)
+
+
+def _rollup_partials_factory(dim_ref):
+    import ray
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ck, cn, nk, nn = ray.get(dim_ref)
+        cust_k = (
+            batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        price_c = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        year = 1970 + od.astype("datetime64[Y]").astype(np.int64)
+        pos = np.minimum(np.searchsorted(ck, cust_k), len(ck) - 1)
+        ok = ck[pos] == cust_k
+        nat_key = cn[pos][ok]
+        price_c, year = price_c[ok], year[ok]
+        if len(price_c) == 0:
+            return pa.table(
+                {"nation": pa.array([], pa.string()),
+                 "year": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "rc": pa.array([], pa.int64())}
+            )
+        npos = np.minimum(np.searchsorted(nk, nat_key), len(nk) - 1)
+        names = nn[npos].astype(str)
+        order = np.lexsort((year, names))
+        nm_s, yr_s = names[order], year[order]
+        boundary = (nm_s[1:] != nm_s[:-1]) | (yr_s[1:] != yr_s[:-1])
+        first = np.flatnonzero(np.concatenate([[True], boundary]))
+        pc_s = price_c[order]
+        return pa.table(
+            {
+                "nation": pa.array(nm_s[first], pa.string()),
+                "year": pa.array(yr_s[first], pa.int64()),
+                "n": pa.array(
+                    np.diff(np.append(first, len(nm_s))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "rc": pa.array(np.add.reduceat(pc_s, first), pa.int64()),
+            }
+        )
+
+    return partials
+
+
+def q_revenue_rollup(sf_dir: str):
+    """ROLLUP(nation, year) order-revenue cube: finest grain aggregated
+    distributed ONCE; the (nation) and grand-total levels derive from the
+    tiny finest table on the driver. Rolled-up dimensions use explicit
+    sentinels ('ALL' / 0) instead of SQL NULLs so the value-hash contract
+    stays typed."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = cust.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ck, kind="stable")
+    ck, cn = ck[order], cn[order]
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = np.asarray(nat.column("n_name").to_pylist(), dtype=object)
+    norder = np.argsort(nk, kind="stable")
+    nk, nn = nk[norder], nn[norder]
+    dim_ref = ray.put((ck, cn, nk, nn))
+
+    df = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+        .map_batches(_rollup_partials_factory(dim_ref),
+                     batch_format="pyarrow", **remote_kwargs())
+        .groupby(["nation", "year"])
+        .aggregate(Sum("n"), Sum("rc"))
+        .to_pandas()
+    )
+    empty = pa.table(
+        {"lvl": pa.array([], pa.int64()),
+         "nation": pa.array([], pa.string()),
+         "year": pa.array([], pa.int64()),
+         "n_orders": pa.array([], pa.int64()),
+         "revenue": pa.array([], pa.float64())}
+    )
+    if len(df) == 0:
+        return empty
+    df = df.rename(columns={"sum(n)": "n", "sum(rc)": "rc"})
+    fine = df[["nation", "year", "n", "rc"]].copy()
+    fine["lvl"] = 2
+    by_nation = (
+        df.groupby("nation", as_index=False)[["n", "rc"]].sum()
+    )
+    by_nation["year"] = 0
+    by_nation["lvl"] = 1
+    total = {
+        "lvl": [0], "nation": ["ALL"], "year": [0],
+        "n": [int(df["n"].sum())], "rc": [int(df["rc"].sum())],
+    }
+    import pandas as pd
+
+    allrows = pd.concat(
+        [fine, by_nation, pd.DataFrame(total)], ignore_index=True
+    )
+    allrows["revenue"] = (allrows["rc"] / 100.0).round(6)
+    allrows = allrows.rename(columns={"n": "n_orders"}).sort_values(
+        ["lvl", "nation", "year"]
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        allrows[["lvl", "nation", "year", "n_orders", "revenue"]],
+        preserve_index=False,
+    )
+
+
+_ROLLUP_SQL = """
+WITH b AS (
+  SELECT n.n_name AS nation,
+         CAST(strftime(o.o_orderdate, '%Y') AS BIGINT) AS year,
+         count(*) AS n,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rc
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2)
+SELECT 2 AS lvl, nation, year,
+       CAST(n AS BIGINT) AS n_orders, round(rc / 100.0, 6) AS revenue
+FROM b
+UNION ALL
+SELECT 1, nation, 0, CAST(sum(n) AS BIGINT), round(sum(rc) / 100.0, 6)
+FROM b GROUP BY 2
+UNION ALL
+SELECT 0, 'ALL', 0, CAST(sum(n) AS BIGINT), round(sum(rc) / 100.0, 6)
+FROM b
+ORDER BY lvl, nation, year
+"""
+
+
 register("rel_pricing_summary", q_pricing_summary, _PRICING_SQL)
 register("rel_revenue_by_nation", q_revenue_by_nation, _REVENUE_SQL)
 register("rel_order_revenue_topk", q_order_revenue_topk, _Q3_SQL)
 register("rel_churned_customers", q_churned_customers, _CHURN_SQL)
 register("rel_orders_with_returns", q_orders_with_returns, _RETURNS_SQL)
 register("rel_local_supply_revenue", q_local_supply_revenue, _Q5_SQL)
+register("rel_orders_pivot", q_orders_pivot, _PIVOT_SQL)
+register("rel_revenue_rollup", q_revenue_rollup, _ROLLUP_SQL)

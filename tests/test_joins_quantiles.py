@@ -128,6 +128,42 @@ def test_above_median_keeps_at_least_half_per_lang(ray_session):
         assert (n + 1) // 2 <= row["n_kept"] <= n
 
 
+def test_rollup_levels_are_internally_consistent(ray_session):
+    """The (nation) level must equal the sum of its (nation, year) rows and
+    the grand total must equal the sum of the nation level — the invariant
+    that defines a rollup."""
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_revenue_rollup,
+    )
+
+    df = _to_df(q_revenue_rollup("/root/testdata/sf0.001"))
+    fine = df[df["lvl"] == 2]
+    mid = df[df["lvl"] == 1].set_index("nation")
+    top = df[df["lvl"] == 0]
+    assert len(top) == 1 and top.iloc[0]["nation"] == "ALL"
+    for nation, grp in fine.groupby("nation"):
+        assert mid.loc[nation, "n_orders"] == grp["n_orders"].sum()
+        assert abs(mid.loc[nation, "revenue"] - grp["revenue"].sum()) < 1e-6
+    assert top.iloc[0]["n_orders"] == mid["n_orders"].sum()
+
+
+def test_pivot_cells_sum_to_order_count(ray_session):
+    import duckdb
+
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        _PIVOT_COLS,
+        q_orders_pivot,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = _to_df(q_orders_pivot(sf))
+    total = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/orders.parquet'"
+    ).fetchone()[0]
+    assert df[_PIVOT_COLS].to_numpy().sum() == total
+    assert df["month"].is_monotonic_increasing
+
+
 # ---------------------------------------------------------------------------
 # anti/semi-join empty-result and sentinel paths (Ray)
 # ---------------------------------------------------------------------------
