@@ -336,6 +336,7 @@ GATE_FRONT = [
     "text_above_median_length",
     "rel_orders_pivot",
     "rel_revenue_rollup",
+    "similarity_norm_quantiles",
     "corpus_pack_sequences",
     "similarity_label_centroids",
     "similarity_nearest_centroid",

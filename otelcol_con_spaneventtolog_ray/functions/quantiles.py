@@ -359,9 +359,74 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_norm_quantiles(sf_dir: str):
+    """Exact per-label embedding-norm² percentiles — the quantile engine
+    over a list<float> column. The norm² is an EXACT integer contract:
+    each element's square is quantized to micros BEFORE the per-vector sum
+    (float32 → float64 upcast and double multiply are bit-identical in
+    numpy and DuckDB; the integer sum is order-independent), so the
+    distribution — and therefore the selected order statistics — cannot
+    drift between engines."""
+    import ray.data
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        labels = (
+            batch.column("label").to_numpy(zero_copy_only=False)
+            .astype(np.int64).astype(str)
+        )
+        if batch.num_rows == 0:
+            return _dist_partials(
+                np.array([], dtype=object), np.array([], dtype=np.int64),
+                "label",
+            )
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = np.asarray(col.offsets)
+        q = np.rint(flat * flat * 1_000_000).astype(np.int64)
+        norm2 = np.add.reduceat(q, offs[:-1])
+        norm2[offs[:-1] == offs[1:]] = 0  # empty vectors sum to 0
+        return _dist_partials(labels, norm2, "label")
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding", "label"],
+    )
+    df = _grouped_quantiles(ds, partials, "label")
+    if isinstance(df, pa.Table):
+        return df
+    return pa.Table.from_pandas(
+        df[["label", "n"] + [f"p{p}" for p in PCTS]], preserve_index=False
+    )
+
+
+_NORM_Q_SQL = f"""
+WITH v AS (
+  SELECT CAST(label AS VARCHAR) AS label,
+         COALESCE(CAST(list_sum(list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000)
+                AS BIGINT))) AS BIGINT), 0) AS vm
+  FROM embeddings),
+r AS (
+  SELECT label, vm,
+         row_number() OVER (PARTITION BY label ORDER BY vm) - 1 AS rk
+  FROM v),
+n AS (SELECT label, count(*) AS n FROM v GROUP BY 1)
+SELECT r.label, max(n.n) AS n,
+{", ".join(
+    f"       max(CASE WHEN r.rk = ((n.n - 1) * {p}) // 100 "
+    f"THEN r.vm END) AS p{p}" for p in PCTS
+)}
+FROM r JOIN n USING (label)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 register(
     "events_value_quantiles_exact", q_events_value_quantiles_exact,
     _EVENTS_Q_SQL,
 )
+register("similarity_norm_quantiles", q_norm_quantiles, _NORM_Q_SQL)
 register("text_length_quantiles", q_text_length_quantiles, _TEXT_LEN_Q_SQL)
 register("text_above_median_length", q_above_median_length, _ABOVE_MEDIAN_SQL)

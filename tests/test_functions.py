@@ -39,6 +39,7 @@ SQL_CHECKED = [
     "events_value_quantiles_exact", "text_length_quantiles",
     "text_sample_weighted", "text_above_median_length",
     "rel_orders_pivot", "rel_revenue_rollup",
+    "similarity_norm_quantiles",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
