@@ -363,6 +363,10 @@ GATE_FRONT = [
     "corpus_report",
     "text_tokenize_ids",
     "events_active_users",
+    # late round-4 additions — never gated; occupy the window's last free
+    # slots (the two multi-round-green pipeline queries rotate out), overflow
+    # waits for the round-5 rotate
+    "rel_customer_order_distribution",
     # no CORRECTNESS row in r03 (registration positions 50-61 last round)
     "similarity_pq_codes",
     "similarity_pq_topk",

@@ -1165,6 +1165,139 @@ ORDER BY lvl, nation, year
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q13-shape: customer order-count distribution — the repo's LEFT OUTER
+# join (the fourth Ray 2.49 hash-join type after inner / left_anti /
+# left_semi). Customers with NO orders must appear in the 0-orders bucket,
+# which is exactly what an outer join expresses and an inner join cannot.
+# Scale shape: orders are pre-aggregated to one (custkey, cnt) row per
+# customer BEFORE the exchange (two-phase: per-block distinct partials →
+# groupby Sum), so the join shuffles one row per customer per side, never
+# raw fact rows; the joined rows collapse immediately into per-block
+# (n_orders, n_customers) histogram partials and a tiny final groupby.
+# ---------------------------------------------------------------------------
+
+Q13_JOIN_PARTITIONS = 8
+
+
+def _q13_order_count_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (o_custkey, cnt) partial order counts — the only rows the
+    aggregate exchange carries."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {"o_custkey": pa.array([], pa.int64()),
+             "cnt": pa.array([], pa.int64())}
+        )
+    keys = (
+        batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    uniq, counts = np.unique(keys, return_counts=True)
+    return pa.table(
+        {"o_custkey": pa.array(uniq, pa.int64()),
+         "cnt": pa.array(counts.astype(np.int64), pa.int64())}
+    )
+
+
+def _q13_cnt_schema(t: pa.Table) -> pa.Table:
+    from .blockutil import retype_block
+
+    return retype_block(
+        t,
+        {"o_custkey": ("o_custkey", pa.int64()),
+         "cnt": ("cnt", pa.int64())},
+    )
+
+
+def _q13_hist_partials(batch: pa.Table) -> pa.Table:
+    """Joined block → per-block (n_orders, n_customers) histogram partials.
+    NULL cnt (customer matched no order row) IS the 0-orders bucket; the
+    planted negative sentinel customers are dropped here."""
+    if batch.num_rows == 0 or "c_custkey" not in batch.column_names:
+        return pa.table(
+            {"n_orders": pa.array([], pa.int64()),
+             "n_cust": pa.array([], pa.int64())}
+        )
+    batch = batch.filter(pc.greater_equal(batch.column("c_custkey"), 0))
+    if batch.num_rows == 0:
+        return pa.table(
+            {"n_orders": pa.array([], pa.int64()),
+             "n_cust": pa.array([], pa.int64())}
+        )
+    cnt = (
+        pc.fill_null(batch.column("cnt"), 0)
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    uniq, counts = np.unique(cnt, return_counts=True)
+    return pa.table(
+        {"n_orders": pa.array(uniq.astype(np.int64), pa.int64()),
+         "n_cust": pa.array(counts.astype(np.int64), pa.int64())}
+    )
+
+
+def q_customer_order_distribution(sf_dir: str):
+    """How many customers placed exactly N orders, for every N including 0
+    (TPC-H Q13 shape). LEFT OUTER hash join of the customer key column
+    against two-phase per-customer order counts; null-fill → 0 bucket;
+    histogram folded as integer partials."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(_q13_order_count_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("o_custkey")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(_q13_cnt_schema, batch_format="pyarrow",
+                     **remote_kwargs())
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    sent = _q3_join_sentinels(Q13_JOIN_PARTITIONS)
+    cust = cust.union(ray.data.from_arrow(pa.table(
+        {"c_custkey": pa.array(sent, pa.int64())}
+    )))
+    counts = counts.union(ray.data.from_arrow(pa.table(
+        {"o_custkey": pa.array(sent, pa.int64()),
+         "cnt": pa.array([0] * len(sent), pa.int64())}
+    )))
+    joined = cust.join(
+        counts, join_type="left_outer",
+        num_partitions=Q13_JOIN_PARTITIONS,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+    df = (
+        joined.map_batches(_q13_hist_partials, batch_format="pyarrow",
+                           **remote_kwargs())
+        .groupby("n_orders")
+        .aggregate(Sum("n_cust", alias_name="n_customers"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"n_orders": pa.array([], pa.int64()),
+             "n_customers": pa.array([], pa.int64())}
+        )
+    df = df.sort_values("n_orders").reset_index(drop=True)
+    df["n_orders"] = df["n_orders"].astype(np.int64)
+    df["n_customers"] = df["n_customers"].astype(np.int64)
+    return pa.Table.from_pandas(
+        df[["n_orders", "n_customers"]], preserve_index=False
+    )
+
+
+_Q13_SQL = """
+SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+FROM (
+  SELECT c.c_custkey, CAST(COALESCE(oc.cnt, 0) AS BIGINT) AS n_orders
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1) oc
+  ON c.c_custkey = oc.o_custkey) t
+GROUP BY 1 ORDER BY 1
+"""
+
+
 register("rel_pricing_summary", q_pricing_summary, _PRICING_SQL)
 register("rel_revenue_by_nation", q_revenue_by_nation, _REVENUE_SQL)
 register("rel_order_revenue_topk", q_order_revenue_topk, _Q3_SQL)
@@ -1173,3 +1306,5 @@ register("rel_orders_with_returns", q_orders_with_returns, _RETURNS_SQL)
 register("rel_local_supply_revenue", q_local_supply_revenue, _Q5_SQL)
 register("rel_orders_pivot", q_orders_pivot, _PIVOT_SQL)
 register("rel_revenue_rollup", q_revenue_rollup, _ROLLUP_SQL)
+register("rel_customer_order_distribution", q_customer_order_distribution,
+         _Q13_SQL)

@@ -112,10 +112,21 @@ def test_ungated_queries_sit_inside_gate_window():
     window = set(order[:50])
     ungated = set(order) - gated_last_round
     outside = sorted(ungated - window)
-    assert not outside, (
-        f"queries with no {os.path.basename(arts[-1])} row are outside the "
-        f"driver's first-50 gate window: {outside}"
-    )
+    if len(ungated) <= 50:
+        assert not outside, (
+            f"queries with no {os.path.basename(arts[-1])} row are outside "
+            f"the driver's first-50 gate window: {outside}"
+        )
+    else:
+        # More never-gated queries than window slots (late-round additions):
+        # full one-round coverage is arithmetically impossible, so the
+        # invariant becomes "no slot is wasted" — every window position must
+        # hold an ungated query; the overflow waits for next round's rotate.
+        wasted = sorted(window - ungated)
+        assert not wasted, (
+            f"gate window slots wasted on already-gated queries while "
+            f"{len(outside)} ungated queries sit outside: {wasted}"
+        )
 
 
 def test_entry_smoke(ray_session):

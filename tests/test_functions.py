@@ -40,6 +40,7 @@ SQL_CHECKED = [
     "text_sample_weighted", "text_above_median_length",
     "rel_orders_pivot", "rel_revenue_rollup",
     "similarity_norm_quantiles",
+    "rel_customer_order_distribution",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

@@ -295,3 +295,50 @@ def test_local_supply_revenue_requires_nation_match(ray_session, tmp_path):
     ))
     out = _to_df(q_local_supply_revenue(str(d)))
     assert out.to_dict("records") == [{"nation": "N_ASIA", "revenue": 900.0}]
+
+
+def test_order_distribution_outer_join_counts_zero_order_customers(
+    ray_session, tmp_path
+):
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_customer_order_distribution,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    # customers 1,2 never ordered (0-bucket); 3 ordered once; 4 three times
+    _write(d, "customer", pa.table(
+        {"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}
+    ))
+    _write(d, "orders", pa.table(
+        {"o_custkey": pa.array([3, 4, 4, 4], pa.int64())}
+    ))
+    out = _to_df(q_customer_order_distribution(str(d)))
+    assert out.to_dict("records") == [
+        {"n_orders": 0, "n_customers": 2},
+        {"n_orders": 1, "n_customers": 1},
+        {"n_orders": 3, "n_customers": 1},
+    ]
+
+
+def test_order_distribution_all_customers_ordered(ray_session, tmp_path):
+    """No 0-bucket when every customer has an order — and orders by
+    customers missing from the customer table (referential noise) must not
+    invent rows (LEFT outer, not full outer)."""
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_customer_order_distribution,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write(d, "customer", pa.table(
+        {"c_custkey": pa.array([1, 2], pa.int64())}
+    ))
+    _write(d, "orders", pa.table(
+        {"o_custkey": pa.array([1, 2, 2, 99], pa.int64())}
+    ))
+    out = _to_df(q_customer_order_distribution(str(d)))
+    assert out.to_dict("records") == [
+        {"n_orders": 1, "n_customers": 1},
+        {"n_orders": 2, "n_customers": 1},
+    ]
