@@ -380,6 +380,13 @@ GATE_FRONT = [
     "similarity_ivf_topk",
     "sketch_hll_distinct_users",
     "sketch_value_quantiles",
+    # newest round-4 additions (SQL-gated in pytest from day one):
+    # text_perplexity_buckets takes the window's one remaining free slot;
+    # corpus_source_overlap lands at position 51 and waits for the round-5
+    # rotate (the drift test allows overflow only past never-gated queries)
+    "text_perplexity_buckets",
+    "corpus_source_overlap",
+    "corpus_token_budget",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round
@@ -616,5 +623,6 @@ def oracle_sql() -> dict[str, str]:
     }
     from otelcol_con_spaneventtolog_ray.functions import entry_queries
 
+    entry_queries.resolve_lazy_oracles()  # driver-side: all modules loaded
     sql.update(entry_queries.ORACLE_SQL)
     return sql

@@ -291,6 +291,8 @@ ANALYSIS_BASKET = [
     "rel_local_supply_revenue", "events_value_quantiles_exact",
     "text_length_quantiles", "text_sample_weighted",
     "text_above_median_length", "rel_orders_pivot", "rel_revenue_rollup",
+    "text_perplexity_buckets", "corpus_source_overlap",
+    "corpus_token_budget",
 ]
 
 

@@ -579,3 +579,151 @@ FROM c ORDER BY doc_id
 """
 
 register("corpus_pack_sequences", q_pack_sequences, _PACK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus selection — the "fill the training budget with the
+# best documents" shape: keep the highest-quality docs until their tokens
+# reach a budget (here half the corpus's BPE tokens, so the query is
+# self-scaling and deterministic at any sf). Boundary rule: the threshold
+# is the LOWEST quality level whose descending cumulative tokens reach the
+# budget, and the entire tie class at that level is kept — the overshoot
+# is bounded by one quality value's mass, and the rule needs no per-doc
+# rank (no global sort).
+#
+# Scale shape: quality is the 6-dp contract (=> <= 1e6+1 distinct micro
+# cells no matter the corpus size), so pass 1 folds the (quality_micro ->
+# token mass) DISTRIBUTION via groupby(v).Sum — bounded rows — and one
+# tiny selection finds the threshold; pass 2 is an embarrassingly
+# parallel keep/drop compare. Same two-pass contract as
+# text_perplexity_buckets / quantiles.py.
+# ---------------------------------------------------------------------------
+
+#: budget = corpus_bpe_tokens // TOKEN_BUDGET_DIV (integer, exact)
+TOKEN_BUDGET_DIV = 2
+
+
+def q_token_budget(sf_dir: str):
+    """(doc_id, bpe_tokens, quality, kept) for every document: kept=True
+    iff the doc's quality clears the budget threshold (whole boundary tie
+    class inclusive)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .quantiles import QUANTILE_MAX_GROUP
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "bpe_tokens": pa.array([], pa.int64()),
+         "quality": pa.array([], pa.float64()),
+         "kept": pa.array([], pa.bool_())}
+    )
+
+    def stats():
+        return _dedup._docs(sf_dir).map_batches(
+            _textstats.text_stats_batch, batch_format="pyarrow",
+            **remote_kwargs(),
+        )
+
+    def dist_partial(batch: pa.Table) -> pa.Table:
+        q = (
+            batch.column("quality")
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        qm = np.rint(q * 1e6).astype(np.int64)  # exact: q is 6-dp rounded
+        tok = (
+            batch.column("bpe_tokens")
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        uniq, inv = np.unique(qm, return_inverse=True)
+        return pa.table(
+            {"k": pa.array(["g"] * len(uniq), pa.string()),
+             "v": pa.array(uniq, pa.int64()),
+             "tok": pa.array(np.bincount(inv, weights=tok).astype(np.int64),
+                             pa.int64())}
+        )
+
+    def select_threshold(group: pa.Table) -> pa.Table:
+        if group.num_rows > QUANTILE_MAX_GROUP:
+            raise ValueError(
+                "quality distribution exceeds QUANTILE_MAX_GROUP — the "
+                "6-dp quality grid is bounded at 1e6+1 cells, so this "
+                "indicates a contract violation upstream"
+            )
+        v = group.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = (
+            group.column("sum(tok)")
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        order = np.argsort(-v, kind="stable")  # quality descending
+        v, tok = v[order], tok[order]
+        cum = np.cumsum(tok)
+        budget = int(cum[-1]) // TOKEN_BUDGET_DIV
+        t = int(v[np.searchsorted(cum, budget, side="left")])
+        return pa.table({"t": pa.array([t], pa.int64())})
+
+    th = (
+        stats()
+        .map_batches(dist_partial, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["k", "v"])
+        .sum("tok")
+        .groupby("k")
+        .map_groups(select_threshold, batch_format="pyarrow",
+                    **remote_kwargs())
+        .to_pandas()
+    )
+    if len(th) == 0:
+        return empty
+    t = int(th["t"][0])
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        q = (
+            batch.column("quality")
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        qm = np.rint(q * 1e6).astype(np.int64)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "bpe_tokens": batch.column("bpe_tokens"),
+             "quality": batch.column("quality"),
+             "kept": pa.array(qm >= t, pa.bool_())}
+        )
+
+    return stats().map_batches(
+        verdict, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+register("corpus_token_budget", q_token_budget)
+
+
+def _token_budget_sql() -> str:
+    """Deferred (see entry_queries.LAZY_ORACLE_SQL): composes the
+    _TEXT_STATS_SQL contract, which is not yet defined when a worker-side
+    direct import of textstats re-enters this module."""
+    from .textstats import _TEXT_STATS_SQL
+
+    # threshold mirror: descending cumulative token mass over the
+    # quality_micro distribution; the threshold is max(qm) among rows
+    # whose cum reaches the budget (= the first row, in descending
+    # quality order, where the running total crosses it).
+    # Window sum(tok) OVER (ORDER BY qm DESC) and numpy's descending
+    # cumsum select the identical level; integer token sums make the
+    # comparison exact.
+    token_budget_sql = f"""
+WITH q AS ({_TEXT_STATS_SQL}),
+s AS (SELECT doc_id, bpe_tokens, quality,
+             CAST(round(quality * 1000000) AS BIGINT) AS qm FROM q),
+d AS (SELECT qm, sum(bpe_tokens) AS tok FROM s GROUP BY 1),
+c AS (SELECT qm, sum(tok) OVER (ORDER BY qm DESC) AS cum FROM d),
+tot AS (SELECT sum(bpe_tokens) // {TOKEN_BUDGET_DIV} AS budget FROM s),
+th AS (SELECT max(qm) AS t FROM c WHERE cum >= (SELECT budget FROM tot))
+SELECT s.doc_id, s.bpe_tokens, s.quality, (s.qm >= th.t) AS kept
+FROM s, th
+"""
+    return token_budget_sql
+
+
+from .entry_queries import register_lazy_sql  # noqa: E402
+
+register_lazy_sql("corpus_token_budget", _token_budget_sql)

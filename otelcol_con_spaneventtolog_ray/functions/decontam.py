@@ -317,3 +317,179 @@ FROM g LEFT JOIN h USING (doc_id)
 """
 
 register("text_dup_spans", q_dup_spans, _DUP_SPAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cross-source n-gram overlap matrix — the corpus-curation "leakage report":
+# for every pair of sources, how many distinct word SOURCE_OVERLAP_K-grams
+# they share, plus each side's distinct-gram total and the pair's Jaccard.
+# High overlap between a training source and a held-out source means the
+# split leaks; between two training sources it means double-weighted text.
+#
+# Scale shape — only (gram-hash, source) rows ever shuffle, never text:
+# 1. map_batches: vectorized shingle hashing (the decontam kernel) -> the
+#    block's DISTINCT (hash, source) pairs (one lexsort + boundary mask).
+# 2. groupby(h, source).count() folds block partials into the global
+#    distinct (gram, source) incidence table.
+# 3. source -> bit code (sources enumerated once from a column-pruned scan;
+#    <= SOURCE_OVERLAP_MAX_SOURCES so the set fits one int64 bitmask), then
+#    groupby(h).sum(mask) = the per-gram source-set OR (exact: each
+#    (gram, source) contributes its bit exactly once after step 2).
+# 4. ONE (S x block) @ (block x S) integer gemm per block turns the bitmask
+#    column into S x S co-occurrence partials; a tiny groupby over
+#    <= S^2 rows folds them. Nothing corpus-sized reaches the driver.
+# ---------------------------------------------------------------------------
+
+SOURCE_OVERLAP_K = 3
+
+#: the per-gram source set rides one int64 bitmask; a corpus with more
+#: sources than bits needs the matrix chunked by source-code range anyway
+#: (S^2 pairs stop being a "tiny report" long before the mask overflows)
+SOURCE_OVERLAP_MAX_SOURCES = 62
+
+
+def q_source_overlap(sf_dir: str):
+    """(src_a, src_b, n_common, n_a, n_b, jaccard) for every source pair
+    (src_a < src_b) sharing at least one distinct word 3-gram. Hash-vs-
+    string parity: same injectivity argument as _DECON_SQL."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    empty = pa.table(
+        {"src_a": pa.array([], pa.string()),
+         "src_b": pa.array([], pa.string()),
+         "n_common": pa.array([], pa.int64()),
+         "n_a": pa.array([], pa.int64()),
+         "n_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+
+    path = os.path.join(sf_dir, "documents.parquet")
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"source": batch.column("source").drop_null().unique()}
+        )
+
+    src_rows = (
+        ray.data.read_parquet(path, columns=["source"])
+        .map_batches(src_partial, batch_format="pyarrow", **remote_kwargs())
+        .groupby("source")
+        .count()
+        .to_pandas()
+    )
+    if "source" not in src_rows.columns:  # empty corpus loses the schema
+        return empty
+    sources = sorted(s for s in src_rows["source"] if s is not None)
+    if not sources:
+        return empty
+    if len(sources) > SOURCE_OVERLAP_MAX_SOURCES:
+        raise ValueError(
+            f"corpus_source_overlap supports at most "
+            f"{SOURCE_OVERLAP_MAX_SOURCES} sources (got {len(sources)}): "
+            "the per-gram source set is one int64 bitmask and the S^2 pair "
+            "matrix stops being a tiny report long before that — chunk the "
+            "matrix by source group instead"
+        )
+    src_arr = np.array(sources, dtype=object)
+    n_src = len(sources)
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        ok = batch.column("source").is_valid()
+        batch = batch.filter(ok)
+        sh, offs = _doc_ngram_hashes(batch, SOURCE_OVERLAP_K)
+        if len(sh) == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()),
+                 "code": pa.array([], pa.int64())}
+            )
+        src = np.asarray(batch.column("source").to_pylist(), dtype=object)
+        code = np.searchsorted(src_arr.astype(str), src.astype(str))
+        gcode = np.repeat(code.astype(np.int64), np.diff(offs))
+        hs = sh.view(np.int64)
+        order = np.lexsort((hs, gcode))
+        hs, gcode = hs[order], gcode[order]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (gcode[1:] != gcode[:-1])
+        return pa.table(
+            {"h": pa.array(hs[keep], pa.int64()),
+             "code": pa.array(gcode[keep], pa.int64())}
+        )
+
+    def to_mask(t: pa.Table) -> pa.Table:
+        code = t.column("code").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"h": t.column("h"),
+             "m": pa.array(np.int64(1) << code, pa.int64())}
+        )
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"ia": pa.array([], pa.int64()),
+                 "ib": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        m = t.column("sum(m)").to_numpy(zero_copy_only=False).astype(np.int64)
+        bits = ((m[:, None] >> np.arange(n_src)) & 1).astype(np.int64)
+        co = bits.T @ bits  # (S, S): diag = per-source totals
+        iu, ju = np.triu_indices(n_src)  # includes the diagonal
+        return pa.table(
+            {"ia": pa.array(iu.astype(np.int64), pa.int64()),
+             "ib": pa.array(ju.astype(np.int64), pa.int64()),
+             "n": pa.array(co[iu, ju], pa.int64())}
+        )
+
+    incidence = (
+        ray.data.read_parquet(path, columns=["doc_id", "text", "source"])
+        .map_batches(fanout, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["h", "code"])
+        .count()
+        .map_batches(to_mask, batch_format="pyarrow", **remote_kwargs())
+        .groupby("h")
+        .sum("m")
+        .map_batches(pair_partials, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["ia", "ib"])
+        .sum("n")
+        .to_pandas()
+    )
+    if len(incidence) == 0:
+        return empty
+    folded = np.zeros((n_src, n_src), dtype=np.int64)
+    folded[incidence["ia"], incidence["ib"]] = incidence["sum(n)"]
+    totals = np.diag(folded).copy()
+    iu, ju = np.triu_indices(n_src, k=1)
+    common = folded[iu, ju]
+    nz = common > 0
+    iu, ju, common = iu[nz], ju[nz], common[nz]
+    na, nb = totals[iu], totals[ju]
+    return pa.table(
+        {
+            "src_a": pa.array(src_arr[iu], pa.string()),
+            "src_b": pa.array(src_arr[ju], pa.string()),
+            "n_common": pa.array(common, pa.int64()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "jaccard": pa.array(
+                np.round(common / (na + nb - common), 6), pa.float64()
+            ),
+        }
+    )
+
+
+_SOURCE_OVERLAP_SQL = _word_gram_cte(SOURCE_OVERLAP_K) + """,
+e AS (SELECT DISTINCT d.source AS source, x.gram AS gram
+      FROM g JOIN documents d USING (doc_id),
+           LATERAL (SELECT unnest(g.grams) AS gram) x
+      WHERE d.source IS NOT NULL),
+n AS (SELECT source, count(*) AS n FROM e GROUP BY 1),
+p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM e a JOIN e b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2)
+SELECT p.src_a, p.src_b, p.n_common, na.n AS n_a, nb.n AS n_b,
+       round(p.n_common / CAST(na.n + nb.n - p.n_common AS DOUBLE), 6)
+         AS jaccard
+FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b
+"""
+
+register("corpus_source_overlap", q_source_overlap, _SOURCE_OVERLAP_SQL)

@@ -670,7 +670,10 @@ def corpus_vocab(sf_dir: str, k: int = LM_VOCAB_K):
     )
 
 
-def _vocab_score_fn(vocab_ref, want_lm: bool):
+def _vocab_score_fn(vocab_ref, want_lm: bool, micro: bool = False):
+    """micro=True returns the INTEGER per-doc mean NLL (floor-divided
+    micro-nats) instead of the float lm_score — the bucket metric of
+    q_perplexity_buckets, exact under any distributed fold order."""
     import ray
 
     def _score(batch: pa.Table) -> pa.Table:
@@ -710,6 +713,17 @@ def _vocab_score_fn(vocab_ref, want_lm: bool):
                 if has.any()
                 else np.zeros(0, np.int64)
             )
+            if micro:
+                # floor division of non-negative int64s — identical to
+                # DuckDB's integer `//` on the same values
+                return pa.table(
+                    {
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "lm_micro": pa.array(
+                            sums // doc_tok[has], pa.int64()
+                        ),
+                    }
+                )
             score = sums.astype(np.float64) / (doc_tok[has] * 1e6)
             return pa.table(
                 {
@@ -1304,3 +1318,158 @@ FROM r WHERE rank <= {TOP_IDF_TERMS} ORDER BY rank
 
 register("text_gopher_rules", q_gopher_rules, _GOPHER_SQL)
 register("text_idf_top_terms", q_idf_top_terms, _IDF_SQL)
+
+
+# ---------------------------------------------------------------------------
+# perplexity bucketing — the CCNet recipe: partition the corpus into
+# head / middle / tail by LM-score tertiles, so downstream mixing can
+# oversample the "head" (closest to the reference LM) and discount the
+# "tail". The bucket metric is the INTEGER per-doc mean NLL in micro-nats
+# (sum of the lm_score contract's per-token micro-nats, floor-divided by
+# the token count), which makes both the thresholds and the assignment
+# exact in any engine and any fold order.
+#
+# Scale shape — no global sort, no rank column: pass 1 folds the bounded
+# value DISTRIBUTION (metric resolution caps distinct cells at ~3e7 no
+# matter the corpus size — the quantiles.py contract) through
+# groupby(v).Sum and selects the two order statistics; the two thresholds
+# broadcast into pass 2, an embarrassingly parallel bucket-compare map.
+# Both passes reuse the ONE corpus vocabulary built and ray.put once.
+# ---------------------------------------------------------------------------
+
+#: tertile percents — nearest-rank ((n-1)*p)//100, the quantiles.py contract
+PPL_BUCKET_PCTS = (33, 66)
+
+
+def q_perplexity_buckets(sf_dir: str):
+    """(doc_id, lm_micro, ppl_bucket): CCNet-style head/middle/tail by
+    exact global tertiles of the integer micro-nat mean NLL. Ties at a
+    threshold share a bucket (comparison-based, not rank-based), so the
+    assignment is deterministic without a global sort."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .quantiles import QUANTILE_MAX_GROUP, _dist_partials
+
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "lm_micro": pa.array([], pa.int64()),
+         "ppl_bucket": pa.array([], pa.string())}
+    )
+    ref = ray.put(corpus_vocab(sf_dir))
+
+    def scored():
+        return _docs(sf_dir).map_batches(
+            _vocab_score_fn(ref, want_lm=True, micro=True),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = (
+            batch.column("lm_micro")
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        return _dist_partials(np.full(len(v), "g", dtype=object), v, "k")
+
+    def select_thresholds(group: pa.Table) -> pa.Table:
+        if group.num_rows > QUANTILE_MAX_GROUP:
+            raise ValueError(
+                f"perplexity distribution has {group.num_rows} distinct "
+                f"micro-nat cells (> QUANTILE_MAX_GROUP="
+                f"{QUANTILE_MAX_GROUP}); coarsen the quantizer or use "
+                "sketch_value_quantiles for the thresholds"
+            )
+        v = group.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = (
+            group.column("cnt").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.argsort(v, kind="stable")
+        v, cnt = v[order], cnt[order]
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        targets = np.array(
+            [((n - 1) * p) // 100 for p in PPL_BUCKET_PCTS], dtype=np.int64
+        )
+        idx = np.searchsorted(cum, targets, side="right")
+        return pa.table(
+            {"t33": pa.array([int(v[idx[0]])], pa.int64()),
+             "t66": pa.array([int(v[idx[1]])], pa.int64())}
+        )
+
+    def resum(t: pa.Table) -> pa.Table:
+        from .blockutil import retype_block
+
+        return retype_block(
+            t,
+            {"k": ("k", pa.string()), "v": ("v", pa.int64()),
+             "cnt": ("sum(cnt)", pa.int64())},
+        )
+
+    th = (
+        scored()
+        .map_batches(partials, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["k", "v"])
+        .aggregate(Sum("cnt"))
+        .map_batches(resum, batch_format="pyarrow", **remote_kwargs())
+        .groupby("k")
+        .map_groups(select_thresholds, batch_format="pyarrow",
+                    **remote_kwargs())
+        .to_pandas()
+    )
+    if len(th) == 0:  # token-less corpus: no doc is scoreable
+        return empty
+    t33, t66 = int(th["t33"][0]), int(th["t66"][0])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        v = (
+            batch.column("lm_micro")
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        lab = np.where(
+            v <= t33, "head", np.where(v <= t66, "middle", "tail")
+        )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "lm_micro": batch.column("lm_micro"),
+             "ppl_bucket": pa.array(lab.astype(object), pa.string())}
+        )
+
+    return scored().map_batches(
+        bucket, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
+# mirror of _LM_SCORE_SQL's per-token micro-nat CTE, then BIGINT floor
+# division for the metric, nearest-rank tertiles over per-doc rows, and
+# the same comparison-based bucket CASE. sum(m) is HUGEINT in DuckDB and
+# int64 on the Ray side — both exact on the same integers; the division
+# result fits int64 because each m does.
+_PPL_BUCKETS_SQL = (
+    _VOCAB_CTE
+    + f""",
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+t AS (SELECT w.doc_id AS doc_id,
+        CAST(round(-ln(coalesce(CAST(v.n AS DOUBLE), {LM_OOV_COUNT})
+                       / (SELECT total FROM tot)) * 1000000) AS BIGINT) AS m
+      FROM w LEFT JOIN v USING (token)),
+s AS (SELECT doc_id, CAST(sum(m) // count(*) AS BIGINT) AS lm_micro
+      FROM t GROUP BY doc_id),
+r AS (SELECT lm_micro, row_number() OVER (ORDER BY lm_micro) - 1 AS rk
+      FROM s),
+nn AS (SELECT count(*) AS n FROM s),
+th AS (SELECT
+    max(CASE WHEN r.rk = ((nn.n - 1) * {PPL_BUCKET_PCTS[0]}) // 100
+        THEN r.lm_micro END) AS t33,
+    max(CASE WHEN r.rk = ((nn.n - 1) * {PPL_BUCKET_PCTS[1]}) // 100
+        THEN r.lm_micro END) AS t66
+  FROM r, nn)
+SELECT s.doc_id, s.lm_micro,
+       CASE WHEN s.lm_micro <= th.t33 THEN 'head'
+            WHEN s.lm_micro <= th.t66 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM s, th
+"""
+)
+
+register("text_perplexity_buckets", q_perplexity_buckets, _PPL_BUCKETS_SQL)

@@ -41,6 +41,8 @@ SQL_CHECKED = [
     "rel_orders_pivot", "rel_revenue_rollup",
     "similarity_norm_quantiles",
     "rel_customer_order_distribution",
+    "text_perplexity_buckets", "corpus_source_overlap",
+    "corpus_token_budget",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

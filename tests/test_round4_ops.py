@@ -544,6 +544,8 @@ NEW_OPS_EMPTY = [
     "events_retention_cohorts", "events_rate_limit", "events_props_stats",
     "sketch_bloom_users", "sketch_cms_top_tokens",
     "text_gopher_rules", "text_idf_top_terms", "events_user_lifetime",
+    "corpus_source_overlap", "text_perplexity_buckets",
+    "corpus_token_budget",
 ]
 
 
@@ -1206,3 +1208,184 @@ def test_hourly_anomalies_null_type_dropped(ray_session, tmp_path):
     _write_docs(tmp_path, ["x"])
     got = _sql_parity(str(tmp_path), "events_hourly_anomalies")
     assert set(got["event_type"]) == {"view"} and len(got) == 2
+
+
+# ---------------------------------------------------------------------------
+# cross-source n-gram overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def _write_docs_sources(tmp_path, rows):
+    """rows: list of (doc_id, text, source) — source/text may be None."""
+    ids, texts, srcs = zip(*rows)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(rows)),
+            "source": pa.array(srcs, pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for t in texts], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_source_overlap_planted_grams(ray_session, tmp_path):
+    """Planted trigram sharing: A={'a b c','b c d'}, B={'b c d','c d e'},
+    C={'x y z'} -> only (A,B) appears, with n_common=1 and jaccard=1/3.
+    NULL text and NULL source rows must not contribute."""
+    sf = _write_docs_sources(
+        tmp_path,
+        [
+            (0, "a b c d", "srcA"),
+            (1, "b c d e", "srcB"),
+            (2, "x y z", "srcC"),
+            (3, None, "srcA"),
+            (4, "b c d", None),
+        ],
+    )
+    got = _sql_parity(sf, "corpus_source_overlap")
+    rows = got.to_dict("records")
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src_a"], r["src_b"]) == ("srcA", "srcB")
+    assert (r["n_common"], r["n_a"], r["n_b"]) == (1, 2, 2)
+    assert r["jaccard"] == round(1 / 3, 6)
+
+
+def test_source_overlap_short_doc_single_gram(ray_session, tmp_path):
+    """Docs shorter than K collapse to ONE gram over all words (the
+    batch_shingles convention): two 2-word copies across sources share
+    exactly that gram."""
+    sf = _write_docs_sources(
+        tmp_path, [(0, "p q", "s1"), (1, "p q", "s2")]
+    )
+    got = _sql_parity(sf, "corpus_source_overlap")
+    r = got.to_dict("records")[0]
+    assert (r["n_common"], r["n_a"], r["n_b"]) == (1, 1, 1)
+    assert r["jaccard"] == 1.0
+
+
+def test_source_overlap_source_cap_fail_fast(ray_session, tmp_path,
+                                             monkeypatch):
+    from otelcol_con_spaneventtolog_ray.functions import decontam
+
+    monkeypatch.setattr(decontam, "SOURCE_OVERLAP_MAX_SOURCES", 2)
+    sf = _write_docs_sources(
+        tmp_path,
+        [(0, "a b c", "s1"), (1, "a b c", "s2"), (2, "a b c", "s3")],
+    )
+    with pytest.raises(ValueError, match="at most 2 sources"):
+        decontam.q_source_overlap(sf)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets
+# ---------------------------------------------------------------------------
+
+
+def _ppl_bruteforce(texts, ids):
+    """Scalar mirror of the lm_micro metric + nearest-rank tertiles."""
+    import collections
+    import math
+
+    toks_per_doc = {
+        i: [w for w in (t or "").split() if w] for i, t in zip(ids, texts)
+    }
+    counts = collections.Counter(
+        w for ws in toks_per_doc.values() for w in ws
+    )
+    total = sum(counts.values())
+    vocab = dict(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:500]
+    )
+
+    def m(tok):
+        n = vocab.get(tok, 0.5)
+        # np.rint banker's rounding on the same float product
+        return int(np.rint(-math.log(n / total) * 1e6))
+
+    micro = {
+        i: sum(m(w) for w in ws) // len(ws)
+        for i, ws in toks_per_doc.items()
+        if ws
+    }
+    vals = sorted(micro.values())
+    n = len(vals)
+    t33 = vals[((n - 1) * 33) // 100]
+    t66 = vals[((n - 1) * 66) // 100]
+    return {
+        i: (v, "head" if v <= t33 else ("middle" if v <= t66 else "tail"))
+        for i, v in micro.items()
+    }
+
+
+def test_perplexity_buckets_match_bruteforce(ray_session, tmp_path):
+    rng = np.random.default_rng(11)
+    words = "the quick brown fox jumps over lazy dog rare unseen".split()
+    # skewed frequencies so docs differ in mean NLL
+    probs = np.array([20, 15, 10, 8, 6, 5, 4, 3, 2, 1], dtype=float)
+    probs /= probs.sum()
+    ids = list(range(60))
+    texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(5, 40)), p=probs))
+        for _ in ids
+    ]
+    ids += [100, 101]
+    texts += ["", "rare unseen rare unseen"]  # token-less + OOV-free tail
+    sf = _write_docs(tmp_path, texts, ids)
+    got = _sql_parity(sf, "text_perplexity_buckets")
+    exp = _ppl_bruteforce(texts, ids)
+    assert len(got) == len(exp)  # doc 100 (no tokens) absent
+    for r in got.to_dict("records"):
+        v, b = exp[r["doc_id"]]
+        assert r["lm_micro"] == v, r
+        assert r["ppl_bucket"] == b, r
+    # every bucket is populated and identical texts share a bucket
+    assert set(got["ppl_bucket"]) == {"head", "middle", "tail"}
+
+
+def test_perplexity_buckets_ties_share_bucket(ray_session, tmp_path):
+    """Identical texts have identical lm_micro and MUST land in one
+    bucket regardless of where the tertile rank falls inside the tie."""
+    texts = ["same same same"] * 9 + ["zq zq zq zq"]
+    sf = _write_docs(tmp_path, texts, list(range(10)))
+    got = _sql_parity(sf, "text_perplexity_buckets")
+    same = got[got["doc_id"] < 9]["ppl_bucket"].unique()
+    assert len(same) == 1
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus selection
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_boundary_tie_class_kept(ray_session, tmp_path):
+    """Four docs at three quality levels; the budget lands inside the
+    middle tie class -> the WHOLE tie class is kept (inclusive boundary),
+    the lower level dropped. Brute-force mirror computed inline."""
+    # quality is monotone in ws_tokens below 100 words: more words ->
+    # higher quality component. Build three distinct word counts.
+    texts = [
+        " ".join(["w"] * 90),   # high quality
+        " ".join(["w"] * 50),   # mid
+        " ".join(["w"] * 50),   # mid (tie class)
+        " ".join(["w"] * 10),   # low
+    ]
+    sf = _write_docs(tmp_path, texts, [0, 1, 2, 3])
+    got = _sql_parity(sf, "corpus_token_budget").set_index("doc_id")
+    # budget = total_bpe_tokens // 2; the high doc alone is under budget,
+    # adding the mid tie class crosses it -> high + both mids kept
+    assert bool(got.loc[0, "kept"])
+    assert bool(got.loc[1, "kept"]) and bool(got.loc[2, "kept"])
+    assert not bool(got.loc[3, "kept"])
+    # kept token mass reaches the budget, and dropping the boundary tie
+    # class would fall below it (the defining property of the threshold)
+    tok = got["bpe_tokens"]
+    budget = int(tok.sum()) // 2
+    kept_mass = int(tok[got["kept"]].sum())
+    assert kept_mass >= budget
+    assert int(tok.loc[[0]].sum()) < budget
