@@ -76,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.list_queries:
         from .functions import entry_queries
 
+        entry_queries.resolve_lazy_oracles()  # lazy SQL counts as gated
         for name in sorted(entry_queries.QUERIES):
             kind = "sql-gated" if name in entry_queries.ORACLE_SQL else "rows-only"
             print(f"{name}\t{kind}")

@@ -606,11 +606,11 @@ TOKEN_BUDGET_DIV = 2
 def q_token_budget(sf_dir: str):
     """(doc_id, bpe_tokens, quality, kept) for every document: kept=True
     iff the doc's quality clears the budget threshold (whole boundary tie
-    class inclusive)."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    from .quantiles import QUANTILE_MAX_GROUP
+    class inclusive). NULL-text docs have no token count and are absent
+    from the output on both engines (SQL: WHERE bpe_tokens IS NOT NULL —
+    quality itself is NOT the null witness, because DuckDB's least()
+    ignores NULL operands and yields 0.7 for a NULL text)."""
+    from .quantiles import QUANTILE_MAX_GROUP, _distribution_fold
 
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()),
@@ -619,10 +619,18 @@ def q_token_budget(sf_dir: str):
          "kept": pa.array([], pa.bool_())}
     )
 
+    def stats_nonnull(batch: pa.Table) -> pa.Table:
+        # NULL text has no stats: utf8_length(NULL) -> NaN -> astype(int64)
+        # garbage would corrupt the integer distribution (the ws_token
+        # NaN hazard documented on _words_flat). SQL mirror drops the same
+        # rows via WHERE quality IS NOT NULL.
+        return _textstats.text_stats_batch(
+            batch.filter(batch.column("text").is_valid())
+        )
+
     def stats():
         return _dedup._docs(sf_dir).map_batches(
-            _textstats.text_stats_batch, batch_format="pyarrow",
-            **remote_kwargs(),
+            stats_nonnull, batch_format="pyarrow", **remote_kwargs()
         )
 
     def dist_partial(batch: pa.Table) -> pa.Table:
@@ -636,10 +644,12 @@ def q_token_budget(sf_dir: str):
             .to_numpy(zero_copy_only=False).astype(np.int64)
         )
         uniq, inv = np.unique(qm, return_inverse=True)
+        # cnt = the quality level's token MASS, not its row count — the
+        # shared fold only needs an int64 weight per (key, v)
         return pa.table(
             {"k": pa.array(["g"] * len(uniq), pa.string()),
              "v": pa.array(uniq, pa.int64()),
-             "tok": pa.array(np.bincount(inv, weights=tok).astype(np.int64),
+             "cnt": pa.array(np.bincount(inv, weights=tok).astype(np.int64),
                              pa.int64())}
         )
 
@@ -652,7 +662,7 @@ def q_token_budget(sf_dir: str):
             )
         v = group.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
         tok = (
-            group.column("sum(tok)")
+            group.column("cnt")
             .to_numpy(zero_copy_only=False).astype(np.int64)
         )
         order = np.argsort(-v, kind="stable")  # quality descending
@@ -662,16 +672,9 @@ def q_token_budget(sf_dir: str):
         t = int(v[np.searchsorted(cum, budget, side="left")])
         return pa.table({"t": pa.array([t], pa.int64())})
 
-    th = (
-        stats()
-        .map_batches(dist_partial, batch_format="pyarrow", **remote_kwargs())
-        .groupby(["k", "v"])
-        .sum("tok")
-        .groupby("k")
-        .map_groups(select_threshold, batch_format="pyarrow",
-                    **remote_kwargs())
-        .to_pandas()
-    )
+    th = _distribution_fold(
+        stats(), dist_partial, "k", select_threshold
+    ).to_pandas()
     if len(th) == 0:
         return empty
     t = int(th["t"][0])
@@ -713,7 +716,8 @@ def _token_budget_sql() -> str:
     token_budget_sql = f"""
 WITH q AS ({_TEXT_STATS_SQL}),
 s AS (SELECT doc_id, bpe_tokens, quality,
-             CAST(round(quality * 1000000) AS BIGINT) AS qm FROM q),
+             CAST(round(quality * 1000000) AS BIGINT) AS qm FROM q
+      WHERE bpe_tokens IS NOT NULL),
 d AS (SELECT qm, sum(bpe_tokens) AS tok FROM s GROUP BY 1),
 c AS (SELECT qm, sum(tok) OVER (ORDER BY qm DESC) AS cum FROM d),
 tot AS (SELECT sum(bpe_tokens) // {TOKEN_BUDGET_DIV} AS budget FROM s),

@@ -353,7 +353,6 @@ def q_source_overlap(sf_dir: str):
     (src_a < src_b) sharing at least one distinct word 3-gram. Hash-vs-
     string parity: same injectivity argument as _DECON_SQL."""
     import ray.data
-    from ray.data.aggregate import Sum
 
     empty = pa.table(
         {"src_a": pa.array([], pa.string()),

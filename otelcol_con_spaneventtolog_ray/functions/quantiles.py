@@ -101,8 +101,13 @@ def _select_quantiles(group: pa.Table, key_name: str) -> pa.Table:
     return pa.table(cols)
 
 
-def _grouped_quantiles(ds, make_partials, key_name: str):
-    """read -> combiner -> groupby((key,v)).Sum -> per-key selection."""
+def _distribution_fold(ds, make_partials, key_name: str, select_fn):
+    """The shared two-phase bounded-distribution engine: combiner ->
+    groupby((key, v)).Sum -> per-key selection. ``make_partials`` emits
+    per-block (key_name, v:int64, cnt:int64) partial weights; ``select_fn``
+    receives ONE key's folded distribution table with the same columns.
+    Also the pass-1 engine of text_perplexity_buckets and
+    corpus_token_budget (cnt = token mass there)."""
     from ray.data.aggregate import Sum
 
     def resum(t: pa.Table) -> pa.Table:
@@ -115,16 +120,22 @@ def _grouped_quantiles(ds, make_partials, key_name: str):
              "cnt": ("sum(cnt)", pa.int64())},
         )
 
-    dist = (
+    return (
         ds.map_batches(make_partials, batch_format="pyarrow",
                        **remote_kwargs())
         .groupby([key_name, "v"])
         .aggregate(Sum("cnt"))
         .map_batches(resum, batch_format="pyarrow", **remote_kwargs())
+        .groupby(key_name)
+        .map_groups(select_fn, batch_format="pyarrow", **remote_kwargs())
     )
-    out = dist.groupby(key_name).map_groups(
+
+
+def _grouped_quantiles(ds, make_partials, key_name: str):
+    """read -> combiner -> groupby((key,v)).Sum -> per-key selection."""
+    out = _distribution_fold(
+        ds, make_partials, key_name,
         lambda g: _select_quantiles(g, key_name),
-        batch_format="pyarrow", **remote_kwargs(),
     )
     df = out.to_pandas()
     if len(df) == 0:

@@ -788,14 +788,21 @@ _COVERAGE_SQL = (
 # match numpy's exactly. round() vs np.rint differ only at exact .5
 # products, which last-ulp ln() noise reaches with probability ~5e-9 per
 # distinct count value.
-_LM_SCORE_SQL = (
-    _VOCAB_CTE
-    + f""",
+#: per-token micro-nat CTE — the single source of truth for the m values
+#: BOTH _LM_SCORE_SQL and _PPL_BUCKETS_SQL fold (changing the OOV
+#: pseudo-count or the quantizer here changes both gates together, the
+#: same no-desync rule as decontam._word_gram_cte)
+_LM_MICRO_CTE = f""",
 tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
 t AS (SELECT w.doc_id AS doc_id,
         CAST(round(-ln(coalesce(CAST(v.n AS DOUBLE), {LM_OOV_COUNT})
                        / (SELECT total FROM tot)) * 1000000) AS BIGINT) AS m
-      FROM w LEFT JOIN v USING (token))
+      FROM w LEFT JOIN v USING (token))"""
+
+_LM_SCORE_SQL = (
+    _VOCAB_CTE
+    + _LM_MICRO_CTE
+    + """
 SELECT doc_id, CAST(sum(m) AS DOUBLE) / (count(*) * 1000000.0) AS lm_score
 FROM t GROUP BY doc_id
 """
@@ -1347,9 +1354,12 @@ def q_perplexity_buckets(sf_dir: str):
     threshold share a bucket (comparison-based, not rank-based), so the
     assignment is deterministic without a global sort."""
     import ray
-    from ray.data.aggregate import Sum
 
-    from .quantiles import QUANTILE_MAX_GROUP, _dist_partials
+    from .quantiles import (
+        QUANTILE_MAX_GROUP,
+        _dist_partials,
+        _distribution_fold,
+    )
 
     empty = pa.table(
         {"doc_id": pa.array([], pa.int64()),
@@ -1397,26 +1407,9 @@ def q_perplexity_buckets(sf_dir: str):
              "t66": pa.array([int(v[idx[1]])], pa.int64())}
         )
 
-    def resum(t: pa.Table) -> pa.Table:
-        from .blockutil import retype_block
-
-        return retype_block(
-            t,
-            {"k": ("k", pa.string()), "v": ("v", pa.int64()),
-             "cnt": ("sum(cnt)", pa.int64())},
-        )
-
-    th = (
-        scored()
-        .map_batches(partials, batch_format="pyarrow", **remote_kwargs())
-        .groupby(["k", "v"])
-        .aggregate(Sum("cnt"))
-        .map_batches(resum, batch_format="pyarrow", **remote_kwargs())
-        .groupby("k")
-        .map_groups(select_thresholds, batch_format="pyarrow",
-                    **remote_kwargs())
-        .to_pandas()
-    )
+    th = _distribution_fold(
+        scored(), partials, "k", select_thresholds
+    ).to_pandas()
     if len(th) == 0:  # token-less corpus: no doc is scoreable
         return empty
     t33, t66 = int(th["t33"][0]), int(th["t66"][0])
@@ -1447,12 +1440,8 @@ def q_perplexity_buckets(sf_dir: str):
 # result fits int64 because each m does.
 _PPL_BUCKETS_SQL = (
     _VOCAB_CTE
+    + _LM_MICRO_CTE
     + f""",
-tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
-t AS (SELECT w.doc_id AS doc_id,
-        CAST(round(-ln(coalesce(CAST(v.n AS DOUBLE), {LM_OOV_COUNT})
-                       / (SELECT total FROM tot)) * 1000000) AS BIGINT) AS m
-      FROM w LEFT JOIN v USING (token)),
 s AS (SELECT doc_id, CAST(sum(m) // count(*) AS BIGINT) AS lm_micro
       FROM t GROUP BY doc_id),
 r AS (SELECT lm_micro, row_number() OVER (ORDER BY lm_micro) - 1 AS rk

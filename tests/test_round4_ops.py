@@ -1389,3 +1389,17 @@ def test_token_budget_boundary_tie_class_kept(ray_session, tmp_path):
     kept_mass = int(tok[got["kept"]].sum())
     assert kept_mass >= budget
     assert int(tok.loc[[0]].sum()) < budget
+
+
+def test_token_budget_null_text_absent_both_engines(ray_session, tmp_path):
+    """A NULL-text doc has no quality: it must be ABSENT from the output on
+    both engines (and must not corrupt the integer distribution — the
+    NaN -> astype(int64) hazard)."""
+    sf = _write_docs_sources(
+        tmp_path,
+        [(0, " ".join(["w"] * 80), "s"), (1, None, "s"),
+         (2, " ".join(["w"] * 20), "s"), (3, " ".join(["w"] * 40), "s"),
+         (4, " ".join(["w"] * 60), "s")],
+    )
+    got = _sql_parity(sf, "corpus_token_budget")
+    assert sorted(got["doc_id"]) == [0, 2, 3, 4]
