@@ -326,18 +326,24 @@ register("text_dup_spans", q_dup_spans, _DUP_SPAN_SQL)
 # High overlap between a training source and a held-out source means the
 # split leaks; between two training sources it means double-weighted text.
 #
-# Scale shape — only (gram-hash, source) rows ever shuffle, never text:
+# Scale shape — only (gram-hash, source-code) rows ever shuffle, never text:
 # 1. map_batches: vectorized shingle hashing (the decontam kernel) -> the
-#    block's DISTINCT (hash, source) pairs (one lexsort + boundary mask).
-# 2. groupby(h, source).count() folds block partials into the global
-#    distinct (gram, source) incidence table.
-# 3. source -> bit code (sources enumerated once from a column-pruned scan;
-#    <= SOURCE_OVERLAP_MAX_SOURCES so the set fits one int64 bitmask), then
-#    groupby(h).sum(mask) = the per-gram source-set OR (exact: each
-#    (gram, source) contributes its bit exactly once after step 2).
-# 4. ONE (S x block) @ (block x S) integer gemm per block turns the bitmask
-#    column into S x S co-occurrence partials; a tiny groupby over
-#    <= S^2 rows folds them. Nothing corpus-sized reaches the driver.
+#    block's DISTINCT (hash, code) pairs (one lexsort + boundary mask;
+#    sources enumerated once from a column-pruned scan, <=
+#    SOURCE_OVERLAP_MAX_SOURCES so a gram's source set fits one int64
+#    bitmask).
+# 2. sort("h") — the ONE corpus-sized exchange, the same sort-co-partition
+#    join dup_spans uses (equal hashes land in one block, pinned by
+#    test_sort_colocates_equal_keys_in_one_block; a run is structurally
+#    <= S x input-blocks rows). Replaces two hash groupbys measured 5-7x
+#    slower at 5M fan-out rows.
+# 3. ONE vectorized fold per sorted block: per-run bitwise_or.reduceat
+#    builds each gram's source-set mask (cross-block duplicates of
+#    (hash, code) collapse here — OR is idempotent), then one
+#    (S x runs) @ (runs x S) integer gemm emits the block's S x S
+#    co-occurrence partial (diag = per-source distinct-gram totals).
+# 4. a tiny groupby over <= S^2 rows folds the partials; only the S x S
+#    matrix reaches the driver.
 # ---------------------------------------------------------------------------
 
 SOURCE_OVERLAP_K = 3
@@ -415,23 +421,25 @@ def q_source_overlap(sf_dir: str):
              "code": pa.array(gcode[keep], pa.int64())}
         )
 
-    def to_mask(t: pa.Table) -> pa.Table:
-        code = t.column("code").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {"h": t.column("h"),
-             "m": pa.array(np.int64(1) << code, pa.int64())}
-        )
-
-    def pair_partials(t: pa.Table) -> pa.Table:
+    def run_fold(t: pa.Table) -> pa.Table:
+        """Sorted block -> per-run source-set OR -> S x S gemm partial."""
         if t.num_rows == 0:
             return pa.table(
                 {"ia": pa.array([], pa.int64()),
                  "ib": pa.array([], pa.int64()),
                  "n": pa.array([], pa.int64())}
             )
-        m = t.column("sum(m)").to_numpy(zero_copy_only=False).astype(np.int64)
-        bits = ((m[:, None] >> np.arange(n_src)) & 1).astype(np.int64)
-        co = bits.T @ bits  # (S, S): diag = per-source totals
+        h = t.column("h").to_numpy(zero_copy_only=False)
+        code = (
+            t.column("code").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.argsort(h, kind="stable")
+        h, code = h[order], code[order]
+        starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
+        masks = np.bitwise_or.reduceat(np.int64(1) << code, starts)
+        bits = ((masks[:, None] >> np.arange(n_src)) & 1).astype(np.int64)
+        co = bits.T @ bits  # (S, S): diag = per-source distinct totals
         iu, ju = np.triu_indices(n_src)  # includes the diagonal
         return pa.table(
             {"ia": pa.array(iu.astype(np.int64), pa.int64()),
@@ -442,12 +450,9 @@ def q_source_overlap(sf_dir: str):
     incidence = (
         ray.data.read_parquet(path, columns=["doc_id", "text", "source"])
         .map_batches(fanout, batch_format="pyarrow", **remote_kwargs())
-        .groupby(["h", "code"])
-        .count()
-        .map_batches(to_mask, batch_format="pyarrow", **remote_kwargs())
-        .groupby("h")
-        .sum("m")
-        .map_batches(pair_partials, batch_format="pyarrow", **remote_kwargs())
+        .sort("h")
+        .map_batches(run_fold, batch_format="pyarrow", batch_size=None,
+                     **remote_kwargs())
         .groupby(["ia", "ib"])
         .sum("n")
         .to_pandas()

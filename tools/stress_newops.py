@@ -1,0 +1,96 @@
+"""Scale-stress for the final-session ops (perplexity buckets, cross-source
+overlap, token-budget selection): deterministic replications of sf0.1
+documents to 100k and 1M rows under /tmp. Each replica offsets doc_id and
+prepends a replica-pool word so distinct texts/grams grow with the data
+while the vocabulary (and therefore the micro-nat / quality distribution
+cells) stays bounded — the regime the two-phase folds are designed for.
+
+Usage: python tools/stress_newops.py [--cpus 32] [--docs 100000 ...]
+Prints one JSON line {op@rows: wall_sec} for BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.1"
+OUT = "/tmp/graft_stress_newops"
+
+#: bounded tag pool: grows gram diversity without unbounding the vocab
+TAGS = [f"tag{i:02d}" for i in range(100)]
+
+
+def build_docs(n_docs: int) -> str:
+    d = os.path.join(OUT, f"docs{n_docs}")
+    marker = os.path.join(d, ".done")
+    if os.path.exists(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    parts = os.path.join(d, "documents.parquet")
+    os.makedirs(parts)
+    t = pq.read_table(SF + "/documents.parquet")
+    base = t.num_rows
+    reps = n_docs // base
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = t.column("text").to_pylist()
+    for r in range(reps):
+        tag = TAGS[r % len(TAGS)]
+        t2 = pa.table(
+            {
+                "doc_id": pa.array(ids + r * base, pa.int64()),
+                "text": pa.array(
+                    [f"{tag} {x}" if x is not None else None for x in texts],
+                    pa.string(),
+                ),
+                "lang": t.column("lang"),
+                "source": t.column("source"),
+                "n_chars": t.column("n_chars"),
+            }
+        )
+        pq.write_table(t2, os.path.join(parts, f"part-{r:04d}.parquet"))
+    open(marker, "w").close()
+    return d
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--docs", type=int, nargs="*",
+                    default=[100_000, 1_000_000])
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False)
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    walls: dict[str, float] = {}
+    for n in args.docs:
+        sf = build_docs(n)
+        for name in ("text_perplexity_buckets", "corpus_source_overlap",
+                     "corpus_token_budget"):
+            t0 = time.monotonic()
+            out = qs[name](sf)
+            df = out.to_pandas() if hasattr(out, "to_pandas") else out
+            walls[f"{name}@{n}"] = round(time.monotonic() - t0, 2)
+            walls[f"{name}@{n}_rows"] = len(df)
+    print(json.dumps({"metric": "newops stress wall sec", "queries": walls,
+                      "num_cpus": args.cpus}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
