@@ -1403,3 +1403,12 @@ def test_token_budget_null_text_absent_both_engines(ray_session, tmp_path):
     )
     got = _sql_parity(sf, "corpus_token_budget")
     assert sorted(got["doc_id"]) == [0, 2, 3, 4]
+
+
+def test_token_budget_single_tie_class_keeps_all(ray_session, tmp_path):
+    """All docs share one quality level: the boundary tie class IS the
+    corpus, so everything is kept (inclusive-boundary rule)."""
+    texts = [" ".join(["w"] * 30)] * 6
+    sf = _write_docs(tmp_path, texts, list(range(6)))
+    got = _sql_parity(sf, "corpus_token_budget")
+    assert got["kept"].all()
