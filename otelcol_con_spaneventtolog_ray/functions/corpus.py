@@ -623,7 +623,8 @@ def q_token_budget(sf_dir: str):
         # NULL text has no stats: utf8_length(NULL) -> NaN -> astype(int64)
         # garbage would corrupt the integer distribution (the ws_token
         # NaN hazard documented on _words_flat). SQL mirror drops the same
-        # rows via WHERE quality IS NOT NULL.
+        # rows via WHERE bpe_tokens IS NOT NULL (NOT quality — see the
+        # docstring: DuckDB least() makes NULL text's quality non-NULL).
         return _textstats.text_stats_batch(
             batch.filter(batch.column("text").is_valid())
         )

@@ -422,7 +422,16 @@ def q_source_overlap(sf_dir: str):
         )
 
     def run_fold(t: pa.Table) -> pa.Table:
-        """Sorted block -> per-run source-set OR -> S x S gemm partial."""
+        """Sorted block -> per-run source-set OR -> S x S gemm partial.
+
+        BOUNDARY-SAFE: a block's FIRST and LAST runs may be halves of a
+        run split across neighboring blocks (Ray re-splits big sorted
+        partitions at target_max_block_size), so those two runs are NOT
+        folded here — their raw (h, code) rows are emitted to a tiny
+        side-channel (ia = -1; <= 2 runs x S rows per block, bounded by
+        block count not data size) and folded exactly once at the end.
+        Interior runs are globally complete by construction: their h
+        differs from in-block neighbors on both sides."""
         if t.num_rows == 0:
             return pa.table(
                 {"ia": pa.array([], pa.int64()),
@@ -437,14 +446,38 @@ def q_source_overlap(sf_dir: str):
         order = np.argsort(h, kind="stable")
         h, code = h[order], code[order]
         starts = np.flatnonzero(np.concatenate([[True], h[1:] != h[:-1]]))
-        masks = np.bitwise_or.reduceat(np.int64(1) << code, starts)
-        bits = ((masks[:, None] >> np.arange(n_src)) & 1).astype(np.int64)
-        co = bits.T @ bits  # (S, S): diag = per-source distinct totals
-        iu, ju = np.triu_indices(n_src)  # includes the diagonal
+        ends = np.append(starts[1:], len(h))
+        edge = np.zeros(len(starts), dtype=bool)
+        edge[0] = True
+        edge[-1] = True
+        side_rows = np.concatenate(
+            [np.arange(starts[i], ends[i]) for i in np.flatnonzero(edge)]
+        )
+        inner = np.flatnonzero(~edge)
+        # side-channel key is (ia = -(code+1), ib = h): the downstream
+        # groupby((ia, ib)) then DEDUPES exact (code, h) pairs (presence
+        # is the datum; the summed n is discarded)
+        cols = {
+            "ia": -(code[side_rows] + 1),
+            "ib": h[side_rows],
+            "n": np.ones(len(side_rows), np.int64),
+        }
+        if len(inner):
+            masks = np.bitwise_or.reduceat(
+                np.int64(1) << code, starts
+            )[inner]
+            bits = ((masks[:, None] >> np.arange(n_src)) & 1).astype(np.int64)
+            co = bits.T @ bits  # (S, S): diag = per-source distinct totals
+            iu, ju = np.triu_indices(n_src)  # includes the diagonal
+            cols = {
+                "ia": np.concatenate([cols["ia"], iu.astype(np.int64)]),
+                "ib": np.concatenate([cols["ib"], ju.astype(np.int64)]),
+                "n": np.concatenate([cols["n"], co[iu, ju]]),
+            }
         return pa.table(
-            {"ia": pa.array(iu.astype(np.int64), pa.int64()),
-             "ib": pa.array(ju.astype(np.int64), pa.int64()),
-             "n": pa.array(co[iu, ju], pa.int64())}
+            {"ia": pa.array(cols["ia"], pa.int64()),
+             "ib": pa.array(cols["ib"], pa.int64()),
+             "n": pa.array(cols["n"], pa.int64())}
         )
 
     incidence = (
@@ -460,7 +493,23 @@ def q_source_overlap(sf_dir: str):
     if len(incidence) == 0:
         return empty
     folded = np.zeros((n_src, n_src), dtype=np.int64)
-    folded[incidence["ia"], incidence["ib"]] = incidence["sum(n)"]
+    # fold the side-channel exactly once: boundary (code, h) pairs ride
+    # the same groupby as the gemm partials (deduped by key), then one
+    # per-h OR + gemm here adds their contribution.
+    side = incidence[incidence["ia"] < 0]
+    incidence = incidence[incidence["ia"] >= 0]
+    if len(side):
+        sh = side["ib"].to_numpy()
+        sc = (-side["ia"].to_numpy() - 1).astype(np.int64)
+        order = np.argsort(sh, kind="stable")
+        sh, sc = sh[order], sc[order]
+        sstarts = np.flatnonzero(
+            np.concatenate([[True], sh[1:] != sh[:-1]])
+        )
+        masks = np.bitwise_or.reduceat(np.int64(1) << sc, sstarts)
+        bits = ((masks[:, None] >> np.arange(n_src)) & 1).astype(np.int64)
+        folded += bits.T @ bits
+    folded[incidence["ia"], incidence["ib"]] += incidence["sum(n)"]
     totals = np.diag(folded).copy()
     iu, ju = np.triu_indices(n_src, k=1)
     common = folded[iu, ju]

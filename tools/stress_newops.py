@@ -40,6 +40,11 @@ def build_docs(n_docs: int) -> str:
     os.makedirs(parts)
     t = pq.read_table(SF + "/documents.parquet")
     base = t.num_rows
+    if n_docs % base:
+        raise SystemExit(
+            f"--docs must be a multiple of the sf0.1 base ({base}); "
+            f"got {n_docs}"
+        )
     reps = n_docs // base
     ids = t.column("doc_id").to_numpy(zero_copy_only=False)
     texts = t.column("text").to_pylist()
