@@ -1378,3 +1378,85 @@ FROM c JOIN t USING (src) ORDER BY 1, 2
 """
 
 register("events_type_transitions", q_type_transitions, _TRANSITIONS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SQL window functions — row_number / running SUM / lag, one sorted pass.
+# The classic "window function" trio the Dataset API lacks natively,
+# expressed as the module's standard sort(user_id) + one segment-vectorized
+# block fold (same co-location contract as sessionization above; NO per-user
+# Python). Output is per-EVENT (same cardinality as the input), so the fold
+# streams block-by-block — nothing materializes. The running sum folds the
+# 3dp `value` as exact x1000 integers in (ts, event_id) order, so the float
+# result is bit-identical to the mirror's sequential window sum.
+# ---------------------------------------------------------------------------
+
+
+def window_functions_block(t: pa.Table) -> pa.Table:
+    """One user-complete block -> (user_seq, running_value, gap_us) per event.
+
+    gap_us is -1 for each user's first event (the mirror COALESCEs its NULL
+    lag to -1 so the value-hash contract stays typed)."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"event_id": pa.array([], pa.int64()),
+             "user_id": pa.array([], pa.int64()),
+             "ts_us": pa.array([], pa.int64()),
+             "user_seq": pa.array([], pa.int64()),
+             "running_value": pa.array([], pa.float64()),
+             "gap_us": pa.array([], pa.int64())}
+        )
+    user, ts, eid, val = _block_sorted(t, extra=("value",))
+    val_m = np.rint(
+        val.to_numpy(zero_copy_only=False).astype(np.float64) * 1000
+    ).astype(np.int64)
+    n = len(user)
+    starts = np.flatnonzero(
+        np.concatenate([[True], user[1:] != user[:-1]])
+    )
+    lens = np.diff(np.append(starts, n))
+    # row_number within user: global arange minus each run's start offset
+    user_seq = np.arange(n, dtype=np.int64) - np.repeat(starts, lens) + 1
+    # running sum within user: global cumsum minus the prefix before the run
+    cum = np.cumsum(val_m)
+    prefix = np.concatenate([[0], cum])[starts]  # sum before each run start
+    running_m = cum - np.repeat(prefix, lens)
+    # lag(ts): previous event's ts within the run; -1 at run starts
+    gap = np.empty(n, dtype=np.int64)
+    gap[1:] = ts[1:] - ts[:-1]
+    gap[starts] = -1
+    return pa.table(
+        {
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(user, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "user_seq": pa.array(user_seq, pa.int64()),
+            "running_value": pa.array(
+                np.round(running_m / 1000.0, 6), pa.float64()
+            ),
+            "gap_us": pa.array(gap, pa.int64()),
+        }
+    )
+
+
+def q_window_functions(sf_dir: str):
+    return (
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+        .sort("user_id")
+        .map_batches(window_functions_block, batch_format="pyarrow",
+                     batch_size=None, **remote_kwargs())
+    )
+
+
+_WINDOW_SQL = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(row_number() OVER w AS BIGINT) AS user_seq,
+       round(sum(CAST(round(value * 1000) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) / 1000.0, 6) AS running_value,
+       COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+register("events_window_functions", q_window_functions, _WINDOW_SQL)

@@ -1298,6 +1298,272 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape — promo revenue share per ship month. The join to `part`
+# is a BROADCAST MEMBERSHIP test, not an exchange: the promo partkeys (one
+# sorted int64 array, |promo parts| entries) ship once via ray.put and every
+# lineitem block resolves `is_promo` with a vectorized searchsorted. The
+# fact scan emits one (month, promo_cc, total_cc, n) partial row per block —
+# a ratio-of-sums aggregate where BOTH sums fold as exact x10000 integers,
+# so the final one-division-per-month share cannot drift vs the mirror.
+# ---------------------------------------------------------------------------
+
+
+def q_promo_revenue(sf_dir: str):
+    """Monthly promo-vs-total revenue share (TPC-H Q14 shape): broadcast
+    promo-part membership, integer-scaled ratio-of-sums partials."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    promo = np.sort(
+        part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)[
+            part.column("p_type").to_numpy(zero_copy_only=False) == "PROMO"
+        ]
+    )
+    promo_ref = ray.put(promo)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        promo = ray.get(promo_ref)
+        if batch.num_rows == 0:
+            return pa.table(
+                {"ym": pa.array([], pa.int64()),
+                 "promo_cc": pa.array([], pa.int64()),
+                 "total_cc": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        pk = (
+            batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        ym = ship.astype("datetime64[M]").astype(np.int64)
+        price_c = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        disc_c = np.rint(
+            batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        rev_cc = price_c * (100 - disc_c)
+        if len(promo):
+            pos = np.minimum(np.searchsorted(promo, pk), len(promo) - 1)
+            is_promo = promo[pos] == pk
+        else:
+            is_promo = np.zeros(len(pk), dtype=bool)
+        order = np.argsort(ym, kind="stable")
+        ym_s = ym[order]
+        first = np.flatnonzero(np.concatenate([[True], ym_s[1:] != ym_s[:-1]]))
+        return pa.table(
+            {
+                "ym": pa.array(ym_s[first], pa.int64()),
+                "promo_cc": pa.array(
+                    np.add.reduceat(
+                        np.where(is_promo, rev_cc, 0)[order], first
+                    ),
+                    pa.int64(),
+                ),
+                "total_cc": pa.array(
+                    np.add.reduceat(rev_cc[order], first), pa.int64()
+                ),
+                "n": pa.array(
+                    np.diff(np.append(first, len(ym_s))).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    df = (
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(partials, batch_format="pyarrow", **remote_kwargs())
+        .groupby("ym")
+        .aggregate(Sum("promo_cc"), Sum("total_cc"), Sum("n"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"month": pa.array([], pa.string()),
+             "n_items": pa.array([], pa.int64()),
+             "promo_revenue": pa.array([], pa.float64()),
+             "total_revenue": pa.array([], pa.float64()),
+             "promo_share": pa.array([], pa.float64())}
+        )
+    df = df.rename(columns={
+        "sum(promo_cc)": "promo_cc", "sum(total_cc)": "total_cc",
+        "sum(n)": "n_items",
+    })
+    ym = df["ym"].to_numpy(np.int64)
+    df["month"] = [f"{1970 + m // 12:04d}-{m % 12 + 1:02d}" for m in ym]
+    df["promo_revenue"] = (df["promo_cc"] / 10000.0).round(6)
+    df["total_revenue"] = (df["total_cc"] / 10000.0).round(6)
+    df["promo_share"] = (df["promo_cc"] / df["total_cc"]).round(6)
+    df = df.sort_values("month").reset_index(drop=True)
+    df["n_items"] = df["n_items"].astype(np.int64)
+    return pa.Table.from_pandas(
+        df[["month", "n_items", "promo_revenue", "total_revenue",
+            "promo_share"]],
+        preserve_index=False,
+    )
+
+
+_Q14_SQL = """
+WITH s AS (
+  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cc,
+         (p.p_type = 'PROMO') AS is_promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+SELECT month, count(*) AS n_items,
+       round(COALESCE(sum(rev_cc) FILTER (is_promo), 0) / 10000.0, 6)
+         AS promo_revenue,
+       round(sum(rev_cc) / 10000.0, 6) AS total_revenue,
+       round(COALESCE(sum(rev_cc) FILTER (is_promo), 0)
+             / CAST(sum(rev_cc) AS DOUBLE), 6) AS promo_share
+FROM s GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier(s) by shipped revenue in a window, WITH
+# ties. The argmax runs distributed: two-phase per-supplier integer revenue
+# (per-block partials -> one small groupby keyed by suppkey), then the
+# global max folds as a second TINY aggregate over the per-supplier table
+# (one row per supplier — never fact rows), broadcast back as a scalar, and
+# the equality filter + name attach run vectorized per block. The driver
+# only ever sees the tied winners.
+# ---------------------------------------------------------------------------
+
+Q15_DATE_FROM = "1998-01-01"
+Q15_DATE_TO = "1998-07-01"  # exclusive
+
+
+def _q15_supp_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (suppkey, rev_cc) partials over the ship-date window."""
+    ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+    keep = (ship >= np.datetime64(Q15_DATE_FROM)) & (
+        ship < np.datetime64(Q15_DATE_TO)
+    )
+    if not keep.all():
+        batch = batch.filter(pa.array(keep))
+    if batch.num_rows == 0:
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "rev_cc": pa.array([], pa.int64())}
+        )
+    supk = (
+        batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    price_c = np.rint(
+        batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    disc_c = np.rint(
+        batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    rev_cc = price_c * (100 - disc_c)
+    order = np.argsort(supk, kind="stable")
+    sk_s = supk[order]
+    first = np.flatnonzero(np.concatenate([[True], sk_s[1:] != sk_s[:-1]]))
+    return pa.table(
+        {
+            "s_suppkey": pa.array(sk_s[first], pa.int64()),
+            "rev_cc": pa.array(np.add.reduceat(rev_cc[order], first), pa.int64()),
+        }
+    )
+
+
+def q_top_suppliers(sf_dir: str):
+    """Supplier(s) with the maximum shipped revenue in the Q15 window,
+    ties included; distributed argmax over two-phase integer partials."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+    from .blockutil import retype_block
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"],
+    )
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = np.asarray(sup.column("s_name").to_pylist(), dtype=object)
+    order = np.argsort(sk, kind="stable")
+    name_ref = ray.put((sk[order], sn[order]))
+
+    per_supp = (
+        _read(sf_dir, "lineitem",
+              ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(_q15_supp_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("s_suppkey")
+        .aggregate(Sum("rev_cc", alias_name="rev_cc"))
+        .map_batches(
+            lambda t: retype_block(
+                t,
+                {"s_suppkey": ("s_suppkey", pa.int64()),
+                 "rev_cc": ("rev_cc", pa.int64())},
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+    ).materialize()  # one row per supplier — tiny; reused for max + filter
+    if per_supp.count() == 0:
+        return pa.table(
+            {"s_suppkey": pa.array([], pa.int64()),
+             "s_name": pa.array([], pa.string()),
+             "total_revenue": pa.array([], pa.float64())}
+        )
+    best = per_supp.max("rev_cc")
+
+    def winners(t: pa.Table) -> pa.Table:
+        skk, snn = ray.get(name_ref)
+        key = t.column("s_suppkey").to_numpy(zero_copy_only=False)
+        rev = t.column("rev_cc").to_numpy(zero_copy_only=False)
+        keep = rev == best
+        key, rev = key[keep], rev[keep]
+        pos = np.minimum(np.searchsorted(skk, key), max(len(skk) - 1, 0))
+        names = (
+            snn[pos].astype(str)
+            if len(skk)
+            else np.array([], dtype=object)
+        )
+        return pa.table(
+            {
+                "s_suppkey": pa.array(key, pa.int64()),
+                "s_name": pa.array(names, pa.string()),
+                "total_revenue": pa.array(
+                    np.round(rev / 10000.0, 6), pa.float64()
+                ),
+            }
+        )
+
+    df = (
+        per_supp.map_batches(winners, batch_format="pyarrow",
+                             **remote_kwargs())
+        .to_pandas()
+        .sort_values("s_suppkey")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+_Q15_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_cc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_FROM} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{Q15_DATE_TO} 00:00:00'
+  GROUP BY 1)
+SELECT r.s_suppkey, s.s_name, round(r.rev_cc / 10000.0, 6) AS total_revenue
+FROM r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+WHERE r.rev_cc = (SELECT max(rev_cc) FROM r)
+ORDER BY 1
+"""
+
+
 register("rel_pricing_summary", q_pricing_summary, _PRICING_SQL)
 register("rel_revenue_by_nation", q_revenue_by_nation, _REVENUE_SQL)
 register("rel_order_revenue_topk", q_order_revenue_topk, _Q3_SQL)
@@ -1308,3 +1574,5 @@ register("rel_orders_pivot", q_orders_pivot, _PIVOT_SQL)
 register("rel_revenue_rollup", q_revenue_rollup, _ROLLUP_SQL)
 register("rel_customer_order_distribution", q_customer_order_distribution,
          _Q13_SQL)
+register("rel_promo_revenue", q_promo_revenue, _Q14_SQL)
+register("rel_top_suppliers", q_top_suppliers, _Q15_SQL)

@@ -1142,6 +1142,93 @@ register("text_top_bigrams", q_top_bigrams, _TOP_BIGRAMS_SQL)
 register("text_tokenize_ids", q_tokenize_ids, _TOKENIZE_SQL)
 register("text_lang_id", q_lang_id, _LANG_ID_SQL)
 register("text_fingerprint", q_fingerprint, _FINGERPRINT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# language x source confusion matrix — the corpus-composition report every
+# web-crawl pipeline runs before mixing: for each (source, predicted lang)
+# cell, how many docs land there and how many agree with the DECLARED lang
+# column. Composes the lang-ID scorer with a two-phase count: the per-block
+# partial collapses each block to its distinct (source, pred, declared-match)
+# cells, so the exchange carries |sources| x |langs| x blocks rows, never
+# documents. The mirror composes _LANG_ID_SQL as a CTE joined back to
+# `documents` — same marker arithmetic on both sides.
+# ---------------------------------------------------------------------------
+
+
+def lang_source_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (source, pred_lang, n_docs, n_match) partial counts.
+    NULL-text rows are dropped on both sides (stress corpora plant them)."""
+    batch = batch.filter(batch.column("text").is_valid())
+    if batch.num_rows == 0:
+        return pa.table(
+            {"source": pa.array([], pa.string()),
+             "pred_lang": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "n_match": pa.array([], pa.int64())}
+        )
+    pred = (
+        lang_id_batch(batch.select(["doc_id", "text"]))
+        .column("pred_lang").to_numpy(zero_copy_only=False).astype(str)
+    )
+    src = batch.column("source").to_numpy(zero_copy_only=False).astype(str)
+    declared = batch.column("lang").to_numpy(zero_copy_only=False).astype(str)
+    match = (pred == declared).astype(np.int64)
+    order = np.lexsort((pred, src))
+    src_s, pred_s, match_s = src[order], pred[order], match[order]
+    boundary = (src_s[1:] != src_s[:-1]) | (pred_s[1:] != pred_s[:-1])
+    first = np.flatnonzero(np.concatenate([[True], boundary]))
+    return pa.table(
+        {
+            "source": pa.array(src_s[first], pa.string()),
+            "pred_lang": pa.array(pred_s[first], pa.string()),
+            "n_docs": pa.array(
+                np.diff(np.append(first, len(src_s))).astype(np.int64),
+                pa.int64(),
+            ),
+            "n_match": pa.array(np.add.reduceat(match_s, first), pa.int64()),
+        }
+    )
+
+
+def q_lang_source_matrix(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    df = (
+        _docs(sf_dir, columns=("doc_id", "text", "lang", "source"))
+        .map_batches(lang_source_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby(["source", "pred_lang"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_match", alias_name="n_match"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"source": pa.array([], pa.string()),
+             "pred_lang": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "n_match": pa.array([], pa.int64())}
+        )
+    df["n_docs"] = df["n_docs"].astype(np.int64)
+    df["n_match"] = df["n_match"].astype(np.int64)
+    df = df.sort_values(["source", "pred_lang"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["source", "pred_lang", "n_docs", "n_match"]], preserve_index=False
+    )
+
+
+_LANG_SOURCE_SQL = f"""
+WITH p AS ({_LANG_ID_SQL})
+SELECT d.source, p.pred_lang,
+       count(*) AS n_docs,
+       CAST(count(*) FILTER (p.pred_lang = d.lang) AS BIGINT) AS n_match
+FROM p JOIN documents d ON p.doc_id = d.doc_id
+WHERE d.text IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+register("text_lang_source_matrix", q_lang_source_matrix, _LANG_SOURCE_SQL)
 register("text_rolling_fingerprint", q_rolling_fingerprint)  # rows-only
 
 

@@ -43,6 +43,8 @@ SQL_CHECKED = [
     "rel_customer_order_distribution",
     "text_perplexity_buckets", "corpus_source_overlap",
     "corpus_token_budget",
+    "rel_promo_revenue", "rel_top_suppliers", "events_window_functions",
+    "text_lang_source_matrix",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
