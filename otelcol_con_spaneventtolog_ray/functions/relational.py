@@ -1564,6 +1564,398 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — large-volume orders: orders whose total line-item
+# quantity exceeds a threshold, with the ordering customer's name attached.
+# The only exchange is the per-order quantity aggregate, pre-reduced to one
+# (orderkey, qty) row per block; the HAVING filter runs vectorized per
+# result block, so the survivors (a tiny, selectivity-bounded set — the
+# whole point of the query) are the only rows that ever reach the driver,
+# and they broadcast back via ray.put for a searchsorted membership probe
+# over the orders scan. Customer names attach from the same broadcast
+# pattern as Q5's dimension lookup — fact rows never shuffle.
+# ---------------------------------------------------------------------------
+
+BIG_ORDER_QTY = 250  # HAVING threshold: ~1-2% of orders in the synth data
+
+
+def _order_qty_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (orderkey, qty) integer partials — the groupby combiner."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {"l_orderkey": pa.array([], pa.int64()),
+             "qty": pa.array([], pa.int64())}
+        )
+    ok = (
+        batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    qty = np.rint(
+        batch.column("l_quantity").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    order = np.argsort(ok, kind="stable")
+    ok_s = ok[order]
+    first = np.flatnonzero(np.concatenate([[True], ok_s[1:] != ok_s[:-1]]))
+    return pa.table(
+        {
+            "l_orderkey": pa.array(ok_s[first], pa.int64()),
+            "qty": pa.array(np.add.reduceat(qty[order], first), pa.int64()),
+        }
+    )
+
+
+def q_big_orders(sf_dir: str):
+    """Orders with total quantity > BIG_ORDER_QTY (TPC-H Q18 shape):
+    two-phase per-order sum, vectorized HAVING, broadcast-probe attach."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _having(t: pa.Table) -> pa.Table:
+        q = t.column("qty").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(q > BIG_ORDER_QTY))
+
+    empty = pa.table(
+        {"c_name": pa.array([], pa.string()),
+         "c_custkey": pa.array([], pa.int64()),
+         "o_orderkey": pa.array([], pa.int64()),
+         "o_orderdate": pa.array([], pa.string()),
+         "o_totalprice": pa.array([], pa.float64()),
+         "total_qty": pa.array([], pa.int64())}
+    )
+    big = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(_order_qty_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty", alias_name="qty"))
+        .map_batches(_having, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()  # survivors only: selectivity-bounded, documented above
+    )
+    if len(big) == 0:
+        return empty
+    bk = big["l_orderkey"].to_numpy(np.int64)
+    bq = big["qty"].to_numpy(np.int64)
+    order = np.argsort(bk, kind="stable")
+    big_ref = ray.put((bk[order], bq[order]))
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+    )
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    cn = np.asarray(cust.column("c_name").to_pylist(), dtype=object)
+    corder = np.argsort(ck, kind="stable")
+    cust_ref = ray.put((ck[corder], cn[corder]))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        bkk, bqq = ray.get(big_ref)
+        okey = (
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        pos = np.minimum(np.searchsorted(bkk, okey), len(bkk) - 1)
+        hit = bkk[pos] == okey
+        if not hit.any():
+            return empty
+        batch = batch.filter(pa.array(hit))
+        qty = bqq[pos[hit]]
+        ckk, cnn = ray.get(cust_ref)
+        custk = (
+            batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cpos = np.minimum(np.searchsorted(ckk, custk), max(len(ckk) - 1, 0))
+        names = cnn[cpos].astype(str) if len(ckk) else np.array([], dtype=str)
+        odate = (
+            batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]").astype(str)
+        )
+        return pa.table(
+            {
+                "c_name": pa.array(names, pa.string()),
+                "c_custkey": pa.array(custk, pa.int64()),
+                "o_orderkey": pa.array(
+                    batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "o_orderdate": pa.array(odate, pa.string()),
+                "o_totalprice": pa.array(
+                    batch.column("o_totalprice")
+                    .to_numpy(zero_copy_only=False).astype(np.float64),
+                    pa.float64(),
+                ),
+                "total_qty": pa.array(qty, pa.int64()),
+            }
+        )
+
+    df = (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(attach, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+_Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {BIG_ORDER_QTY})
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o.o_totalprice, big.total_qty
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape — "idle rich" customers: balance above the positive-
+# balance average (the global scalar subquery) with no RECENT order (the
+# anti-join). The scalar folds distributed as one (sum_cents, n) row per
+# block — the comparison then runs as exact integer cross-multiplication
+# (bal_c * n > sum_c) on both engines, so no float average can drift. The
+# balance filter runs BEFORE the anti join (smaller build side); the probe
+# side reuses the churn combiner's distinct-recent-custkeys reduction, and
+# the join itself is the same sentinel-guarded left_anti as churn.
+# ---------------------------------------------------------------------------
+
+IDLE_CUTOFF = CHURN_CUTOFF  # no order on/after this date counts as idle
+
+
+def _posbal_partials(batch: pa.Table) -> pa.Table:
+    """One (sum_cents, n) row per block over positive balances."""
+    bal_c = np.rint(
+        batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    pos = bal_c[bal_c > 0]
+    return pa.table(
+        {"s": pa.array([int(pos.sum())], pa.int64()),
+         "n": pa.array([len(pos)], pa.int64())}
+    )
+
+
+def q_idle_rich_customers(sf_dir: str):
+    """Customers above the positive-balance average with no order on/after
+    IDLE_CUTOFF, rolled up per nation (TPC-H Q22 shape)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    st = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(_posbal_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .to_pandas()  # one row per block
+    )
+    s, n = int(st["s"].sum()), int(st["n"].sum())
+
+    def rich(t: pa.Table) -> pa.Table:
+        bal_c = np.rint(
+            t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return t.filter(pa.array(bal_c * n > s))
+
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(rich, batch_format="pyarrow", **remote_kwargs())
+    )
+    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        _recent_order_keys, batch_format="pyarrow", **remote_kwargs()
+    )
+    sent = _q3_join_sentinels(ANTI_JOIN_PARTITIONS)
+    cust = cust.union(ray.data.from_arrow(pa.table(
+        {"c_custkey": pa.array(sent, pa.int64()),
+         "c_nationkey": pa.array([0] * len(sent), pa.int64()),
+         "c_acctbal": pa.array([0.0] * len(sent), pa.float64())}
+    )))
+    recent = recent.union(ray.data.from_arrow(pa.table(
+        {"o_custkey": pa.array(sent, pa.int64())}
+    )))
+    idle = cust.join(
+        recent, join_type="left_anti",
+        num_partitions=ANTI_JOIN_PARTITIONS,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("c_custkey"), 0))
+        if t.num_rows == 0:
+            return pa.table(
+                {"c_nationkey": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "bal_c": pa.array([], pa.int64())}
+            )
+        nk = (
+            t.column("c_nationkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bal_c = np.rint(
+            t.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        order = np.argsort(nk, kind="stable")
+        nk_s = nk[order]
+        first = np.flatnonzero(np.concatenate([[True], nk_s[1:] != nk_s[:-1]]))
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nk_s[first], pa.int64()),
+                "n": pa.array(
+                    np.diff(np.append(first, len(nk_s))).astype(np.int64),
+                    pa.int64(),
+                ),
+                "bal_c": pa.array(
+                    np.add.reduceat(bal_c[order], first), pa.int64()
+                ),
+            }
+        )
+
+    df = (
+        idle.map_batches(partials, batch_format="pyarrow", **remote_kwargs())
+        .groupby("c_nationkey")
+        .aggregate(Sum("n"), Sum("bal_c"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"c_nationkey": pa.array([], pa.int64()),
+             "n_customers": pa.array([], pa.int64()),
+             "total_acctbal": pa.array([], pa.float64())}
+        )
+    df = df.rename(columns={"sum(n)": "n_customers", "sum(bal_c)": "bal_c"})
+    df["total_acctbal"] = (df["bal_c"] / 100.0).round(6)
+    df["c_nationkey"] = df["c_nationkey"].astype(np.int64)
+    df["n_customers"] = df["n_customers"].astype(np.int64)
+    df = df.sort_values("c_nationkey").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["c_nationkey", "n_customers", "total_acctbal"]],
+        preserve_index=False,
+    )
+
+
+_Q22_SQL = f"""
+WITH stats AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s, count(*) AS n
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS n_customers,
+       round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 6)
+         AS total_acctbal
+FROM customer c, stats
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * stats.n > stats.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '{IDLE_CUTOFF} 00:00:00')
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape — distinct supplier count per part type over shipped line
+# items. COUNT(DISTINCT) at fact scale: the part→type mapping broadcasts
+# once as (sorted partkeys, int8 type codes) — the |part| dimension is
+# ~1/30th of |lineitem| in TPC-H and ships as two flat arrays, not a
+# shuffle — and each lineitem block reduces to its DISTINCT (code, suppkey)
+# pairs before the exchange, so the groupby dedupe carries at most
+# |types| x |suppliers| x blocks rows. The final per-type count is a
+# second tiny two-phase fold over the deduped pair table.
+# ---------------------------------------------------------------------------
+
+
+def q_part_type_suppliers(sf_dir: str):
+    """Distinct suppliers shipping each part type (TPC-H Q16 shape):
+    broadcast part→type codes, per-block distinct pairs, two-phase count."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    ptype = np.asarray(part.column("p_type").to_pylist(), dtype=object)
+    vocab, codes = np.unique(ptype.astype(str), return_inverse=True)
+    order = np.argsort(pk, kind="stable")
+    map_ref = ray.put((pk[order], codes[order].astype(np.int64)))
+
+    def pair_partials(batch: pa.Table) -> pa.Table:
+        pkk, cds = ray.get(map_ref)
+        lp = (
+            batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ls = (
+            batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        code = _lookup_int(pkk, cds, lp)
+        keep = code >= 0  # drop lineitems whose part is missing (none in synth)
+        code, ls = code[keep], ls[keep]
+        if len(code) == 0:
+            return pa.table(
+                {"code": pa.array([], pa.int64()),
+                 "l_suppkey": pa.array([], pa.int64())}
+            )
+        # distinct (code, suppkey) pairs via one composite sort: suppkey is
+        # non-negative int64 and |types| is tiny, so code * 2^48 + suppkey
+        # cannot collide
+        comp = np.unique(code * (1 << 48) + ls)
+        return pa.table(
+            {
+                "code": pa.array(comp >> 48, pa.int64()),
+                "l_suppkey": pa.array(comp & ((1 << 48) - 1), pa.int64()),
+            }
+        )
+
+    def per_code(t: pa.Table) -> pa.Table:
+        code = t.column("code").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(code) == 0:
+            return pa.table(
+                {"code": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        u, cnt = np.unique(code, return_counts=True)
+        return pa.table(
+            {"code": pa.array(u, pa.int64()),
+             "n": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    df = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(pair_partials, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["code", "l_suppkey"])
+        .aggregate(Count())  # global pair dedupe; the count itself is unused
+        .map_batches(per_code, batch_format="pyarrow", **remote_kwargs())
+        .groupby("code")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"p_type": pa.array([], pa.string()),
+             "n_suppliers": pa.array([], pa.int64())}
+        )
+    df["p_type"] = vocab[df["code"].to_numpy(np.int64)]
+    df["n_suppliers"] = df["n"].astype(np.int64)
+    df = df.sort_values("p_type").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["p_type", "n_suppliers"]], preserve_index=False
+    )
+
+
+_Q16_SQL = """
+SELECT p.p_type, CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_suppliers
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
 register("rel_pricing_summary", q_pricing_summary, _PRICING_SQL)
 register("rel_revenue_by_nation", q_revenue_by_nation, _REVENUE_SQL)
 register("rel_order_revenue_topk", q_order_revenue_topk, _Q3_SQL)
@@ -1576,3 +1968,6 @@ register("rel_customer_order_distribution", q_customer_order_distribution,
          _Q13_SQL)
 register("rel_promo_revenue", q_promo_revenue, _Q14_SQL)
 register("rel_top_suppliers", q_top_suppliers, _Q15_SQL)
+register("rel_big_orders", q_big_orders, _Q18_SQL)
+register("rel_idle_rich_customers", q_idle_rich_customers, _Q22_SQL)
+register("rel_part_type_suppliers", q_part_type_suppliers, _Q16_SQL)

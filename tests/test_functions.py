@@ -45,6 +45,7 @@ SQL_CHECKED = [
     "corpus_token_budget",
     "rel_promo_revenue", "rel_top_suppliers", "events_window_functions",
     "text_lang_source_matrix",
+    "rel_big_orders", "rel_idle_rich_customers", "rel_part_type_suppliers",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
