@@ -342,3 +342,154 @@ def test_order_distribution_all_customers_ordered(ray_session, tmp_path):
         {"n_orders": 1, "n_customers": 1},
         {"n_orders": 2, "n_customers": 1},
     ]
+
+
+# ---------------------------------------------------------------------------
+# Q18 / Q22 / Q16 shapes — planted and empty-result paths
+# ---------------------------------------------------------------------------
+
+
+def test_big_orders_empty_when_none_exceed_threshold(ray_session, tmp_path):
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_big_orders,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write(d, "lineitem", pa.table(
+        {"l_orderkey": pa.array([1, 1, 2], pa.int64()),
+         "l_quantity": pa.array([10.0, 20.0, 5.0], pa.float64())}
+    ))
+    _write(d, "orders", pa.table(
+        {"o_orderkey": pa.array([1, 2], pa.int64()),
+         "o_custkey": pa.array([7, 8], pa.int64()),
+         "o_orderdate": pa.array(
+             [pd.Timestamp("1998-05-01")] * 2, pa.timestamp("us")),
+         "o_totalprice": pa.array([100.0, 50.0], pa.float64())}
+    ))
+    _write(d, "customer", pa.table(
+        {"c_custkey": pa.array([7, 8], pa.int64()),
+         "c_name": pa.array(["Customer#7", "Customer#8"], pa.string())}
+    ))
+    out = _to_df(q_big_orders(str(d)))
+    assert len(out) == 0
+    assert list(out.columns) == [
+        "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+        "total_qty",
+    ]
+
+
+def test_big_orders_finds_planted_and_attaches_name(ray_session, tmp_path):
+    """One order sums past the threshold across MULTIPLE line items (the
+    two-phase aggregate must combine partials, not test per-row qty)."""
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        BIG_ORDER_QTY,
+        q_big_orders,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    half = BIG_ORDER_QTY // 2 + 1  # two of these clear the threshold
+    _write(d, "lineitem", pa.table(
+        {"l_orderkey": pa.array([1, 1, 2], pa.int64()),
+         "l_quantity": pa.array([float(half), float(half), 5.0],
+                                pa.float64())}
+    ))
+    _write(d, "orders", pa.table(
+        {"o_orderkey": pa.array([1, 2], pa.int64()),
+         "o_custkey": pa.array([7, 8], pa.int64()),
+         "o_orderdate": pa.array(
+             [pd.Timestamp("1998-05-01"), pd.Timestamp("1999-01-02")],
+             pa.timestamp("us")),
+         "o_totalprice": pa.array([123.45, 50.0], pa.float64())}
+    ))
+    _write(d, "customer", pa.table(
+        {"c_custkey": pa.array([7, 8], pa.int64()),
+         "c_name": pa.array(["Customer#7", "Customer#8"], pa.string())}
+    ))
+    out = _to_df(q_big_orders(str(d)))
+    assert out.to_dict("records") == [
+        {"c_name": "Customer#7", "c_custkey": 7, "o_orderkey": 1,
+         "o_orderdate": "1998-05-01", "o_totalprice": 123.45,
+         "total_qty": 2 * half}
+    ]
+
+
+def test_idle_rich_empty_when_no_positive_balance(ray_session, tmp_path):
+    """n=0 / s=0 scalar edge: with no positive balance the threshold
+    comparison (bal_c * 0 > 0) is false for everyone — empty, no division."""
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_idle_rich_customers,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write(d, "customer", pa.table(
+        {"c_custkey": pa.array([1, 2], pa.int64()),
+         "c_nationkey": pa.array([0, 1], pa.int64()),
+         "c_acctbal": pa.array([-5.0, 0.0], pa.float64())}
+    ))
+    _write(d, "orders", pa.table(
+        {"o_custkey": pa.array([], pa.int64()),
+         "o_orderdate": pa.array([], pa.timestamp("us"))}
+    ))
+    out = _to_df(q_idle_rich_customers(str(d)))
+    assert len(out) == 0
+    assert list(out.columns) == ["c_nationkey", "n_customers",
+                                 "total_acctbal"]
+
+
+def test_idle_rich_threshold_and_recency_both_bind(ray_session, tmp_path):
+    """Four customers: only the one ABOVE the positive-balance average with
+    no post-cutoff order survives. Positive average = (100+300+200)/3 = 200,
+    strictly-above keeps bal=300 only if idle, bal=200 is not above."""
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_idle_rich_customers,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write(d, "customer", pa.table(
+        {"c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+         "c_nationkey": pa.array([0, 0, 1, 1], pa.int64()),
+         "c_acctbal": pa.array([100.0, 300.0, 200.0, -50.0], pa.float64())}
+    ))
+    # customer 2 is rich AND idle (old order only); 3 is at the average
+    # (not above); 1 below; 4 negative. A recent order would disqualify 2.
+    _write(d, "orders", pa.table(
+        {"o_custkey": pa.array([2, 3], pa.int64()),
+         "o_orderdate": pa.array(
+             [pd.Timestamp("1999-01-01"), pd.Timestamp("2001-01-01")],
+             pa.timestamp("us"))}
+    ))
+    out = _to_df(q_idle_rich_customers(str(d)))
+    assert out.to_dict("records") == [
+        {"c_nationkey": 0, "n_customers": 1, "total_acctbal": 300.0}
+    ]
+
+
+def test_part_type_suppliers_distinct_and_missing_part_dropped(
+    ray_session, tmp_path
+):
+    """A supplier shipping the same type via two parts (and the same part
+    twice) counts ONCE; a lineitem referencing an unknown partkey is
+    dropped, not miscounted."""
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_part_type_suppliers,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write(d, "part", pa.table(
+        {"p_partkey": pa.array([10, 11, 12], pa.int64()),
+         "p_type": pa.array(["PROMO", "PROMO", "SMALL"], pa.string())}
+    ))
+    _write(d, "lineitem", pa.table(
+        {"l_partkey": pa.array([10, 10, 11, 12, 999], pa.int64()),
+         "l_suppkey": pa.array([1, 1, 1, 2, 3], pa.int64())}
+    ))
+    out = _to_df(q_part_type_suppliers(str(d)))
+    assert out.to_dict("records") == [
+        {"p_type": "PROMO", "n_suppliers": 1},
+        {"p_type": "SMALL", "n_suppliers": 1},
+    ]

@@ -56,6 +56,10 @@ def _build_tpch(reps: int = 10) -> str:
     d = os.path.join(OUT, "tpch10x")
     marker = os.path.join(d, ".done")
     if os.path.exists(marker):
+        # backfill `part` into caches built before it joined the copy list
+        if not os.path.exists(os.path.join(d, "part.parquet")):
+            shutil.copy(os.path.join(SF, "part.parquet"),
+                        os.path.join(d, "part.parquet"))
         return d
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
@@ -90,7 +94,7 @@ def _build_tpch(reps: int = 10) -> str:
     pq.write_table(pa.concat_tables(o_parts), os.path.join(d, "orders.parquet"))
     pq.write_table(pa.concat_tables(l_parts), os.path.join(d, "lineitem.parquet"))
     pq.write_table(pa.concat_tables(c_parts), os.path.join(d, "customer.parquet"))
-    for t in ("nation", "region", "supplier"):
+    for t in ("nation", "region", "supplier", "part"):
         shutil.copy(os.path.join(SF, f"{t}.parquet"), os.path.join(d, f"{t}.parquet"))
     open(marker, "w").close()
     return d
@@ -132,11 +136,25 @@ def main() -> None:
         ("rel_local_supply_revenue_10x", R.q_local_supply_revenue),
         ("rel_revenue_rollup_10x", R.q_revenue_rollup),
         ("rel_orders_pivot_10x", R.q_orders_pivot),
+        ("rel_promo_revenue_10x", R.q_promo_revenue),
+        ("rel_top_suppliers_10x", R.q_top_suppliers),
+        ("rel_big_orders_10x", R.q_big_orders),
+        ("rel_idle_rich_customers_10x", R.q_idle_rich_customers),
+        ("rel_part_type_suppliers_10x", R.q_part_type_suppliers),
     ):
         t0 = time.perf_counter()
         res = fn(tp_dir)
         walls[name] = round(time.perf_counter() - t0, 2)
         extra[name + "_rows"] = res.num_rows
+
+    # window-function trio at 10M events: per-EVENT output cardinality, so
+    # consume distributed (count executes the DAG without driver collect)
+    from otelcol_con_spaneventtolog_ray.functions import eventops as E
+
+    t0 = time.perf_counter()
+    n = E.q_window_functions(ev_dir).count()
+    walls["events_window_functions_10m"] = round(time.perf_counter() - t0, 2)
+    extra["window_rows"] = int(n)
 
     print(json.dumps(
         {"metric": "round4 stress walls sec", "queries": walls,
