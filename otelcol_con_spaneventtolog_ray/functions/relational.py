@@ -1956,6 +1956,292 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape — forecast revenue: ONE global scalar over a banded filter,
+# the degenerate-but-canonical no-groupby aggregate. Zero exchange: every
+# block reduces to a single (n, rev) partial row and the driver folds the
+# O(blocks) partials. The discount band compares on exact CENTS (the float
+# literal 0.05/0.07 is not representable; round-to-cents is the shared
+# integer contract with the mirror), and revenue = price x discount folds
+# as exact x10000 integers.
+# ---------------------------------------------------------------------------
+
+Q6_YEAR_FROM = "1998-01-01"
+Q6_YEAR_TO = "1999-01-01"  # exclusive
+Q6_DISC_LO_C = 5  # cents: 0.05..0.07 inclusive
+Q6_DISC_HI_C = 7
+Q6_QTY_MAX = 24  # exclusive
+
+
+def _q6_partials(batch: pa.Table) -> pa.Table:
+    ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+    qty = np.rint(
+        batch.column("l_quantity").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    disc_c = np.rint(
+        batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    price_c = np.rint(
+        batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    keep = (
+        (ship >= np.datetime64(Q6_YEAR_FROM))
+        & (ship < np.datetime64(Q6_YEAR_TO))
+        & (disc_c >= Q6_DISC_LO_C)
+        & (disc_c <= Q6_DISC_HI_C)
+        & (qty < Q6_QTY_MAX)
+    )
+    return pa.table(
+        {"n": pa.array([int(keep.sum())], pa.int64()),
+         "rev_cc": pa.array(
+             [int((price_c[keep] * disc_c[keep]).sum())], pa.int64()
+         )}
+    )
+
+
+def q_forecast_revenue(sf_dir: str):
+    """Revenue increase from dropping small discounts (TPC-H Q6 shape):
+    zero-exchange global aggregate, one partial row per block."""
+    df = (
+        _read(sf_dir, "lineitem",
+              ["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"])
+        .map_batches(_q6_partials, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()  # O(blocks) one-row partials
+    )
+    return pa.table(
+        {"n_items": pa.array([int(df["n"].sum())], pa.int64()),
+         "revenue": pa.array(
+             [round(int(df["rev_cc"].sum()) / 10000.0, 6)], pa.float64()
+         )}
+    )
+
+
+_Q6_SQL = f"""
+SELECT count(*) FILTER (keep) AS n_items,
+       round(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round(l_discount * 100) AS BIGINT))
+                      FILTER (keep), 0) / 10000.0, 6) AS revenue
+FROM (
+  SELECT l_extendedprice, l_discount,
+         l_shipdate >= TIMESTAMP '{Q6_YEAR_FROM} 00:00:00'
+         AND l_shipdate < TIMESTAMP '{Q6_YEAR_TO} 00:00:00'
+         AND CAST(round(l_discount * 100) AS BIGINT)
+               BETWEEN {Q6_DISC_LO_C} AND {Q6_DISC_HI_C}
+         AND CAST(round(l_quantity) AS BIGINT) < {Q6_QTY_MAX} AS keep
+  FROM lineitem)
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item losses: top customers by revenue of
+# R-flagged line items for orders placed in one quarter. Composition on top
+# of the Q3 machinery: R-filtered lineitem partials hash-join the
+# quarter-filtered orders (the fact-fact exchange, sentinel-guarded), the
+# joined rows re-aggregate per CUSTOMER (second small exchange keyed on
+# custkey), and the top-k is a per-block partial fold; customer name and
+# nation attach from broadcast arrays on the final k rows only.
+# ---------------------------------------------------------------------------
+
+Q10_DATE_FROM = "1998-01-01"
+Q10_DATE_TO = "1998-04-01"  # exclusive
+TOPK_CUSTOMERS = 20
+
+
+def _q10_lineitem_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (orderkey, rev_cc) over RETURNED line items only."""
+    flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+    keep = flag == "R"
+    if not keep.all():
+        batch = batch.filter(pa.array(keep))
+    if batch.num_rows == 0:
+        return pa.table(
+            {"o_orderkey": pa.array([], pa.int64()),
+             "rev_cc": pa.array([], pa.int64())}
+        )
+    okey = (
+        batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    price_c = np.rint(
+        batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    disc_c = np.rint(
+        batch.column("l_discount").to_numpy(zero_copy_only=False) * 100
+    ).astype(np.int64)
+    rev_cc = price_c * (100 - disc_c)
+    order = np.argsort(okey, kind="stable")
+    ok_s = okey[order]
+    first = np.flatnonzero(np.concatenate([[True], ok_s[1:] != ok_s[:-1]]))
+    return pa.table(
+        {
+            "o_orderkey": pa.array(ok_s[first], pa.int64()),
+            "rev_cc": pa.array(np.add.reduceat(rev_cc[order], first), pa.int64()),
+        }
+    )
+
+
+def q_returned_item_losses(sf_dir: str):
+    """Top customers by returned-item revenue in the Q10 quarter:
+    sentinel-guarded fact-fact join, per-customer re-aggregate, partial
+    top-k, broadcast name/nation attach on the final rows."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+    from .blockutil import retype_block
+
+    rev = (
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+        .map_batches(_q10_lineitem_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("o_orderkey")
+        .aggregate(Sum("rev_cc", alias_name="rev_cc"))
+        .map_batches(_q3_rev_schema, batch_format="pyarrow",
+                     **remote_kwargs())
+    )
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        keep = (od >= np.datetime64(Q10_DATE_FROM)) & (
+            od < np.datetime64(Q10_DATE_TO)
+        )
+        return batch.filter(pa.array(keep))
+
+    orders = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(orders_filter, batch_format="pyarrow", **remote_kwargs())
+        .select_columns(["o_orderkey", "o_custkey"])
+    )
+    sent = _q3_join_sentinels(Q3_JOIN_PARTITIONS)
+    rev = rev.union(ray.data.from_arrow(pa.table(
+        {"o_orderkey": pa.array(sent, pa.int64()),
+         "rev_cc": pa.array([0] * len(sent), pa.int64())}
+    )))
+    orders = orders.union(ray.data.from_arrow(pa.table(
+        {"o_orderkey": pa.array(sent, pa.int64()),
+         "o_custkey": pa.array(sent, pa.int64())}  # negative: dropped below
+    )))
+    joined = rev.join(
+        orders, join_type="inner", num_partitions=Q3_JOIN_PARTITIONS,
+        on=("o_orderkey",),
+    )
+
+    def per_cust_partials(t: pa.Table) -> pa.Table:
+        ck = (
+            t.column("o_custkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        rc = t.column("rev_cc").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ck >= 0  # sentinel rows out
+        ck, rc = ck[keep], rc[keep]
+        if len(ck) == 0:
+            return pa.table(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "rev_cc": pa.array([], pa.int64())}
+            )
+        order = np.argsort(ck, kind="stable")
+        ck_s = ck[order]
+        first = np.flatnonzero(np.concatenate([[True], ck_s[1:] != ck_s[:-1]]))
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck_s[first], pa.int64()),
+                "rev_cc": pa.array(np.add.reduceat(rc[order], first), pa.int64()),
+            }
+        )
+
+    def topk_block(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["rev_cc", "c_custkey"], ascending=[False, True], kind="stable"
+        ).head(TOPK_CUSTOMERS)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = (
+        joined.map_batches(per_cust_partials, batch_format="pyarrow",
+                           **remote_kwargs())
+        .groupby("c_custkey")
+        .aggregate(Sum("rev_cc", alias_name="rev_cc"))
+        .map_batches(
+            lambda t: retype_block(
+                t,
+                {"c_custkey": ("c_custkey", pa.int64()),
+                 "rev_cc": ("rev_cc", pa.int64())},
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+        .map_batches(topk_block, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    if len(partials) == 0:
+        return pa.table(
+            {"rank": pa.array([], pa.int64()),
+             "c_custkey": pa.array([], pa.int64()),
+             "c_name": pa.array([], pa.string()),
+             "n_name": pa.array([], pa.string()),
+             "revenue": pa.array([], pa.float64())}
+        )
+    df = partials.sort_values(
+        ["rev_cc", "c_custkey"], ascending=[False, True], kind="stable"
+    ).head(TOPK_CUSTOMERS).reset_index(drop=True)
+    # name/nation attach on the final k rows only — driver-side lookup is
+    # O(k log |customer|), no distributed work touches the dimension
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(ck, kind="stable")
+    ck_s = ck[order]
+    cname = np.asarray(cust.column("c_name").to_pylist(), dtype=object)[order]
+    cnat = (
+        cust.column("c_nationkey").to_numpy(zero_copy_only=False)
+        .astype(np.int64)[order]
+    )
+    nmap = dict(zip(
+        nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(int),
+        nat.column("n_name").to_pylist(),
+    ))
+    probe = df["c_custkey"].to_numpy(np.int64)
+    pos = np.minimum(np.searchsorted(ck_s, probe), max(len(ck_s) - 1, 0))
+    df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+    df["c_name"] = cname[pos].astype(str)
+    df["n_name"] = [nmap.get(int(nk), "") for nk in cnat[pos]]
+    df["revenue"] = (df["rev_cc"] / 10000.0).round(6)
+    return pa.Table.from_pandas(
+        df[["rank", "c_custkey", "c_name", "n_name", "revenue"]],
+        preserve_index=False,
+    )
+
+
+_Q10_SQL = f"""
+WITH r AS (
+  SELECT l_orderkey AS o_orderkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_cc
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+j AS (
+  SELECT o.o_custkey, r.rev_cc
+  FROM r JOIN orders o ON r.o_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '{Q10_DATE_FROM} 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '{Q10_DATE_TO} 00:00:00'),
+c AS (
+  SELECT o_custkey AS c_custkey, sum(rev_cc) AS rev_cc
+  FROM j GROUP BY 1)
+SELECT row_number() OVER (ORDER BY c.rev_cc DESC, c.c_custkey) AS rank,
+       c.c_custkey, cu.c_name, n.n_name,
+       round(c.rev_cc / 10000.0, 6) AS revenue
+FROM c
+JOIN customer cu ON c.c_custkey = cu.c_custkey
+JOIN nation n ON cu.c_nationkey = n.n_nationkey
+ORDER BY c.rev_cc DESC, c.c_custkey
+LIMIT {TOPK_CUSTOMERS}
+"""
+
+
 register("rel_pricing_summary", q_pricing_summary, _PRICING_SQL)
 register("rel_revenue_by_nation", q_revenue_by_nation, _REVENUE_SQL)
 register("rel_order_revenue_topk", q_order_revenue_topk, _Q3_SQL)
@@ -1971,3 +2257,5 @@ register("rel_top_suppliers", q_top_suppliers, _Q15_SQL)
 register("rel_big_orders", q_big_orders, _Q18_SQL)
 register("rel_idle_rich_customers", q_idle_rich_customers, _Q22_SQL)
 register("rel_part_type_suppliers", q_part_type_suppliers, _Q16_SQL)
+register("rel_forecast_revenue", q_forecast_revenue, _Q6_SQL)
+register("rel_returned_item_losses", q_returned_item_losses, _Q10_SQL)

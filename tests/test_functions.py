@@ -46,6 +46,7 @@ SQL_CHECKED = [
     "rel_promo_revenue", "rel_top_suppliers", "events_window_functions",
     "text_lang_source_matrix",
     "rel_big_orders", "rel_idle_rich_customers", "rel_part_type_suppliers",
+    "rel_forecast_revenue", "rel_returned_item_losses",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

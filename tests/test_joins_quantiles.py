@@ -493,3 +493,72 @@ def test_part_type_suppliers_distinct_and_missing_part_dropped(
         {"p_type": "PROMO", "n_suppliers": 1},
         {"p_type": "SMALL", "n_suppliers": 1},
     ]
+
+
+def test_forecast_revenue_counts_only_the_cents_band(ray_session, tmp_path):
+    """Discount band compares on exact cents: 0.05 and 0.07 are in, 0.04 and
+    0.08 out; qty/date bounds bind; revenue = price x discount at x10000."""
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_forecast_revenue,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write(d, "lineitem", pa.table(
+        {"l_shipdate": pa.array(
+            [pd.Timestamp("1998-06-01")] * 4
+            + [pd.Timestamp("1997-12-31"), pd.Timestamp("1998-06-01")],
+            pa.timestamp("us")),
+         "l_quantity": pa.array([10.0, 10.0, 10.0, 10.0, 10.0, 24.0],
+                                pa.float64()),
+         "l_discount": pa.array([0.04, 0.05, 0.07, 0.08, 0.05, 0.05],
+                                pa.float64()),
+         "l_extendedprice": pa.array([100.0] * 6, pa.float64())}
+    ))
+    out = _to_df(q_forecast_revenue(str(d)))
+    # rows 2 and 3 qualify: 100*0.05 + 100*0.07 = 12.0
+    assert out.to_dict("records") == [{"n_items": 2, "revenue": 12.0}]
+
+
+def test_returned_losses_ties_rank_by_custkey(ray_session, tmp_path):
+    """Equal returned revenue -> rank by ascending custkey; non-R lines and
+    out-of-window orders contribute nothing."""
+    from otelcol_con_spaneventtolog_ray.functions.relational import (
+        q_returned_item_losses,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write(d, "lineitem", pa.table(
+        {"l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+         "l_extendedprice": pa.array([100.0, 50.0, 100.0, 100.0],
+                                     pa.float64()),
+         "l_discount": pa.array([0.0, 0.0, 0.0, 0.0], pa.float64()),
+         "l_returnflag": pa.array(["R", "N", "R", "R"], pa.string())}
+    ))
+    # orders 1 and 2 in window (customers 9 and 5, equal R-revenue 100);
+    # order 3 outside the window
+    _write(d, "orders", pa.table(
+        {"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+         "o_custkey": pa.array([9, 5, 9], pa.int64()),
+         "o_orderdate": pa.array(
+             [pd.Timestamp("1998-02-01"), pd.Timestamp("1998-03-01"),
+              pd.Timestamp("1997-01-01")],
+             pa.timestamp("us"))}
+    ))
+    _write(d, "customer", pa.table(
+        {"c_custkey": pa.array([5, 9], pa.int64()),
+         "c_name": pa.array(["Customer#5", "Customer#9"], pa.string()),
+         "c_nationkey": pa.array([0, 1], pa.int64())}
+    ))
+    _write(d, "nation", pa.table(
+        {"n_nationkey": pa.array([0, 1], pa.int64()),
+         "n_name": pa.array(["ALGERIA", "ARGENTINA"], pa.string())}
+    ))
+    out = _to_df(q_returned_item_losses(str(d)))
+    assert out.to_dict("records") == [
+        {"rank": 1, "c_custkey": 5, "c_name": "Customer#5",
+         "n_name": "ALGERIA", "revenue": 100.0},
+        {"rank": 2, "c_custkey": 9, "c_name": "Customer#9",
+         "n_name": "ARGENTINA", "revenue": 100.0},
+    ]
