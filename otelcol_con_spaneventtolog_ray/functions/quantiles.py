@@ -434,10 +434,124 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# GLOBAL percent_rank without a global sort — the broadcast-CDF shape. A
+# naive distributed percent_rank() is sort(value) over every row (the worst
+# all-to-all at 100 TB). Instead: phase 1 folds the bounded distinct-value
+# distribution (the same two-phase engine as the exact quantiles — values
+# are milli-quantized, so the distribution is grid-bounded, not row-
+# bounded), the driver turns it into a (sorted values, counts-below) CDF
+# broadcast via ray.put, and phase 2 resolves every event's rank with one
+# searchsorted per block. No row ever shuffles; the only exchange carries
+# distinct (v, cnt) cells. percent_rank = cnt_smaller / (n-1) — both
+# engines compute the identical double division, so 6dp rounding agrees.
+# ---------------------------------------------------------------------------
+
+
+def q_value_percent_rank(sf_dir: str):
+    """Per-event global percent_rank of `value` (ties share a rank):
+    two-phase distribution fold + broadcast-CDF searchsorted, no global
+    sort."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def dist_partials(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("value").is_valid())
+        if t.num_rows == 0:
+            return pa.table(
+                {"v": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        vm = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000
+        ).astype(np.int64)
+        u, c = np.unique(vm, return_counts=True)
+        return pa.table(
+            {"v": pa.array(u, pa.int64()),
+             "cnt": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    dist = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["value"]
+        )
+        .map_batches(dist_partials, batch_format="pyarrow", **remote_kwargs())
+        .groupby("v")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # bounded by the quantization grid, not by rows
+    )
+    empty = pa.table(
+        {"event_id": pa.array([], pa.int64()),
+         "vm": pa.array([], pa.int64()),
+         "pct_rank": pa.array([], pa.float64())}
+    )
+    if len(dist) == 0:
+        return empty
+    if len(dist) > QUANTILE_MAX_GROUP:
+        raise ValueError(
+            f"value distribution has {len(dist)} distinct milli-quantized "
+            f"cells (> QUANTILE_MAX_GROUP={QUANTILE_MAX_GROUP}); the "
+            "broadcast-CDF rank requires a grid-bounded distribution — "
+            "coarsen the quantization grid"
+        )
+    v = dist["v"].to_numpy(np.int64)
+    c = dist["cnt"].to_numpy(np.int64)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    cum_below = np.cumsum(c) - c  # rows strictly smaller than v[i]
+    n = int(c.sum())
+    cdf_ref = ray.put((v, cum_below, n))
+
+    def rank_map(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("value").is_valid())
+        if t.num_rows == 0:
+            return empty
+        vv, cb, n = ray.get(cdf_ref)
+        vm = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 1000
+        ).astype(np.int64)
+        pos = np.searchsorted(vv, vm)  # exact hit: phase 1 saw every value
+        pct = (
+            np.round(cb[pos] / (n - 1), 6)
+            if n > 1
+            else np.zeros(len(vm), dtype=np.float64)
+        )
+        return pa.table(
+            {
+                "event_id": pa.array(
+                    t.column("event_id").to_numpy(zero_copy_only=False)
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "vm": pa.array(vm, pa.int64()),
+                "pct_rank": pa.array(pct, pa.float64()),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "value"],
+        )
+        .map_batches(rank_map, batch_format="pyarrow", **remote_kwargs())
+    )
+
+
+_PCT_RANK_SQL = """
+WITH v AS (
+  SELECT event_id, CAST(round(value * 1000) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL)
+SELECT event_id, vm, round(percent_rank() OVER (ORDER BY vm), 6) AS pct_rank
+FROM v
+"""
+
+
 register(
     "events_value_quantiles_exact", q_events_value_quantiles_exact,
     _EVENTS_Q_SQL,
 )
+register("events_value_percent_rank", q_value_percent_rank, _PCT_RANK_SQL)
 register("similarity_norm_quantiles", q_norm_quantiles, _NORM_Q_SQL)
 register("text_length_quantiles", q_text_length_quantiles, _TEXT_LEN_Q_SQL)
 register("text_above_median_length", q_above_median_length, _ABOVE_MEDIAN_SQL)

@@ -47,6 +47,7 @@ SQL_CHECKED = [
     "text_lang_source_matrix",
     "rel_big_orders", "rel_idle_rich_customers", "rel_part_type_suppliers",
     "rel_forecast_revenue", "rel_returned_item_losses",
+    "events_value_percent_rank",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

@@ -562,3 +562,26 @@ def test_returned_losses_ties_rank_by_custkey(ray_session, tmp_path):
         {"rank": 2, "c_custkey": 9, "c_name": "Customer#9",
          "n_name": "ARGENTINA", "revenue": 100.0},
     ]
+
+
+def test_percent_rank_ties_share_and_bounds(ray_session, tmp_path):
+    """Broadcast-CDF percent_rank: ties share the strictly-smaller count,
+    the global min ranks 0, the unique max ranks 1; NULL values drop."""
+    from otelcol_con_spaneventtolog_ray.functions.quantiles import (
+        q_value_percent_rank,
+    )
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    _write(d, "events", pa.table(
+        {"event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+         "value": pa.array([1.0, 2.0, 2.0, 3.0, None], pa.float64())}
+    ))
+    out = _to_df(q_value_percent_rank(str(d))).sort_values(
+        "event_id").reset_index(drop=True)
+    assert out.to_dict("records") == [
+        {"event_id": 1, "vm": 1000, "pct_rank": 0.0},
+        {"event_id": 2, "vm": 2000, "pct_rank": round(1 / 3, 6)},
+        {"event_id": 3, "vm": 2000, "pct_rank": round(1 / 3, 6)},
+        {"event_id": 4, "vm": 3000, "pct_rank": 1.0},
+    ]
