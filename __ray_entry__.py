@@ -382,8 +382,11 @@ GATE_FRONT = [
     "sketch_value_quantiles",
     # newest round-4 additions (SQL-gated in pytest from day one):
     # text_perplexity_buckets takes the window's one remaining free slot;
-    # corpus_source_overlap lands at position 51 and waits for the round-5
-    # rotate (the drift test allows overflow only past never-gated queries)
+    # corpus_source_overlap/-token_budget land at positions 50/51 and wait
+    # for the round-5 rotate together with the closing-session queries
+    # (rel_promo_revenue .. rel_returned_item_losses, events_window_
+    # functions, events_value_percent_rank, text_lang_source_matrix) —
+    # the drift test allows overflow only past never-gated queries
     "text_perplexity_buckets",
     "corpus_source_overlap",
     "corpus_token_budget",
