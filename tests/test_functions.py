@@ -1193,6 +1193,52 @@ def test_sort_colocates_equal_keys_in_one_block(ray_session):
     assert not multi, multi
 
 
+def test_sorted_fold_batch_is_whole_partition_despite_block_cap(ray_session):
+    """Adversarial pin for the per-user block folds' safety contract: with
+    target_max_block_size far BELOW a single key's run (64 KiB cap vs
+    ~700 KiB runs), `sort(key)` + `map_batches(batch_size=None)` still
+    delivers each key entirely within one batch — the batch is the whole
+    sort partition (RefBundle), not an individual capped block. This is the
+    exact mechanism ray.data's own GroupedData.map_groups relies on
+    (grouped_data.py: sort + batch_size=None, "guaranteeing that groups are
+    contained in full"), so the eventops folds are safe by the same
+    contract that makes map_groups itself correct."""
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    old_cap = ctx.target_max_block_size
+    ctx.target_max_block_size = 64 * 1024
+    try:
+        rng = np.random.default_rng(7)
+        keys = rng.integers(0, 7, size=300_000).astype(np.int64)  # ~700KB/key
+        ds = (
+            ray.data.from_arrow(
+                pa.table({
+                    "qid": pa.array(keys, pa.int64()),
+                    "v": pa.array(rng.integers(0, 1 << 30, size=len(keys)),
+                                  pa.int64()),
+                })
+            )
+            .repartition(8)
+            .sort("qid")
+        )
+        seen: dict[int, set] = {}
+        n_batches = 0
+        for bi, batch in enumerate(
+            ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        ):
+            n_batches += 1
+            for k in np.unique(
+                batch.column("qid").to_numpy(zero_copy_only=False)
+            ):
+                seen.setdefault(int(k), set()).add(bi)
+        multi = {k: v for k, v in seen.items() if len(v) > 1}
+        assert not multi, multi
+        assert n_batches > 1  # non-vacuous: the sort really range-partitioned
+    finally:
+        ctx.target_max_block_size = old_cap
+
+
 def test_knn_fold_batch_matches_per_group_reference():
     """The segment-vectorized fold == the straightforward per-qid fold
     (dedupe keeping max score, then top-K by score desc / nid asc)."""
