@@ -390,6 +390,15 @@ GATE_FRONT = [
     "text_perplexity_buckets",
     "corpus_source_overlap",
     "corpus_token_budget",
+    # round-4 continuation: the second relational tranche (Q4/Q12/Q7/Q8/
+    # Q17/Q19/Q21 shapes) — never gated, queue behind the window overflow
+    "rel_priority_backlog",
+    "rel_shipstatus_priority",
+    "rel_nation_volume",
+    "rel_market_share",
+    "rel_small_qty_revenue",
+    "rel_bracket_revenue",
+    "rel_late_sole_supplier",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

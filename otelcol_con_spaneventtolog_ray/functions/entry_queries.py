@@ -48,6 +48,7 @@ from . import (  # noqa: E402,F401
     multimodal,
     quantiles,
     relational,
+    relational2,
     similarity,
     sketch,
     textstats,

@@ -29,19 +29,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .entry_queries import register
+from .relutil import _lookup_int, _q3_join_sentinels, _read  # noqa: F401
 from ..rayenv import remote_kwargs
 
 #: Q1-style cutoff (inclusive): inside the data's 1995-2001 span so the
 #: filter actually prunes rows
 PRICING_CUTOFF = "1999-12-31"
-
-
-def _read(sf_dir: str, table: str, columns):
-    import ray.data
-
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=list(columns)
-    )
 
 
 def _pricing_partials(batch: pa.Table) -> pa.Table:
@@ -317,29 +310,6 @@ def _q3_orders_filter(batch: pa.Table) -> pa.Table:
     cutoff = np.datetime64(Q3_CUTOFF)
     od = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
     return batch.filter(pa.array(od < cutoff))
-
-
-def _q3_join_sentinels(num_partitions: int) -> list[int]:
-    """Negative orderkeys covering every hash partition.
-
-    Ray 2.49's join finalize crashes when a hash partition receives no rows
-    on either side (the empty partition builds a SCHEMA-LESS table and the
-    Arrow join can't find the key column). Ray routes a row to partition
-    ``hash((key_scalar,)) % P`` where ``key_scalar`` is a pyarrow Int64Scalar
-    — deterministic across processes for integers — so we can compute, on
-    the driver, a set of impossible (negative) keys that lands one sentinel
-    row in every partition on BOTH sides; the inner join pairs them up and
-    the top-k fold drops everything below key 0."""
-    keys: list[int] = []
-    covered: set[int] = set()
-    k = -1
-    while len(covered) < num_partitions:
-        pid = hash((pa.scalar(k, pa.int64()),)) % num_partitions
-        if pid not in covered:
-            covered.add(pid)
-            keys.append(k)
-        k -= 1
-    return keys
 
 
 def _q3_topk_block(batch: pa.Table) -> pa.Table:
@@ -744,18 +714,6 @@ def _dim_lookup(sf_dir: str):
     nname = np.array([m[0] for m in nmeta], dtype=object)
     in_region = np.array([bool(m[1]) for m in nmeta], dtype=bool)
     return sk, sn, ck, cn, nk, nname, in_region
-
-
-def _lookup_int(sorted_keys, sorted_vals, probe, default=-1):
-    """Vectorized sorted-array lookup: probe→val, ``default`` on miss."""
-    if len(sorted_keys) == 0:
-        return np.full(len(probe), default, dtype=np.int64)
-    pos = np.minimum(
-        np.searchsorted(sorted_keys, probe), len(sorted_keys) - 1
-    )
-    out = sorted_vals[pos].astype(np.int64, copy=True)
-    out[sorted_keys[pos] != probe] = default
-    return out
 
 
 def q_local_supply_revenue(sf_dir: str):

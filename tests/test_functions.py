@@ -48,6 +48,11 @@ SQL_CHECKED = [
     "rel_big_orders", "rel_idle_rich_customers", "rel_part_type_suppliers",
     "rel_forecast_revenue", "rel_returned_item_losses",
     "events_value_percent_rank",
+    # second relational tranche (dedicated fixtures in test_relational2.py;
+    # listed here so the full-table sf0.001 parity also runs in-suite)
+    "rel_priority_backlog", "rel_shipstatus_priority", "rel_nation_volume",
+    "rel_market_share", "rel_small_qty_revenue", "rel_bracket_revenue",
+    "rel_late_sole_supplier",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
