@@ -295,6 +295,113 @@ def _q_nested_attr(sf_dir: str):
     )
 
 
+#: log-template mask: long hex runs (trace/span ids) and any digit run
+#: collapse to '#'. RE2 semantics in BOTH engines (Arrow replace_substring
+#: _regex and DuckDB regexp_replace are RE2), so the mirrors can't diverge.
+LOG_TEMPLATE_PATTERN = r"[0-9a-f]{8,}|[0-9]+"
+
+
+def _q_log_templates(sf_dir: str):
+    """Drain-style log-template mining over the REAL pipeline's extracted
+    raw lines: mask id-like runs, count occurrences per template. The mask
+    runs inside the same vectorized pass as the parse — no extra exchange;
+    the counts fold through the salted two-phase counts_table."""
+    from otelcol_con_spaneventtolog_ray.stages.parse import make_parse_fn
+
+    def template(t: pa.Table) -> pa.Table:
+        raw = pc.cast(t.column("raw"), pa.string())
+        return pa.table(
+            {"template": pc.replace_substring_regex(
+                raw, pattern=LOG_TEMPLATE_PATTERN, replacement="#"
+            )}
+        )
+
+    ds = (
+        _pages_ds(sf_dir)
+        .map_batches(make_parse_fn(), batch_format="pyarrow", **remote_kwargs())
+        .map_batches(template, batch_format="pyarrow", **remote_kwargs())
+    )
+    return counts_table(ds, ["template"])
+
+
+def _q_trace_rollup(sf_dir: str):
+    """Per-trace rollup over the routed log records: event count, error
+    count, first/last event timestamp. The page key (url <-> trace) is
+    decoded to its int64 doc id so the per-block combiner lexsorts ints and
+    the groupby exchange carries (int64 key, 4 int64 partials) rows; the
+    url string is rebuilt vectorized on the final (small per-block) output."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    from otelcol_con_spaneventtolog_ray.functions.blockutil import retype_block
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "n_err": pa.array([], pa.int64()),
+                 "min_ts": pa.array([], pa.int64()),
+                 "max_ts": pa.array([], pa.int64())}
+            )
+        doc = pc.cast(
+            pc.utf8_slice_codeunits(t.column("url"), start=21, stop=1 << 30),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        err = (
+            t.column("sink").to_numpy(zero_copy_only=False) == "error"
+        ).astype(np.int64)
+        ts = (
+            t.column("timestamp").combine_chunks().cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(doc, kind="stable")
+        d_s, e_s, t_s = doc[order], err[order], ts[order]
+        first = np.flatnonzero(np.concatenate([[True], d_s[1:] != d_s[:-1]]))
+        return pa.table(
+            {"doc_id": pa.array(d_s[first], pa.int64()),
+             "n": pa.array(
+                 np.diff(np.append(first, len(d_s))).astype(np.int64),
+                 pa.int64()),
+             "n_err": pa.array(np.add.reduceat(e_s, first), pa.int64()),
+             "min_ts": pa.array(np.minimum.reduceat(t_s, first), pa.int64()),
+             "max_ts": pa.array(np.maximum.reduceat(t_s, first), pa.int64())}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = retype_block(
+            t,
+            {"doc_id": ("doc_id", pa.int64()),
+             "n_events": ("n", pa.int64()),
+             "n_errors": ("n_err", pa.int64()),
+             "first_ts_ns": ("min_ts", pa.int64()),
+             "last_ts_ns": ("max_ts", pa.int64())},
+        )
+        url = pc.binary_join_element_wise(
+            pa.array(["https://docs.example/"] * t.num_rows, pa.string()),
+            pc.utf8_lpad(
+                pc.cast(t.column("doc_id"), pa.string()), width=8, padding="0"
+            ),
+            "",
+        )
+        return t.drop_columns(["doc_id"]).add_column(0, "url", url)
+
+    ds = (
+        _records(sf_dir, DEFAULT_CFG)
+        .select_columns(["url", "sink", "timestamp"])
+        .map_batches(partials, batch_format="pyarrow", **remote_kwargs())
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_err", alias_name="n_err"),
+            Min("min_ts", alias_name="min_ts"),
+            Max("max_ts", alias_name="max_ts"),
+        )
+        .map_batches(finish, batch_format="pyarrow", **remote_kwargs())
+    )
+    return ds
+
+
 def _q_pipeline_stats(sf_dir: str):
     """Self-telemetry counters (op M analog): pages / lines / events found /
     processed / malformed, summed over per-batch counter rows."""
@@ -399,6 +506,8 @@ GATE_FRONT = [
     "rel_small_qty_revenue",
     "rel_bracket_revenue",
     "rel_late_sole_supplier",
+    "pipeline_log_templates",
+    "pipeline_trace_rollup",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round
@@ -463,6 +572,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_nested_attr": _q_nested_attr,
         "pipeline_severity_attribute_counts": _q_severity_attribute_counts,
         "pipeline_sink_counts_actor_pool": _q_sink_counts_actor_pool,
+        "pipeline_log_templates": _q_log_templates,
+        "pipeline_trace_rollup": _q_trace_rollup,
         "events_severity_route": _q_events_severity_route,
         "events_hourly_counts": _q_events_hourly_counts,
     }
@@ -627,6 +738,18 @@ def oracle_sql() -> dict[str, str]:
         " 'h' || (doc_id % 3) AS host,"
         " 't' || (doc_id % 2) AS tag0"
         " FROM documents",
+        "pipeline_log_templates": _EV_CTE
+        + f"SELECT regexp_replace({_RAW_SQL}, '{LOG_TEMPLATE_PATTERN}',"
+        " '#', 'g') AS template, count(*) AS n FROM ev"
+        " GROUP BY 1 ORDER BY 1",
+        "pipeline_trace_rollup": _EV_CTE
+        + f"SELECT {_URL_SQL} AS url, count(*) AS n_events,"
+        " CAST(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,"
+        " min(1750000000000000000 + doc_id * 1000000 + j * 1000)"
+        " AS first_ts_ns,"
+        " max(1750000000000000000 + doc_id * 1000000 + j * 1000)"
+        " AS last_ts_ns"
+        " FROM ev GROUP BY doc_id ORDER BY 1",
         "events_severity_route": "SELECT event_type,"
         f" {_EVENTS_ROUTE_CASE} AS severity_text, count(*) AS n FROM events"
         " GROUP BY 1, 2 ORDER BY 1, 2",

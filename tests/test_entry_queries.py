@@ -64,6 +64,7 @@ PIPELINE_GATED = [
     "pipeline_filtered_sink_counts", "pipeline_level_attr", "pipeline_stats",
     "pipeline_severity_attribute_counts", "pipeline_sink_counts_actor_pool",
     "pipeline_nested_attr",
+    "pipeline_log_templates", "pipeline_trace_rollup",
     "events_severity_route", "events_hourly_counts",
 ]
 
