@@ -402,6 +402,72 @@ def _q_trace_rollup(sf_dir: str):
     return ds
 
 
+def _q_service_severity(sf_dir: str):
+    """Per-service severity routing counts over the MAP-typed
+    resource_attrs column: one vectorized map_lookup + tag strip per block,
+    then the salted two-phase counts fold. The service dimension comes from
+    the record itself (resource attrs), not a side table — the shape an
+    observability backend runs constantly."""
+    def project(t: pa.Table) -> pa.Table:
+        svc = pc.map_lookup(
+            t.column("resource_attrs").combine_chunks(),
+            query_key="service.name", occurrence="first",
+        )
+        return pa.table(
+            {
+                "service": pc.utf8_slice_codeunits(svc, start=2, stop=1 << 30),
+                "sink": t.column("sink"),
+            }
+        )
+
+    ds = (
+        _records(sf_dir, DEFAULT_CFG)
+        .select_columns(["resource_attrs", "sink"])
+        .map_batches(project, batch_format="pyarrow", **remote_kwargs())
+    )
+    return counts_table(ds, ["service", "sink"])
+
+
+def _q_attr_key_stats(sf_dir: str):
+    """Attribute-key frequency over the MAP-typed attributes column: the
+    flattened keys child array feeds pyarrow value_counts per block (no
+    per-row map iteration), partial counts fold through one tiny groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from otelcol_con_spaneventtolog_ray.functions.blockutil import retype_block
+
+    def key_counts(t: pa.Table) -> pa.Table:
+        keys = t.column("attributes").combine_chunks().keys
+        vc = pc.value_counts(keys)
+        if len(vc) == 0:
+            return pa.table(
+                {"key": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"key": vc.field("values"),
+             "n": pc.cast(vc.field("counts"), pa.int64())}
+        )
+
+    df = (
+        _records(sf_dir, DEFAULT_CFG)
+        .select_columns(["attributes"])
+        .map_batches(key_counts, batch_format="pyarrow", **remote_kwargs())
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: retype_block(
+                t, {"key": ("key", pa.string()), "n": ("n", pa.int64())}
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+        .to_pandas()
+    )
+    df = df.sort_values("key").reset_index(drop=True)
+    return pa.Table.from_pandas(df[["key", "n"]], preserve_index=False)
+
+
 def _q_pipeline_stats(sf_dir: str):
     """Self-telemetry counters (op M analog): pages / lines / events found /
     processed / malformed, summed over per-batch counter rows."""
@@ -508,6 +574,8 @@ GATE_FRONT = [
     "rel_late_sole_supplier",
     "pipeline_log_templates",
     "pipeline_trace_rollup",
+    "pipeline_service_severity",
+    "pipeline_attr_key_stats",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round
@@ -574,6 +642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_sink_counts_actor_pool": _q_sink_counts_actor_pool,
         "pipeline_log_templates": _q_log_templates,
         "pipeline_trace_rollup": _q_trace_rollup,
+        "pipeline_service_severity": _q_service_severity,
+        "pipeline_attr_key_stats": _q_attr_key_stats,
         "events_severity_route": _q_events_severity_route,
         "events_hourly_counts": _q_events_hourly_counts,
     }
@@ -750,6 +820,25 @@ def oracle_sql() -> dict[str, str]:
         " max(1750000000000000000 + doc_id * 1000000 + j * 1000)"
         " AS last_ts_ns"
         " FROM ev GROUP BY doc_id ORDER BY 1",
+        "pipeline_service_severity": _EV_CTE
+        + "SELECT 'svc-' || (doc_id % 4) AS service,"
+        " CASE WHEN k = 0 THEN 'error' ELSE 'info' END AS sink,"
+        " count(*) AS n FROM ev GROUP BY 1, 2 ORDER BY 1, 2",
+        # attribute-key universe under the default config (enrich.py
+        # sources): per-k event attrs + span.name/span.kind on every event
+        # + trace.state only on non-empty trace state (doc_id % 10 == 0)
+        "pipeline_attr_key_stats": _EV_CTE
+        + ", keys AS (SELECT unnest((CASE k"
+        " WHEN 0 THEN ['exception.type', 'exception.message']"
+        " WHEN 1 THEN ['custom.key', 'custom.count']"
+        " WHEN 2 THEN ['event.body', 'event.severity_number',"
+        " 'event.severity_text']"
+        " WHEN 3 THEN ['retry.count', 'retry.reason']"
+        " ELSE []::VARCHAR[] END)"
+        " || ['span.name', 'span.kind']"
+        " || (CASE WHEN doc_id % 10 = 0 THEN ['trace.state']"
+        " ELSE []::VARCHAR[] END)) AS key FROM ev)"
+        " SELECT key, count(*) AS n FROM keys GROUP BY 1 ORDER BY 1",
         "events_severity_route": "SELECT event_type,"
         f" {_EVENTS_ROUTE_CASE} AS severity_text, count(*) AS n FROM events"
         " GROUP BY 1, 2 ORDER BY 1, 2",

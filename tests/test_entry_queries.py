@@ -65,6 +65,7 @@ PIPELINE_GATED = [
     "pipeline_severity_attribute_counts", "pipeline_sink_counts_actor_pool",
     "pipeline_nested_attr",
     "pipeline_log_templates", "pipeline_trace_rollup",
+    "pipeline_service_severity", "pipeline_attr_key_stats",
     "events_severity_route", "events_hourly_counts",
 ]
 

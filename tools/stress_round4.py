@@ -115,6 +115,7 @@ def main() -> None:
                  include_dashboard=False)
     from otelcol_con_spaneventtolog_ray.functions import quantiles as Q
     from otelcol_con_spaneventtolog_ray.functions import relational as R
+    from otelcol_con_spaneventtolog_ray.functions import relational2 as R2
 
     walls: dict[str, float] = {}
     extra: dict[str, int] = {}
@@ -141,6 +142,13 @@ def main() -> None:
         ("rel_big_orders_10x", R.q_big_orders),
         ("rel_idle_rich_customers_10x", R.q_idle_rich_customers),
         ("rel_part_type_suppliers_10x", R.q_part_type_suppliers),
+        ("rel_priority_backlog_10x", R2.q_priority_backlog),
+        ("rel_shipstatus_priority_10x", R2.q_shipstatus_priority),
+        ("rel_nation_volume_10x", R2.q_nation_volume),
+        ("rel_market_share_10x", R2.q_market_share),
+        ("rel_small_qty_revenue_10x", R2.q_small_qty_revenue),
+        ("rel_bracket_revenue_10x", R2.q_bracket_revenue),
+        ("rel_late_sole_supplier_10x", R2.q_late_sole_supplier),
     ):
         t0 = time.perf_counter()
         res = fn(tp_dir)
