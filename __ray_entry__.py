@@ -576,6 +576,7 @@ GATE_FRONT = [
     "pipeline_trace_rollup",
     "pipeline_service_severity",
     "pipeline_attr_key_stats",
+    "web_url_dedup",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

@@ -1,0 +1,173 @@
+"""Web-crawl URL canonicalization + dedup — the ingest-side dedup every
+crawl pipeline runs before content dedup: strip fragment, strip query,
+lowercase scheme+host (path stays case-sensitive), drop trailing slashes,
+then keep one representative per canonical URL.
+
+The canonicalization is the graded kernel: four RE2 operations per block
+(replace fragment / query / trailing slashes, extract+lower the authority
+prefix), all vectorized — Arrow's replace_substring_regex / extract_regex
+and DuckDB's regexp_replace / regexp_extract are both RE2, so the mirror
+can't diverge on regex semantics.
+
+Input variants are synthesized deterministically from doc_id arithmetic
+(two docs share each canonical URL; the variant class rotates query /
+uppercase-host+fragment / trailing-slash mutations), mirrored in the SQL
+so the driver's hash compare exercises the kernel end-to-end.
+
+100-TB shape: the only exchange is the canonical-URL groupby, carrying
+per-block pre-reduced (canonical, min_id, n) rows — one row per distinct
+canonical per block, never raw page rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .entry_queries import register
+from ..rayenv import remote_kwargs
+
+#: RE2 patterns shared (textually) with the SQL mirror
+_FRAGMENT = "#.*$"
+_QUERY = r"\?.*$"
+_AUTHORITY = "^[^/]+//[^/]*"
+_TRAILING = "/+$"
+
+
+def canonicalize_urls(url: pa.Array) -> pa.Array:
+    """Vectorized URL canonicalization (the graded kernel)."""
+    u = pc.replace_substring_regex(url, pattern=_FRAGMENT, replacement="")
+    u = pc.replace_substring_regex(u, pattern=_QUERY, replacement="")
+    prefix = pc.struct_field(
+        pc.extract_regex(u, pattern=f"(?P<p>{_AUTHORITY})"), "p"
+    )
+    rest = pc.replace_substring_regex(u, pattern=_AUTHORITY, replacement="")
+    u = pc.binary_join_element_wise(pc.utf8_lower(prefix), rest, "")
+    return pc.replace_substring_regex(u, pattern=_TRAILING, replacement="")
+
+
+def make_url_variants(batch: pa.Table) -> pa.Table:
+    """Generation stage (not graded): deterministic URL variants; two docs
+    share each canonical target, variant class = doc_id % 4."""
+    doc_ids = batch.column("doc_id").to_numpy()
+    urls = []
+    for doc_id in doc_ids:
+        doc_id = int(doc_id)
+        base = f"https://docs.example/{doc_id // 2:08d}"
+        m = doc_id % 4
+        if m == 1:
+            urls.append(f"{base}?utm_source=feed&ref={doc_id % 7}")
+        elif m == 2:
+            urls.append(
+                f"HTTPS://DOCS.Example/{doc_id // 2:08d}#sec-{doc_id % 3}"
+            )
+        elif m == 3:
+            urls.append(base + "/")
+        else:
+            urls.append(base)
+    return pa.table(
+        {"doc_id": batch.column("doc_id"), "url": pa.array(urls, pa.string())}
+    )
+
+
+def _canon_partials(batch: pa.Table) -> pa.Table:
+    """Canonicalize + per-block pre-reduce: (canonical_url, min doc_id, n)."""
+    curl = canonicalize_urls(batch.column("url").combine_chunks())
+    cu = curl.to_numpy(zero_copy_only=False)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(cu) == 0:
+        return pa.table(
+            {"canonical_url": pa.array([], pa.string()),
+             "keep_doc_id": pa.array([], pa.int64()),
+             "n_variants": pa.array([], pa.int64())}
+        )
+    order = np.argsort(cu, kind="stable")
+    cu_s, id_s = cu[order], ids[order]
+    first = np.flatnonzero(np.concatenate([[True], cu_s[1:] != cu_s[:-1]]))
+    return pa.table(
+        {
+            "canonical_url": pa.array(cu_s[first], pa.string()),
+            "keep_doc_id": pa.array(
+                np.minimum.reduceat(id_s, first), pa.int64()
+            ),
+            "n_variants": pa.array(
+                np.diff(np.append(first, len(cu_s))).astype(np.int64),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def q_url_dedup(sf_dir: str):
+    """Canonical-URL dedup: one row per canonical URL with the kept
+    (minimum) doc_id and the variant count."""
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from .blockutil import retype_block
+
+    df = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .map_batches(make_url_variants, batch_format="pyarrow",
+                     **remote_kwargs())
+        .map_batches(_canon_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("canonical_url")
+        .aggregate(
+            Min("keep_doc_id", alias_name="keep_doc_id"),
+            Sum("n_variants", alias_name="n_variants"),
+        )
+        .map_batches(
+            lambda t: retype_block(
+                t,
+                {"canonical_url": ("canonical_url", pa.string()),
+                 "keep_doc_id": ("keep_doc_id", pa.int64()),
+                 "n_variants": ("n_variants", pa.int64())},
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+        .to_pandas()
+    )
+    df = df.sort_values("canonical_url").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["canonical_url", "keep_doc_id", "n_variants"]],
+        preserve_index=False,
+    )
+
+
+_URL_DEDUP_SQL = f"""
+WITH v AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 1 THEN 'https://docs.example/' || printf('%08d', doc_id // 2)
+                       || '?utm_source=feed&ref=' || (doc_id % 7)
+           WHEN 2 THEN 'HTTPS://DOCS.Example/' || printf('%08d', doc_id // 2)
+                       || '#sec-' || (doc_id % 3)
+           WHEN 3 THEN 'https://docs.example/' || printf('%08d', doc_id // 2)
+                       || '/'
+           ELSE 'https://docs.example/' || printf('%08d', doc_id // 2)
+         END AS url
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         regexp_replace(
+           lower(regexp_extract(
+             regexp_replace(regexp_replace(url, '{_FRAGMENT}', ''),
+                            '{_QUERY}', ''),
+             '{_AUTHORITY}'))
+           || regexp_replace(
+                regexp_replace(regexp_replace(url, '{_FRAGMENT}', ''),
+                               '{_QUERY}', ''),
+                '{_AUTHORITY}', ''),
+           '{_TRAILING}', '') AS canonical_url
+  FROM v)
+SELECT canonical_url, min(doc_id) AS keep_doc_id, count(*) AS n_variants
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+register("web_url_dedup", q_url_dedup, _URL_DEDUP_SQL)

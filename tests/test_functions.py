@@ -53,6 +53,7 @@ SQL_CHECKED = [
     "rel_priority_backlog", "rel_shipstatus_priority", "rel_nation_volume",
     "rel_market_share", "rel_small_qty_revenue", "rel_bracket_revenue",
     "rel_late_sole_supplier",
+    "web_url_dedup",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
