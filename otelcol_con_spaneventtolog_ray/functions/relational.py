@@ -1564,14 +1564,45 @@ def _order_qty_partials(batch: pa.Table) -> pa.Table:
 
 def q_big_orders(sf_dir: str):
     """Orders with total quantity > BIG_ORDER_QTY (TPC-H Q18 shape):
-    two-phase per-order sum, vectorized HAVING, broadcast-probe attach."""
+    per-block combiner -> ONE sort on orderkey -> boundary-safe segment-sum
+    fold with the HAVING applied inside the fold (only survivors + the
+    block-count-bounded boundary side-channel reach the driver), then the
+    broadcast-probe attach. The sort replaces Ray's hash Aggregate, which
+    measured ~4x slower on the same partial rows (see the Q21 rework)."""
     import pyarrow.parquet as pq
     import ray
-    from ray.data.aggregate import Sum
 
-    def _having(t: pa.Table) -> pa.Table:
+    def _fold(t: pa.Table) -> pa.Table:
+        """Sorted block -> interior segment sums filtered by the HAVING
+        (boundary=0) + raw first/last-segment rows (boundary=1) for the
+        exactly-once driver fold across Ray's sorted-block re-splits."""
+        if t.num_rows == 0:
+            return pa.table(
+                {"l_orderkey": pa.array([], pa.int64()),
+                 "qty": pa.array([], pa.int64()),
+                 "boundary": pa.array([], pa.int64())}
+            )
+        ok = t.column("l_orderkey").to_numpy(zero_copy_only=False)
         q = t.column("qty").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(q > BIG_ORDER_QTY))
+        seg = np.flatnonzero(np.concatenate([[True], ok[1:] != ok[:-1]]))
+        lo = seg[1] if len(seg) > 1 else len(ok)
+        hi = seg[-1] if len(seg) > 2 else lo
+        side = np.concatenate([np.arange(0, lo), np.arange(hi, len(ok))])
+        keys = [ok[side]]
+        qtys = [q[side]]
+        bnd = [np.ones(len(side), np.int64)]
+        if len(seg) > 2:
+            sums = np.add.reduceat(q, seg)[1:-1]
+            kk = ok[seg[1:-1]]
+            m = sums > BIG_ORDER_QTY
+            keys.append(kk[m])
+            qtys.append(sums[m])
+            bnd.append(np.zeros(int(m.sum()), np.int64))
+        return pa.table(
+            {"l_orderkey": pa.array(np.concatenate(keys), pa.int64()),
+             "qty": pa.array(np.concatenate(qtys), pa.int64()),
+             "boundary": pa.array(np.concatenate(bnd), pa.int64())}
+        )
 
     empty = pa.table(
         {"c_name": pa.array([], pa.string()),
@@ -1581,15 +1612,26 @@ def q_big_orders(sf_dir: str):
          "o_totalprice": pa.array([], pa.float64()),
          "total_qty": pa.array([], pa.int64())}
     )
-    big = (
+    folded = (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
         .map_batches(_order_qty_partials, batch_format="pyarrow",
                      **remote_kwargs())
-        .groupby("l_orderkey")
-        .aggregate(Sum("qty", alias_name="qty"))
-        .map_batches(_having, batch_format="pyarrow", **remote_kwargs())
-        .to_pandas()  # survivors only: selectivity-bounded, documented above
+        .sort("l_orderkey")
+        .map_batches(_fold, batch_format="pyarrow", batch_size=None,
+                     **remote_kwargs())
+        .to_pandas()  # survivors + block-bounded side rows, never fact-scale
     )
+    if len(folded):
+        side = folded[folded["boundary"] == 1]
+        big = folded[folded["boundary"] == 0][["l_orderkey", "qty"]]
+        if len(side):
+            ssum = side.groupby("l_orderkey", as_index=False)["qty"].sum()
+            ssum = ssum[ssum["qty"] > BIG_ORDER_QTY]
+            import pandas as pd
+
+            big = pd.concat([big, ssum], ignore_index=True)
+    else:
+        big = folded
     if len(big) == 0:
         return empty
     bk = big["l_orderkey"].to_numpy(np.int64)
