@@ -577,6 +577,8 @@ GATE_FRONT = [
     "pipeline_service_severity",
     "pipeline_attr_key_stats",
     "web_url_dedup",
+    "corpus_epoch_shuffle",
+    "sketch_mg_heavy_users",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

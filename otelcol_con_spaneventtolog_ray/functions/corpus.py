@@ -732,3 +732,103 @@ FROM s, th
 from .entry_queries import register_lazy_sql  # noqa: E402
 
 register_lazy_sql("corpus_token_budget", _token_budget_sql)
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-epoch shuffle — every epoch loader needs a stable,
+# seeded global permutation of the corpus. Key = md5(seed:doc_id) (md5 IS
+# the mirrored contract with DuckDB's md5(), same deliberate trade as the
+# textstats fingerprint — hashlib releases the GIL and runs C); global
+# positions come from the pack_sequences two-phase shape: (1) per-block
+# bucket histograms on the key's 12-bit prefix -> driver cumsum gives each
+# bucket's exclusive base (O(SHUFFLE_BUCKETS) driver rows); (2) one
+# groupby(bucket).map_groups sorts each bucket internally and enumerates
+# from its base. A bucket is the unit of memory (corpus/SHUFFLE_BUCKETS
+# rows x ~56 B) — scale SHUFFLE_BUCKETS with the corpus (~sqrt n) the same
+# way IVF_CELLS scales.
+# ---------------------------------------------------------------------------
+
+SHUFFLE_BUCKETS = 4096  # 12-bit md5 prefix
+SHUFFLE_SEED = "ep0"
+
+
+def _shuffle_rows(batch: pa.Table) -> pa.Table:
+    import hashlib
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    keys = [
+        hashlib.md5(f"{SHUFFLE_SEED}:{int(i)}".encode()).hexdigest()
+        for i in ids
+    ]
+    bucket = np.array([int(k[:3], 16) for k in keys], np.int64)
+    return pa.table(
+        {"bucket": pa.array(bucket, pa.int64()),
+         "skey": pa.array(keys, pa.string()),
+         "doc_id": pa.array(ids.astype(np.int64), pa.int64())}
+    )
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """(doc_id, epoch_pos): the doc's position in the seeded global shuffle
+    order — exact global row_number without a global sort."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    rows = (
+        _dedup._docs(sf_dir, columns=("doc_id",))
+        .map_batches(_shuffle_rows, batch_format="pyarrow",
+                     **remote_kwargs())
+        .materialize()  # ~56 B/doc; read by both phases
+    )
+
+    def _bucket_partials(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        u, c = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(u, pa.int64()),
+             "s": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    bsum = (
+        rows.map_batches(_bucket_partials, batch_format="pyarrow",
+                         **remote_kwargs())
+        .groupby("bucket").aggregate(Sum("s"))
+        .to_pandas()  # O(SHUFFLE_BUCKETS)
+    )
+    if len(bsum) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "epoch_pos": pa.array([], pa.int64())}
+        )
+    bsum = bsum.sort_values("bucket").reset_index(drop=True)
+    buckets = bsum["bucket"].to_numpy(np.int64)
+    bases = np.concatenate(
+        [[0], np.cumsum(bsum["sum(s)"].to_numpy(np.int64))[:-1]]
+    )
+    base_ref = ray.put((buckets, bases))
+
+    def _fold(group: pa.Table) -> pa.Table:
+        bks, bss = ray.get(base_ref)
+        df = group.to_pandas().sort_values(
+            ["skey", "doc_id"], kind="stable"
+        )
+        base = int(bss[np.searchsorted(bks, int(df["bucket"].iloc[0]))])
+        return pa.table(
+            {"doc_id": pa.array(df["doc_id"].to_numpy(np.int64), pa.int64()),
+             "epoch_pos": pa.array(
+                 base + np.arange(len(df), dtype=np.int64), pa.int64()
+             )}
+        )
+
+    return rows.groupby("bucket").map_groups(_fold, batch_format="pyarrow")
+
+
+_EPOCH_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('{SHUFFLE_SEED}:' || doc_id), doc_id) - 1 AS BIGINT)
+         AS epoch_pos
+FROM documents
+"""
+
+register("corpus_epoch_shuffle", q_epoch_shuffle, _EPOCH_SHUFFLE_SQL)

@@ -552,3 +552,87 @@ register("sketch_bloom_users", q_bloom_users)  # rows-only (sketch)
 register("sketch_cms_top_tokens", q_cms_top_tokens)  # rows-only (sketch)
 register("sketch_hll_distinct_users", q_hll_distinct_users)  # rows-only
 register("sketch_value_quantiles", q_value_quantiles, _VALUE_QUANTILES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — the deterministic mergeable frequency sketch
+# (Agarwal et al., "Mergeable Summaries", PODS 2012): each block's exact
+# counts reduce to <= MG_K counters by subtracting the (K+1)-th largest
+# count; merging = sum counters by key, reduce again. Guarantees: est <=
+# true, and true - est <= n_total / (MG_K + 1), so every user with true
+# frequency above that bound SURVIVES the sketch. The exchange carries
+# <= (MG_K + 1) x blocks rows (the +1 is a per-block total marker), never
+# event rows — this is the sketch to reach for when CMS's hash collisions
+# or its width x depth memory are the wrong trade.
+# ---------------------------------------------------------------------------
+
+MG_K = 64
+MG_TOP = 10
+
+
+def mg_reduce(keys: np.ndarray, counts: np.ndarray, k: int):
+    """Reduce exact counters to <= k by the Misra-Gries decrement."""
+    if len(keys) <= k:
+        return keys, counts
+    idx = np.argpartition(counts, -(k + 1))
+    d = counts[idx[-(k + 1)]]
+    c2 = counts - d
+    m = c2 > 0
+    return keys[m], c2[m]
+
+
+def _mg_partial_batch(t):
+    import pyarrow as pa
+
+    uid = t.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    u, c = np.unique(uid, return_counts=True)
+    ku, kc = mg_reduce(u, c.astype(np.int64), MG_K)
+    # user_id -1 is the per-block total marker (synth user ids are >= 0)
+    return pa.table(
+        {"user_id": pa.array(np.concatenate([ku, [-1]]), pa.int64()),
+         "cnt": pa.array(np.concatenate([kc, [len(uid)]]), pa.int64())}
+    )
+
+
+def q_mg_heavy_users(sf_dir: str):
+    """Top event-heavy users via the mergeable Misra-Gries sketch:
+    (user_id, est_count, err_bound) — est <= true <= est + err_bound."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from ..rayenv import remote_kwargs
+
+    df = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
+        )
+        .map_batches(_mg_partial_batch, batch_format="pyarrow",
+                     **remote_kwargs())
+        .to_pandas()  # <= (MG_K + 1) x blocks rows
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "est_count": pa.array([], pa.int64()),
+             "err_bound": pa.array([], pa.int64())}
+        )
+    total = int(df.loc[df["user_id"] == -1, "cnt"].sum())
+    df = df[df["user_id"] >= 0]
+    agg = df.groupby("user_id", as_index=False)["cnt"].sum()
+    ku, kc = mg_reduce(
+        agg["user_id"].to_numpy(np.int64), agg["cnt"].to_numpy(np.int64),
+        MG_K,
+    )
+    bound = total // (MG_K + 1)
+    order = np.lexsort((ku, -kc))[:MG_TOP]
+    return pa.table(
+        {"user_id": pa.array(ku[order], pa.int64()),
+         "est_count": pa.array(kc[order], pa.int64()),
+         "err_bound": pa.array(np.full(len(order), bound, np.int64),
+                               pa.int64())}
+    )
+
+
+register("sketch_mg_heavy_users", q_mg_heavy_users)  # rows-only (sketch)

@@ -53,7 +53,7 @@ SQL_CHECKED = [
     "rel_priority_backlog", "rel_shipstatus_priority", "rel_nation_volume",
     "rel_market_share", "rel_small_qty_revenue", "rel_bracket_revenue",
     "rel_late_sole_supplier",
-    "web_url_dedup",
+    "web_url_dedup", "corpus_epoch_shuffle",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
@@ -69,6 +69,7 @@ ROWS_ONLY_RUN = [
     "similarity_pq_codes", "similarity_pq_topk",
     "similarity_pq_rerank", "corpus_training_chunks",
     "sketch_bloom_users", "sketch_cms_top_tokens", "text_bpe_merges",
+    "sketch_mg_heavy_users",
 ]
 
 
