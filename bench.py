@@ -309,6 +309,13 @@ ANALYSIS_BASKET = [
     "text_above_median_length", "rel_orders_pivot", "rel_revenue_rollup",
     "text_perplexity_buckets", "corpus_source_overlap",
     "corpus_token_budget",
+    # round-4 continuation: second relational tranche + web/log/corpus ops
+    "rel_priority_backlog", "rel_shipstatus_priority", "rel_nation_volume",
+    "rel_market_share", "rel_small_qty_revenue", "rel_bracket_revenue",
+    "rel_late_sole_supplier", "rel_big_orders",
+    "web_url_dedup", "corpus_epoch_shuffle", "sketch_mg_heavy_users",
+    "pipeline_log_templates", "pipeline_trace_rollup",
+    "pipeline_service_severity", "pipeline_attr_key_stats",
 ]
 
 
