@@ -579,6 +579,7 @@ GATE_FRONT = [
     "web_url_dedup",
     "corpus_epoch_shuffle",
     "sketch_mg_heavy_users",
+    "text_decontaminate_fuzzy",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

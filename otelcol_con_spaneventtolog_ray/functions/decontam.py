@@ -546,3 +546,168 @@ FROM p JOIN n na ON na.source = p.src_a JOIN n nb ON nb.source = p.src_b
 """
 
 register("corpus_source_overlap", q_source_overlap, _SOURCE_OVERLAP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# FUZZY benchmark decontamination — exact n-gram overlap (text_decontaminate
+# above) misses lightly edited benchmark copies; this is the MinHash-LSH
+# variant: flag training docs whose shingle-set Jaccard against ANY
+# benchmark doc clears FUZZY_JACCARD_T. Banding is re-tuned for the 0.5
+# threshold: the dedup pass's 8 bands x 8 rows detects j=0.5 pairs with
+# probability ~3%, so this op folds the same 64-permutation signature into
+# 32 bands x 2 rows (detect probability 1 - 0.75^32 ≈ 0.9999 at j=0.5).
+#
+# Scale shape: the benchmark index (band-bucket CSR + shingle CSR) is
+# broadcast once via ray.put — O(|benchmark|), small by definition; scoring
+# is an embarrassingly parallel map_batches pass (vectorized signatures,
+# one searchsorted probe, candidate pairs verified with the rank-packed
+# sorted-merge intersection — no per-pair Python). No shuffle anywhere.
+# Threshold compares as exact integers (3*inter >= |a|+|b| ⇔ j >= 0.5).
+# ---------------------------------------------------------------------------
+
+FUZZY_BANDS = 32  # 2 rows per band over the 64-permutation signature
+FUZZY_JACCARD_T_NUM = 1  # threshold 1/2 — see the integer form below
+
+
+def _fuzzy_band_buckets(sig: np.ndarray) -> np.ndarray:
+    """(n, FUZZY_BANDS) int64 bucket keys: 2-row polynomial fold + mix."""
+    from .texthash import WORD_BASE, _splitmix64
+
+    n = sig.shape[0]
+    rows = sig.shape[1] // FUZZY_BANDS
+    out = np.empty((n, FUZZY_BANDS), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(FUZZY_BANDS):
+            h = np.zeros(n, dtype=np.uint64)
+            for r in range(rows):
+                h = h * WORD_BASE + sig[:, b * rows + r]
+            out[:, b] = _splitmix64(h)
+    return out.view(np.int64)
+
+
+def _fuzzy_benchmark_index(sf_dir: str):
+    """Driver-side benchmark index: (sorted bucket keys, CSR offsets,
+    bench row per entry), bench shingle CSR, bench doc ids."""
+    from .dedup import _doc_shingles, _minhash_sigs
+
+    def _bench_filter(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % DECON_BENCH_MOD == 0))
+
+    bench = (
+        _docs(sf_dir)
+        .map_batches(_bench_filter, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()  # |docs| / DECON_BENCH_MOD rows — benchmark-small
+    )
+    if len(bench) == 0:
+        z = np.array([], np.int64)
+        return (z, np.zeros(1, np.int64), z, np.array([], np.uint64),
+                np.zeros(1, np.int64), z)
+    tbl = pa.table(
+        {"doc_id": pa.array(bench["doc_id"].to_numpy(np.int64), pa.int64()),
+         "text": pa.array(bench["text"].astype(str), pa.string())}
+    )
+    sh, offs, n = _doc_shingles(tbl)
+    sigs = _minhash_sigs(sh, offs, n)
+    bb = _fuzzy_band_buckets(sigs)
+    keys = bb.ravel()
+    rows = np.repeat(np.arange(n, dtype=np.int64), FUZZY_BANDS)
+    order = np.lexsort((rows, keys))
+    keys_s, rows_s = keys[order], rows[order]
+    keep = np.ones(len(keys_s), dtype=bool)  # dedupe (key, row)
+    keep[1:] = (keys_s[1:] != keys_s[:-1]) | (rows_s[1:] != rows_s[:-1])
+    keys_s, rows_s = keys_s[keep], rows_s[keep]
+    first = np.flatnonzero(
+        np.concatenate([[True], keys_s[1:] != keys_s[:-1]])
+    ) if len(keys_s) else np.array([], np.int64)
+    ukeys = keys_s[first] if len(keys_s) else keys_s
+    koffs = np.append(first, len(keys_s)).astype(np.int64)
+    bids = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return ukeys, koffs, rows_s, sh, offs, bids
+
+
+def q_decontaminate_fuzzy(sf_dir: str):
+    """(doc_id, bench_doc_id, jaccard) for every training doc whose shingle
+    Jaccard vs a benchmark doc is >= 0.5 (benchmark docs themselves and
+    empty-shingle docs excluded)."""
+    import ray
+
+    idx_ref = ray.put(_fuzzy_benchmark_index(sf_dir))
+
+    def score(batch: pa.Table) -> pa.Table:
+        from .dedup import (
+            _doc_shingles,
+            _minhash_sigs,
+            _pair_intersection_counts,
+            _ragged_ranges,
+        )
+
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "bench_doc_id": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+        ukeys, koffs, rows_s, bsh, boffs, bids = ray.get(idx_ref)
+        if len(ukeys) == 0 or batch.num_rows == 0:
+            return empty
+        sh, offs, n = _doc_shingles(batch)
+        sigs = _minhash_sigs(sh, offs, n)
+        bb = _fuzzy_band_buckets(sigs).ravel()
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), FUZZY_BANDS)
+        pos = np.minimum(np.searchsorted(ukeys, bb), len(ukeys) - 1)
+        hit = ukeys[pos] == bb
+        hp, hd = pos[hit], doc_of[hit]
+        counts = koffs[hp + 1] - koffs[hp]
+        pair_doc = np.repeat(hd, counts)
+        pair_bench = rows_s[_ragged_ranges(koffs[hp], counts)]
+        if len(pair_doc) == 0:
+            return empty
+        # dedupe (doc, bench) pairs found by multiple bands
+        pk = pair_doc * np.int64(len(bids)) + pair_bench
+        _, ui = np.unique(pk, return_index=True)
+        pair_doc, pair_bench = pair_doc[ui], pair_bench[ui]
+        ids = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # benchmark docs trivially match themselves — drop self pairs
+        not_self = ids[pair_doc] != bids[pair_bench]
+        pair_doc, pair_bench = pair_doc[not_self], pair_bench[not_self]
+        if len(pair_doc) == 0:
+            return empty
+        inter = _pair_intersection_counts(
+            sh, offs, pair_doc, bsh, boffs, pair_bench
+        )
+        la = offs[pair_doc + 1] - offs[pair_doc]
+        lb = boffs[pair_bench + 1] - boffs[pair_bench]
+        # j >= 1/2  ⇔  inter / (la + lb - inter) >= 1/2  ⇔  3*inter >= la+lb
+        keep = (inter > 0) & (3 * inter >= la + lb)
+        pair_doc, pair_bench = pair_doc[keep], pair_bench[keep]
+        inter, la, lb = inter[keep], la[keep], lb[keep]
+        union = la + lb - inter
+        return pa.table(
+            {"doc_id": pa.array(ids[pair_doc], pa.int64()),
+             "bench_doc_id": pa.array(bids[pair_bench], pa.int64()),
+             "jaccard": pa.array(
+                 np.round(inter / union, 6), pa.float64()
+             )}
+        )
+
+    df = (
+        _docs(sf_dir)
+        .map_batches(score, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()  # contaminated pairs only — contamination-bounded
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "bench_doc_id": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    df = df.sort_values(["doc_id", "bench_doc_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["doc_id", "bench_doc_id", "jaccard"]], preserve_index=False
+    )
+
+
+register("text_decontaminate_fuzzy", q_decontaminate_fuzzy)  # rows-only (LSH)

@@ -69,7 +69,7 @@ ROWS_ONLY_RUN = [
     "similarity_pq_codes", "similarity_pq_topk",
     "similarity_pq_rerank", "corpus_training_chunks",
     "sketch_bloom_users", "sketch_cms_top_tokens", "text_bpe_merges",
-    "sketch_mg_heavy_users",
+    "sketch_mg_heavy_users", "text_decontaminate_fuzzy",
 ]
 
 
@@ -78,7 +78,13 @@ def test_rows_only_query_runs_nonempty(ray_session, name):
     import __ray_entry__ as e
 
     out = _to_df(e.queries()[name](SF_DIR))
-    assert len(out) > 0, name
+    if name == "text_decontaminate_fuzzy":
+        # the driver corpus has no >=0.5-Jaccard benchmark near-copies, so
+        # the CORRECT result is empty; schema must still be stable (the
+        # planted-contamination test in test_fuzzy_decontam.py pins rows)
+        assert list(out.columns) == ["doc_id", "bench_doc_id", "jaccard"]
+    else:
+        assert len(out) > 0, name
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
