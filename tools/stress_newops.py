@@ -86,7 +86,10 @@ def main() -> None:
     for n in args.docs:
         sf = build_docs(n)
         for name in ("text_perplexity_buckets", "corpus_source_overlap",
-                     "corpus_token_budget"):
+                     "corpus_token_budget",
+                     # round-4 continuation ops
+                     "web_url_dedup", "corpus_epoch_shuffle",
+                     "text_decontaminate_fuzzy"):
             t0 = time.monotonic()
             out = qs[name](sf)
             df = out.to_pandas() if hasattr(out, "to_pandas") else out
