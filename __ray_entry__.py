@@ -580,6 +580,7 @@ GATE_FRONT = [
     "corpus_epoch_shuffle",
     "sketch_mg_heavy_users",
     "text_decontaminate_fuzzy",
+    "similarity_doc_embedding_join",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

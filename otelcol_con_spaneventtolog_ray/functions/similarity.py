@@ -23,6 +23,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .entry_queries import register
 from ..rayenv import remote_kwargs
@@ -1437,3 +1438,181 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 register("similarity_centroid_confusion", q_centroid_confusion, _CONFUSION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# cross-TABLE fact-fact join — documents ⋈ embeddings on doc_id = vec_id.
+# Every other op reads one fact table (+ broadcast dims); this is the
+# text-embedding alignment report a multimodal corpus needs: per (lang,
+# label) cohort, how long are the docs and how big are their vectors. Both
+# sides pre-reduce inside map_batches to the 3-4 columns that join (id,
+# lang, n_chars / id, label, norm2), the exchange is one sentinel-guarded
+# hash join, and the post-join aggregate folds exact integers (norm² in
+# micros — the similarity_norm_quantiles contract — and n_chars as-is), so
+# the averages divide once per cohort and cannot drift vs the mirror.
+# ---------------------------------------------------------------------------
+
+
+def q_doc_embedding_join(sf_dir: str):
+    """(lang, label, n_docs, avg_chars, avg_norm2): per-cohort text-length
+    and embedding-norm² averages from the documents ⋈ embeddings join."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .blockutil import retype_block
+    from .relutil import _q3_join_sentinels
+
+    def doc_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+             "lang": batch.column("lang"),
+             "n_chars": pc.cast(batch.column("n_chars"), pa.int64())}
+        )
+
+    def emb_side(batch: pa.Table) -> pa.Table:
+        col = batch.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "label": pa.array([], pa.int64()),
+                 "norm2_micro": pa.array([], pa.int64())}
+            )
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = np.asarray(col.offsets)
+        q = np.rint(flat * flat * 1_000_000).astype(np.int64)
+        norm2 = np.add.reduceat(q, offs[:-1]) if len(flat) else np.zeros(
+            batch.num_rows, np.int64
+        )
+        if len(flat):
+            norm2[offs[:-1] == offs[1:]] = 0
+        return pa.table(
+            {"vec_id": pc.cast(batch.column("vec_id"), pa.int64()),
+             "label": pc.cast(batch.column("label"), pa.int64()),
+             "norm2_micro": pa.array(norm2, pa.int64())}
+        )
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    ).map_batches(doc_side, batch_format="pyarrow", **remote_kwargs())
+    embs = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"],
+    ).map_batches(emb_side, batch_format="pyarrow", **remote_kwargs())
+    num_partitions = 8
+    sent = _q3_join_sentinels(num_partitions)
+    docs = docs.union(ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(sent, pa.int64()),
+         "lang": pa.array([""] * len(sent), pa.string()),
+         "n_chars": pa.array([0] * len(sent), pa.int64())}
+    )))
+    embs = embs.union(ray.data.from_arrow(pa.table(
+        {"vec_id": pa.array(sent, pa.int64()),
+         "label": pa.array([-1] * len(sent), pa.int64()),
+         "norm2_micro": pa.array([0] * len(sent), pa.int64())}
+    )))
+    joined = docs.join(
+        embs, join_type="inner", num_partitions=num_partitions,
+        on=("doc_id",), right_on=("vec_id",),
+    )
+
+    def post_join(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids >= 0
+        if not keep.all():
+            t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table(
+                {"lang": pa.array([], pa.string()),
+                 "label": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "chars": pa.array([], pa.int64()),
+                 "norm2": pa.array([], pa.int64())}
+            )
+        lang = t.column("lang").to_numpy(zero_copy_only=False).astype(str)
+        label = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = t.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        nm = t.column("norm2_micro").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((label, lang))
+        lang_s, lab_s = lang[order], label[order]
+        boundary = (lang_s[1:] != lang_s[:-1]) | (lab_s[1:] != lab_s[:-1])
+        first = np.flatnonzero(np.concatenate([[True], boundary]))
+        return pa.table(
+            {"lang": pa.array(lang_s[first], pa.string()),
+             "label": pa.array(lab_s[first], pa.int64()),
+             "n": pa.array(
+                 np.diff(np.append(first, len(lang_s))).astype(np.int64),
+                 pa.int64()),
+             "chars": pa.array(np.add.reduceat(chars[order], first), pa.int64()),
+             "norm2": pa.array(np.add.reduceat(nm[order], first), pa.int64())}
+        )
+
+    df = (
+        joined.map_batches(post_join, batch_format="pyarrow",
+                           **remote_kwargs())
+        .groupby(["lang", "label"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("chars", alias_name="chars"),
+            Sum("norm2", alias_name="norm2"),
+        )
+        .map_batches(
+            lambda t: retype_block(
+                t,
+                {"lang": ("lang", pa.string()),
+                 "label": ("label", pa.int64()),
+                 "n": ("n", pa.int64()),
+                 "chars": ("chars", pa.int64()),
+                 "norm2": ("norm2", pa.int64())},
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"lang": pa.array([], pa.string()),
+             "label": pa.array([], pa.int64()),
+             "n_docs": pa.array([], pa.int64()),
+             "avg_chars": pa.array([], pa.float64()),
+             "avg_norm2": pa.array([], pa.float64())}
+        )
+    df = df.rename(columns={"n": "n_docs"})
+    # averages as HALF-UP integer micros (numpy .round is half-even, DuckDB
+    # round() is half-away — a cohort landing exactly on .5e-6 diverges, one
+    # did at sf0.01). Python ints: no int64 overflow on the 2e6x products.
+    df["avg_chars"] = [
+        ((2 * int(c) * 1_000_000 + int(n)) // (2 * int(n))) / 1e6
+        for c, n in zip(df["chars"], df["n_docs"])
+    ]
+    df["avg_norm2"] = [
+        ((2 * int(m) + int(n)) // (2 * int(n))) / 1e6
+        for m, n in zip(df["norm2"], df["n_docs"])
+    ]
+    df = df.sort_values(["lang", "label"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["lang", "label", "n_docs", "avg_chars", "avg_norm2"]],
+        preserve_index=False,
+    )
+
+
+_DOC_EMB_JOIN_SQL = """
+WITH j AS (
+  SELECT d.lang, CAST(e.label AS BIGINT) AS label,
+         CAST(d.n_chars AS BIGINT) AS n_chars,
+         COALESCE(CAST(list_sum(list_transform(e.embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1000000)
+                AS BIGINT))) AS BIGINT), 0) AS norm2_micro
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+SELECT lang, label, count(*) AS n_docs,
+       CAST((2 * sum(n_chars) * 1000000 + count(*))
+            // (2 * count(*)) AS BIGINT) / 1e6 AS avg_chars,
+       CAST((2 * sum(norm2_micro) + count(*))
+            // (2 * count(*)) AS BIGINT) / 1e6 AS avg_norm2
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+register("similarity_doc_embedding_join", q_doc_embedding_join,
+         _DOC_EMB_JOIN_SQL)
