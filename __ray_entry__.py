@@ -581,6 +581,7 @@ GATE_FRONT = [
     "sketch_mg_heavy_users",
     "text_decontaminate_fuzzy",
     "similarity_doc_embedding_join",
+    "events_watermark_counts",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

@@ -1473,3 +1473,150 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 register("events_window_functions", q_window_functions, _WINDOW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# streaming watermark semantics — tumbling-window counts with late-data
+# drop, the core of every streaming log aggregator (Flink/Beam-style):
+# an event is LATE iff its timestamp is more than WM_LATENESS behind the
+# watermark (the max event time of everything that ARRIVED before it;
+# arrival order = event_id). Batch engines usually can't express this
+# without a global ordered scan; here the arrival axis is bucketized
+# (event_id // WM_BUCKET) so the running maximum factors into (1) per-bucket
+# maxima -> one tiny groupby -> driver EXCLUSIVE prefix-max broadcast
+# (O(n/WM_BUCKET) rows, the pack_sequences two-phase shape), and (2) an
+# in-bucket vectorized running max seeded by the bucket's incoming
+# watermark. On-time events fold into 5-minute tumbling windows; dropped
+# lates are reported under the window_start_us = -1 sentinel row so the
+# drop rate is part of the same gated result.
+# ---------------------------------------------------------------------------
+
+WM_BUCKET = 65_536  # arrival-axis bucket (events per prefix cell)
+WM_LATENESS = 600_000_000  # 10 min allowed lateness (us)
+WM_WINDOW = 300_000_000  # 5 min tumbling window (us)
+
+
+def _wm_fanout(batch: pa.Table) -> pa.Table:
+    eid = (
+        batch.column("event_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ts = (
+        batch.column("ts").to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]").astype(np.int64)
+    )
+    return pa.table(
+        {"bucket": pa.array(eid // WM_BUCKET, pa.int64()),
+         "event_id": pa.array(eid, pa.int64()),
+         "ts_us": pa.array(ts, pa.int64())}
+    )
+
+
+def q_watermark_counts(sf_dir: str):
+    """(window_start_us, n_events): on-time events per 5-min tumbling
+    window, plus the dropped-late count under window_start_us = -1."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from .blockutil import retype_block
+
+    rows = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts"],
+        )
+        .map_batches(_wm_fanout, batch_format="pyarrow", **remote_kwargs())
+        .materialize()  # 24 B/event; read by both phases
+    )
+    bmax = (
+        rows.groupby("bucket")
+        .aggregate(Max("ts_us", alias_name="ts_us"))
+        .map_batches(
+            lambda t: retype_block(
+                t, {"bucket": ("bucket", pa.int64()),
+                    "ts_us": ("ts_us", pa.int64())},
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+        .to_pandas()  # O(n / WM_BUCKET)
+    )
+    if len(bmax) == 0:
+        return pa.table(
+            {"window_start_us": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64())}
+        )
+    bmax = bmax.sort_values("bucket").reset_index(drop=True)
+    buckets = bmax["bucket"].to_numpy(np.int64)
+    maxima = bmax["ts_us"].to_numpy(np.int64)
+    lo = np.int64(-(1 << 62))  # "no prior event" sentinel watermark
+    prefix = np.concatenate(
+        [[lo], np.maximum.accumulate(maxima)[:-1]]
+    )  # EXCLUSIVE prefix max per bucket
+    wm_ref = ray.put((buckets, prefix))
+
+    def fold(group: pa.Table) -> pa.Table:
+        bks, pfx = ray.get(wm_ref)
+        eid = (
+            group.column("event_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ts = (
+            group.column("ts_us").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.argsort(eid, kind="stable")
+        ts = ts[order]
+        wm_in = pfx[np.searchsorted(bks, eid[order[0]] // WM_BUCKET)]
+        run = np.maximum.accumulate(np.maximum(ts, wm_in))
+        wm_before = np.concatenate([[wm_in], run[:-1]])
+        late = ts < wm_before - WM_LATENESS
+        win = (ts[~late] // WM_WINDOW) * WM_WINDOW
+        u, c = np.unique(win, return_counts=True)
+        n_late = int(late.sum())
+        if n_late:
+            u = np.concatenate([[np.int64(-1)], u])
+            c = np.concatenate([[n_late], c])
+        return pa.table(
+            {"window_start_us": pa.array(u, pa.int64()),
+             "n_events": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    df = (
+        rows.groupby("bucket")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(Sum("n_events", alias_name="n_events"))
+        .map_batches(
+            lambda t: retype_block(
+                t, {"window_start_us": ("window_start_us", pa.int64()),
+                    "n_events": ("n_events", pa.int64())},
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+        .to_pandas()
+    )
+    df = df.sort_values("window_start_us").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["window_start_us", "n_events"]], preserve_index=False
+    )
+
+
+_WATERMARK_SQL = f"""
+WITH w AS (
+  SELECT epoch_us(ts) AS ts_us,
+         max(epoch_us(ts)) OVER (
+           ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events),
+c AS (SELECT ts_us, (wm IS NOT NULL AND ts_us < wm - {WM_LATENESS}) AS late
+      FROM w),
+o AS (SELECT (ts_us // {WM_WINDOW}) * {WM_WINDOW} AS window_start_us,
+             count(*) AS n_events
+      FROM c WHERE NOT late GROUP BY 1),
+l AS (SELECT CAST(-1 AS BIGINT) AS window_start_us, count(*) AS n_events
+      FROM c WHERE late HAVING count(*) > 0)
+SELECT * FROM o UNION ALL SELECT * FROM l ORDER BY 1
+"""
+
+register("events_watermark_counts", q_watermark_counts, _WATERMARK_SQL)

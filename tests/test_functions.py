@@ -54,7 +54,7 @@ SQL_CHECKED = [
     "rel_market_share", "rel_small_qty_revenue", "rel_bracket_revenue",
     "rel_late_sole_supplier",
     "web_url_dedup", "corpus_epoch_shuffle",
-    "similarity_doc_embedding_join",
+    "similarity_doc_embedding_join", "events_watermark_counts",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

@@ -94,3 +94,51 @@ def test_epoch_shuffle_is_exact_permutation(ray_session, tmp_path):
     # and genuinely shuffled: not the identity order
     by_doc = a.sort_values("doc_id")["epoch_pos"].tolist()
     assert by_doc != sorted(by_doc)
+
+
+def test_watermark_lateness_semantics(ray_session, tmp_path):
+    """Arrival order (event_id) drives the watermark: an event exactly AT
+    watermark - lateness is on-time (strict <), one microsecond further is
+    dropped; the first arrival is never late; the late count rides the
+    window_start_us = -1 sentinel row."""
+    from otelcol_con_spaneventtolog_ray.functions.eventops import (
+        WM_LATENESS,
+        WM_WINDOW,
+        q_watermark_counts,
+    )
+
+    W, L = WM_WINDOW, WM_LATENESS
+    # (event_id = arrival order, ts_us)
+    arrivals = [
+        (0, 5 * W),          # first arrival: never late; wm -> 5W
+        (1, 5 * W - L),      # exactly wm - L: ON TIME (strict <)
+        (2, 5 * W - L - 1),  # one us beyond: LATE
+        (3, 9 * W),          # advances wm to 9W
+        (4, 9 * W - L - 1),  # late vs new wm
+        (5, 9 * W - L),      # boundary again: on time
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    eid, ts = zip(*arrivals)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(list(eid), pa.int64()),
+            "ts": pa.array(list(ts), pa.timestamp("us")),
+            "user_id": pa.array([1] * len(eid), pa.int64()),
+            "event_type": pa.array(["click"] * len(eid), pa.string()),
+            "value": pa.array([1.0] * len(eid), pa.float64()),
+            "props": pa.array(["{}"] * len(eid), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    got = _to_df(q_watermark_counts(str(tmp_path))).set_index(
+        "window_start_us"
+    )
+    # L == 2W here, so on-time windows: 5W (ev 0), 3W (ev 1), 9W (ev 3),
+    # 7W (ev 5); events 2 and 4 are one us past the boundary -> dropped
+    assert got.loc[-1, "n_events"] == 2
+    for w in (3 * W, 5 * W, 7 * W, 9 * W):
+        assert got.loc[w, "n_events"] == 1
+    assert int(got["n_events"].sum()) == 6
