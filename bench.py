@@ -316,6 +316,8 @@ ANALYSIS_BASKET = [
     "web_url_dedup", "corpus_epoch_shuffle", "sketch_mg_heavy_users",
     "pipeline_log_templates", "pipeline_trace_rollup",
     "pipeline_service_severity", "pipeline_attr_key_stats",
+    "text_decontaminate_fuzzy", "similarity_doc_embedding_join",
+    "events_watermark_counts",
 ]
 
 
