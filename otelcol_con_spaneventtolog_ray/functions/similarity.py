@@ -1616,3 +1616,129 @@ FROM j GROUP BY 1, 2 ORDER BY 1, 2
 
 register("similarity_doc_embedding_join", q_doc_embedding_join,
          _DOC_EMB_JOIN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside coarse cells (SQL-checked)
+# ---------------------------------------------------------------------------
+# Semantic deduplication in the SemDeDup shape (Abbas et al. 2023,
+# arXiv:2303.09540): cluster the embedding space coarsely, then inside each
+# cluster drop every vector that has a semantic near-duplicate which is MORE
+# CENTRAL (closer to the cluster centroid). Our keep rule is the one-shot
+# dominance variant — deterministic and fully vectorizable, unlike the
+# paper's order-sequential greedy:
+#
+#   drop i  <=>  exists j in cell(i), j != i, with
+#                round(cos(i, j), 6) >= SEMDEDUP_THRESHOLD and
+#                (score_j > score_i  or  (score_j == score_i and j < i))
+#
+# where score is the rounded cosine to the cell's centroid (the ivf_cells
+# score column). The most-central vector of any near-dup neighborhood is
+# never dominated, so every semantic cluster keeps at least one
+# representative; a dominance CHAIN (a~b~c, a !~ c, centrality c > b > a)
+# drops BOTH a and b — slightly more aggressive than the greedy, which is
+# the documented, tested semantics. Cells come from the SEED centroids
+# (first IVF_CELLS by vec_id), exactly like similarity_ivf_cells, so the
+# whole query is SQL-expressible and hash-gated; trained k-means centroids
+# (train_ivf_centroids) remain the quality path for the ANN queries.
+#
+# Scale shape: each row ships through ONE shuffle keyed by cell (no
+# fan-out multiplier — contrast the LSH near-dup's multi-table fan-out);
+# the per-cell group is one block, capped at SEMDEDUP_MAX_CELL like the kNN
+# self-join, and the pairwise cosine inside a cell is row-blocked
+# (SEMDEDUP_ROW_BLOCK x cell-size temporaries), so a big cell costs more
+# blocks, never more memory. At 100 TB the corpus would be stored
+# cell-partitioned (the ivf_cells layout) and this groupby becomes a
+# per-partition map with no shuffle at all.
+
+SEMDEDUP_THRESHOLD = 0.38  # the neardup band: synthetic tables yield drops
+SEMDEDUP_ROW_BLOCK = 2048
+SEMDEDUP_MAX_CELL = 200_000
+
+
+def _semdedup_cell_group(group: pa.Table, _cap: int | None = None) -> pa.Table:
+    """keep/drop one cell: blocked pairwise cosine + dominance mask."""
+    cap = SEMDEDUP_MAX_CELL if _cap is None else _cap
+    if group.num_rows > cap:
+        raise ValueError(
+            f"SemDeDup cell group has {group.num_rows} rows (cap {cap}):"
+            " the embedding distribution is collapsing into one cell, which"
+            " would materialize an unbounded block. Raise similarity."
+            "IVF_CELLS so cells stay ~sqrt(n) vectors, or raise"
+            " similarity.SEMDEDUP_MAX_CELL deliberately."
+        )
+    ids, mat = _batch_matrix(group.select(["vec_id", "embedding"]))
+    score = group.column("score").to_numpy(zero_copy_only=False)
+    cell = group.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+    nm = _norm_rows(mat)
+    keep = np.ones(len(ids), dtype=bool)
+    for b0 in range(0, len(ids), SEMDEDUP_ROW_BLOCK):
+        sl = slice(b0, b0 + SEMDEDUP_ROW_BLOCK)
+        sims = np.round(nm[sl] @ nm.T, 6)  # (block, cell)
+        better = (score[None, :] > score[sl, None]) | (
+            (score[None, :] == score[sl, None])
+            & (ids[None, :] < ids[sl, None])
+        )  # self is never "better": equal score and equal id both fail
+        keep[sl] = ~((sims >= SEMDEDUP_THRESHOLD) & better).any(axis=1)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "cell": pa.array(cell, pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+        }
+    )
+
+
+def q_semdedup_keep(sf_dir: str):
+    """Semantic-dedup keep set: (vec_id, cell, keep), sorted by vec_id."""
+    import ray
+
+    cref = ray.put(_ivf_centroids(sf_dir))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cn = ray.get(cref)
+        ids, mat = _batch_matrix(batch)
+        cell, score = _assign_cells(mat, cn)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cell": pa.array(cell, pa.int64()),
+                "score": pa.array(score, pa.float64()),
+                "embedding": emb,
+            }
+        )
+
+    ds = (
+        _emb(sf_dir)
+        .map_batches(assign, batch_format="pyarrow", **remote_kwargs())
+        .groupby("cell")
+        .map_groups(_semdedup_cell_group, batch_format="pyarrow",
+                    **remote_kwargs())
+    )
+    df = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df[["vec_id", "cell", "keep"]],
+                                preserve_index=False)
+
+
+_SEMDEDUP_SQL = f"""
+WITH cells AS ({_IVF_CELLS_SQL}),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM cells a
+  JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                     CAST(eb.embedding AS DOUBLE[])), 6)
+        >= {SEMDEDUP_THRESHOLD}
+    AND (b.score > a.score OR (b.score = a.score AND b.vec_id < a.vec_id))
+)
+SELECT c.vec_id, c.cell,
+       c.vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+FROM cells c ORDER BY c.vec_id
+"""
+
+register("dedup_semantic_keep", q_semdedup_keep, _SEMDEDUP_SQL)
