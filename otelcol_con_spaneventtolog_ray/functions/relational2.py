@@ -1287,3 +1287,145 @@ register("rel_market_share", q_market_share, _Q8_SQL)
 register("rel_small_qty_revenue", q_small_qty_revenue, _Q17_SQL)
 register("rel_bracket_revenue", q_bracket_revenue, _Q19_SQL)
 register("rel_late_sole_supplier", q_late_sole_supplier, _Q21_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q2-shape: argmin-per-group with attribute carry — the cheapest supplier
+# per part. The testdata has no partsupp table, so the min-cost relation is
+# lineitem itself: per l_partkey, the supplier row with the MINIMUM
+# l_extendedprice (ties -> lowest l_suppkey), joined back to supplier and
+# nation names. The distributed shape the first tranche lacks: a two-phase
+# ARGMIN where the "arg" (suppkey) must ride along with the min — done by
+# encoding (price_c, suppkey) into ONE int64 so the lexicographic minimum
+# IS an integer Min aggregate: per-block sort + minimum.reduceat partials,
+# then a tiny groupby-min over combiner output (#parts rows per block, not
+# fact rows), then broadcast dimension resolve. No fact row ever shuffles.
+#
+# Encoding bound (asserted): price_c < 2^31 (l_extendedprice < ~$21.4M) and
+# suppkey < 2^32, so combined = price_c << 32 | suppkey stays inside int64.
+# ---------------------------------------------------------------------------
+
+
+def q_cheapest_supplier(sf_dir: str):
+    """(l_partkey, l_suppkey, s_name, n_name, min_price): the argmin row of
+    each part's lineitem group, attributes resolved via broadcast."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Min
+
+    sup = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    )
+    sk = sup.column("s_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    s_order = np.argsort(sk, kind="stable")
+    sk = sk[s_order]
+    s_names = np.asarray(sup.column("s_name").to_pylist(), dtype=object)[s_order]
+    s_nk = (
+        sup.column("s_nationkey").to_numpy(zero_copy_only=False)
+        .astype(np.int64)[s_order]
+    )
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    n_order = np.argsort(nk, kind="stable")
+    nk = nk[n_order]
+    n_names = np.asarray(nat.column("n_name").to_pylist(), dtype=object)[n_order]
+    dim_ref = ray.put((sk, s_names, s_nk, nk, n_names))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        part = (
+            batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        supp = (
+            batch.column("l_suppkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        price_c = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        if len(part) == 0:
+            return pa.table(
+                {"l_partkey": pa.array([], pa.int64()),
+                 "comb": pa.array([], pa.int64())}
+            )
+        if price_c.max() >= (1 << 31) or supp.max() >= (1 << 32):
+            raise ValueError(
+                "argmin encoding bound exceeded: l_extendedprice*100 must be"
+                " < 2^31 and l_suppkey < 2^32 (widen the encoding to two"
+                " Min aggregates if the corpus outgrows this)"
+            )
+        comb = (price_c << 32) | supp
+        order = np.argsort(part, kind="stable")
+        ps, cs = part[order], comb[order]
+        uniq, first = np.unique(ps, return_index=True)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uniq, pa.int64()),
+                "comb": pa.array(np.minimum.reduceat(cs, first), pa.int64()),
+            }
+        )
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        sk, s_names, s_nk, nk, n_names = ray.get(dim_ref)
+        part = (
+            batch.column("l_partkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        comb = batch.column("min(comb)").to_numpy(zero_copy_only=False)
+        comb = comb.astype(np.int64)
+        supp = comb & ((1 << 32) - 1)
+        price_c = comb >> 32
+        spos = np.minimum(np.searchsorted(sk, supp), len(sk) - 1)
+        sname = s_names[spos]
+        nation_key = s_nk[spos]
+        npos = np.minimum(np.searchsorted(nk, nation_key), len(nk) - 1)
+        return pa.table(
+            {
+                "l_partkey": pa.array(part, pa.int64()),
+                "l_suppkey": pa.array(supp, pa.int64()),
+                "s_name": pa.array(sname.astype(str), pa.string()),
+                "n_name": pa.array(n_names[npos].astype(str), pa.string()),
+                "min_price": pa.array(
+                    np.round(price_c / 100.0, 6), pa.float64()
+                ),
+            }
+        )
+
+    df = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        .map_batches(partials, batch_format="pyarrow", **remote_kwargs())
+        .groupby("l_partkey")
+        .aggregate(Min("comb"))
+        .map_batches(resolve, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    df = df.sort_values("l_partkey").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["l_partkey", "l_suppkey", "s_name", "n_name", "min_price"]],
+        preserve_index=False,
+    )
+
+
+_Q2_SQL = """
+WITH l AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem),
+m AS (SELECT l_partkey, min(price_c) AS min_pc FROM l GROUP BY 1),
+w AS (
+  SELECT l.l_partkey, min(l.l_suppkey) AS l_suppkey, m.min_pc
+  FROM l JOIN m ON l.l_partkey = m.l_partkey AND l.price_c = m.min_pc
+  GROUP BY 1, 3)
+SELECT w.l_partkey, w.l_suppkey, s.s_name, n.n_name,
+       round(w.min_pc / 100.0, 6) AS min_price
+FROM w
+JOIN supplier s ON s.s_suppkey = w.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+ORDER BY 1
+"""
+
+register("rel_cheapest_supplier", q_cheapest_supplier, _Q2_SQL)

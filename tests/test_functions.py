@@ -55,7 +55,7 @@ SQL_CHECKED = [
     "rel_late_sole_supplier",
     "web_url_dedup", "corpus_epoch_shuffle",
     "similarity_doc_embedding_join", "events_watermark_counts",
-    "dedup_semantic_keep",
+    "dedup_semantic_keep", "rel_cheapest_supplier",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

@@ -439,3 +439,54 @@ def test_relational2_empty_inputs(ray_session, tmp_path, name):
         assert out.iloc[0, 0] == 0.0
     else:
         assert len(out) == 0
+
+
+def test_q2_argmin_tiebreak_and_carry(ray_session, tmp_path):
+    """Equal minimal price -> LOWEST suppkey wins; the carried attributes
+    (name, nation) belong to the winning supplier, and the DuckDB mirror
+    agrees on the fixture."""
+    import duckdb
+    import __ray_entry__ as e
+
+    lineitem = [
+        # part 1: tie at 10.00 between supp 5 and supp 3 -> supp 3
+        (1, 1, 5, 1, 10.00, 0.0, "O", 100),
+        (1, 1, 3, 1, 10.00, 0.0, "O", 100),
+        (2, 1, 4, 1, 10.01, 0.0, "O", 100),
+        # part 2: strict min at supp 5
+        (3, 2, 5, 1, 7.50, 0.0, "O", 100),
+        (3, 2, 3, 1, 8.00, 0.0, "O", 100),
+    ]
+    sf = _write_tpch(
+        tmp_path, orders=[(1, 1, "F", 0, "5-LOW")], lineitem=lineitem,
+        supplier=[(3, 7), (4, 2), (5, 9)], customer=[(1, 0)],
+        part=[(1, "b", "t", 1), (2, "b", "t", 1)],
+    )
+    got = _to_df(e.queries()["rel_cheapest_supplier"](sf))
+    assert got["l_partkey"].tolist() == [1, 2]
+    assert got["l_suppkey"].tolist() == [3, 5]
+    assert got["s_name"].tolist() == ["Supplier#000000003",
+                                      "Supplier#000000005"]
+    assert got["n_name"].tolist() == ["NATION_7", "NATION_9"]
+    assert got["min_price"].tolist() == [10.0, 7.5]
+    con = duckdb.connect()
+    for t in ("lineitem", "supplier", "nation"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{os.path.join(sf, t)}.parquet')")
+    exp = _canon(con.execute(e.oracle_sql()["rel_cheapest_supplier"]).df())
+    pd.testing.assert_frame_equal(_canon(got), exp, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_q2_argmin_encoding_bound_fails_fast(ray_session, tmp_path):
+    """price_c >= 2^31 must refuse loudly, not wrap into a wrong argmin."""
+    import pytest as _pytest
+    import __ray_entry__ as e
+
+    sf = _write_tpch(
+        tmp_path, orders=[(1, 1, "F", 0, "5-LOW")],
+        lineitem=[(1, 1, 3, 1, (1 << 31) / 100.0 + 1.0, 0.0, "O", 100)],
+        supplier=[(3, 7)], customer=[(1, 0)], part=[(1, "b", "t", 1)],
+    )
+    with _pytest.raises(Exception, match="argmin encoding bound"):
+        e.queries()["rel_cheapest_supplier"](sf)
