@@ -318,6 +318,7 @@ ANALYSIS_BASKET = [
     "pipeline_service_severity", "pipeline_attr_key_stats",
     "text_decontaminate_fuzzy", "similarity_doc_embedding_join",
     "events_watermark_counts",
+    "dedup_semantic_keep", "rel_cheapest_supplier",
 ]
 
 

@@ -1397,7 +1397,12 @@ def q_cheapest_supplier(sf_dir: str):
 
     df = (
         _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
-        .map_batches(partials, batch_format="pyarrow", **remote_kwargs())
+        # big batches: the combiner emits <= #parts rows per BATCH, so the
+        # exchange entering the groupby shrinks linearly with batch size
+        # (139 x 20k partials -> 24 x 20k at 10x TPC-H; 3 int64 cols x 256k
+        # rows is a 6 MB batch)
+        .map_batches(partials, batch_format="pyarrow", batch_size=262_144,
+                     **remote_kwargs())
         .groupby("l_partkey")
         .aggregate(Min("comb"))
         .map_batches(resolve, batch_format="pyarrow", **remote_kwargs())

@@ -67,11 +67,57 @@ def build_docs(n_docs: int) -> str:
     return d
 
 
+def build_embeddings(n_vecs: int) -> str:
+    """Replicated sf0.1 embeddings (2000 x 64f): replica r offsets vec_id by
+    r*base and perturbs each vector with seeded unit noise at eps=0.05, so
+    every base vector becomes a clique of ~n/2000 semantic near-dups
+    (cos ~0.9988) — the heavy-dedup regime SemDeDup exists for."""
+    import numpy as np
+
+    d = os.path.join(OUT, f"emb{n_vecs}")
+    marker = os.path.join(d, ".done")
+    if os.path.exists(marker):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    parts = os.path.join(d, "embeddings.parquet")
+    os.makedirs(parts)
+    t = pq.read_table(SF + "/embeddings.parquet")
+    base = t.num_rows
+    if n_vecs % base:
+        raise SystemExit(f"--vecs must be a multiple of {base}")
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    emb = t.column("embedding")
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    mat = emb.flatten().to_numpy(zero_copy_only=False).reshape(base, -1)
+    for r in range(n_vecs // base):
+        rng = np.random.default_rng(r)
+        noise = rng.standard_normal(mat.shape)
+        noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+        pert = mat + 0.05 * noise * np.linalg.norm(mat, axis=1,
+                                                   keepdims=True)
+        t2 = pa.table(
+            {
+                "vec_id": pa.array(ids + r * base, pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in pert.astype(np.float32)],
+                    pa.list_(pa.float32()),
+                ),
+                "label": t.column("label"),
+            }
+        )
+        pq.write_table(t2, os.path.join(parts, f"part-{r:04d}.parquet"))
+    open(marker, "w").close()
+    return d
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--docs", type=int, nargs="*",
                     default=[100_000, 1_000_000])
+    ap.add_argument("--vecs", type=int, nargs="*",
+                    default=[200_000, 1_000_000])
     args = ap.parse_args()
 
     import ray
@@ -95,6 +141,26 @@ def main() -> None:
             df = out.to_pandas() if hasattr(out, "to_pandas") else out
             walls[f"{name}@{n}"] = round(time.monotonic() - t0, 2)
             walls[f"{name}@{n}_rows"] = len(df)
+    # SemDeDup at replicated-embedding scale: cells must stay ~sqrt(n), so
+    # raise the coarse-quantizer knob for the big runs (documented in
+    # similarity.py; the seeds are still the first IVF_CELLS by vec_id)
+    from otelcol_con_spaneventtolog_ray.functions import similarity as sim
+
+    old_cells = sim.IVF_CELLS
+    try:
+        for n in args.vecs:
+            sf = build_embeddings(n)
+            sim.IVF_CELLS = max(8, int(n ** 0.5) // 4)
+            t0 = time.monotonic()
+            out = sim.q_semdedup_keep(sf)
+            walls[f"dedup_semantic_keep@{n}"] = round(
+                time.monotonic() - t0, 2
+            )
+            walls[f"dedup_semantic_keep@{n}_cells"] = sim.IVF_CELLS
+            kept = out.column("keep").to_numpy(zero_copy_only=False).sum()
+            walls[f"dedup_semantic_keep@{n}_kept"] = int(kept)
+    finally:
+        sim.IVF_CELLS = old_cells
     print(json.dumps({"metric": "newops stress wall sec", "queries": walls,
                       "num_cpus": args.cpus}))
     ray.shutdown()

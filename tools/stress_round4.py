@@ -149,6 +149,7 @@ def main() -> None:
         ("rel_small_qty_revenue_10x", R2.q_small_qty_revenue),
         ("rel_bracket_revenue_10x", R2.q_bracket_revenue),
         ("rel_late_sole_supplier_10x", R2.q_late_sole_supplier),
+        ("rel_cheapest_supplier_10x", R2.q_cheapest_supplier),
     ):
         t0 = time.perf_counter()
         res = fn(tp_dir)
