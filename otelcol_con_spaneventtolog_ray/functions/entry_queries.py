@@ -49,6 +49,7 @@ from . import (  # noqa: E402,F401
     quantiles,
     relational,
     relational2,
+    relational3,
     similarity,
     sketch,
     textstats,
