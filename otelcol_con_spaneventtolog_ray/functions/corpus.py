@@ -280,6 +280,76 @@ FROM s ORDER BY source
 
 
 # ---------------------------------------------------------------------------
+# temperature-scaled source mixture (alpha-sampling): w_i ∝ share_i^alpha,
+# the standard multilingual/data-mixing rule (alpha<1 upsamples small
+# sources). Same per-block (source, tokens) combiner as source_mixture —
+# the only exchange carries one row per source per block; the weight math
+# runs on the driver over the tiny per-source table (fine at any corpus
+# size: |sources| is thousands, not rows).
+# ---------------------------------------------------------------------------
+
+TEMPERATURE_ALPHA = 0.3  # classic multilingual-sampling temperature
+
+
+def q_temperature_mixture(sf_dir: str):
+    """Per-source temperature-scaled sampling weights: share = token share,
+    weight ∝ share^alpha (normalized), boost = weight/share (the effective
+    up/down-sampling factor). Zero-token sources have no mass to sample and
+    are excluded (mirrored in the SQL)."""
+    from ray.data.aggregate import Sum
+
+    ds = _dedup._docs(sf_dir, columns=("doc_id", "text", "source")).map_batches(
+        _source_partials, batch_format="pyarrow", **remote_kwargs()
+    )
+    df = ds.groupby("source").aggregate(Sum("tokens")).to_pandas()
+    if len(df) == 0:
+        return pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_tokens": pa.array([], pa.int64()),
+             "share": pa.array([], pa.float64()),
+             "weight": pa.array([], pa.float64()),
+             "boost": pa.array([], pa.float64())}
+        )
+    df = df.rename(columns={"sum(tokens)": "n_tokens"})
+    df["source"] = df["source"].replace({_SET_SEP: None})
+    df = df[df["n_tokens"] > 0].reset_index(drop=True)
+    share = df["n_tokens"] / float(df["n_tokens"].sum())
+    w = share ** TEMPERATURE_ALPHA
+    weight = w / w.sum()
+    df["share"] = share.round(6)
+    df["weight"] = weight.round(6)
+    df["boost"] = (weight / share).round(6)
+    df = df.sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["source", "n_tokens", "share", "weight", "boost"]],
+        preserve_index=False,
+    )
+
+
+_TEMPERATURE_MIX_SQL = f"""
+WITH s AS (
+  SELECT source,
+         CAST(coalesce(sum(coalesce(
+                (length(text) - length(replace(text, ' ', ''))) + 1, 0)), 0)
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+t AS (
+  SELECT source, n_tokens,
+         n_tokens / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM s
+                     WHERE n_tokens > 0) AS share
+  FROM s WHERE n_tokens > 0),
+u AS (
+  SELECT source, n_tokens, share,
+         pow(share, {TEMPERATURE_ALPHA}) AS w
+  FROM t)
+SELECT source, n_tokens, round(share, 6) AS share,
+       round(w / (SELECT sum(w) FROM u), 6) AS weight,
+       round((w / (SELECT sum(w) FROM u)) / share, 6) AS boost
+FROM u ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
 # the capstone composition: cleaned corpus -> training chunks. The keep-set
 # (quality ∧ exact-dup survivor ∧ near-dup survivor) is broadcast once as a
 # sorted id array; the chunking pass filters each batch vectorized
@@ -438,6 +508,8 @@ FROM documents
 register("corpus_clean_keep", q_corpus_clean_keep)  # rows-only
 register("corpus_training_chunks", q_training_chunks)  # rows-only (composition)
 register("corpus_source_mixture", q_source_mixture, _SOURCE_MIX_SQL)
+register("corpus_temperature_mixture", q_temperature_mixture,
+         _TEMPERATURE_MIX_SQL)
 register("corpus_report", q_corpus_report, _REPORT_SQL)
 
 

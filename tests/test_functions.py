@@ -56,7 +56,7 @@ SQL_CHECKED = [
     "web_url_dedup", "corpus_epoch_shuffle",
     "similarity_doc_embedding_join", "events_watermark_counts",
     "dedup_semantic_keep", "rel_cheapest_supplier",
-    "rel_profit_by_nation_year",
+    "rel_profit_by_nation_year", "corpus_temperature_mixture",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

@@ -1412,3 +1412,40 @@ def test_token_budget_single_tie_class_keeps_all(ray_session, tmp_path):
     sf = _write_docs(tmp_path, texts, list(range(6)))
     got = _sql_parity(sf, "corpus_token_budget")
     assert got["kept"].all()
+
+
+def test_temperature_mixture_planted_skew(ray_session, tmp_path):
+    """Two sources with 8:1 token mass: shares are 8/9 and 1/9; the
+    temperature weight (alpha=0.3) compresses the gap, so the small source
+    is BOOSTED (boost > 1) and the big one damped (boost < 1); weights sum
+    to 1. A zero-token (NULL-text) source is excluded on both engines."""
+    sf = _write_docs_sources(
+        tmp_path,
+        [(0, " ".join(["w"] * 8), "big"), (1, "w", "small"),
+         (2, None, "empty")],
+    )
+    got = _sql_parity(sf, "corpus_temperature_mixture").set_index("source")
+    assert sorted(got.index) == ["big", "small"]
+    assert abs(got["weight"].sum() - 1.0) < 1e-5
+    big, small = got.loc["big"], got.loc["small"]
+    assert abs(big["share"] - 8 / 9) < 1e-6
+    assert small["boost"] > 1.0 > big["boost"]
+    # exact alpha semantics: w ∝ share^0.3
+    import math
+    wb = (8 / 9) ** 0.3
+    ws = (1 / 9) ** 0.3
+    assert abs(big["weight"] - wb / (wb + ws)) < 1e-5
+    assert abs(small["weight"] - ws / (wb + ws)) < 1e-5
+
+
+def test_temperature_mixture_uniform_is_identity(ray_session, tmp_path):
+    """Equal-mass sources: temperature scaling is a no-op — every weight
+    equals its share and every boost is exactly 1."""
+    sf = _write_docs_sources(
+        tmp_path,
+        [(i, " ".join(["w"] * 10), f"s{i % 4}") for i in range(8)],
+    )
+    got = _sql_parity(sf, "corpus_temperature_mixture")
+    assert len(got) == 4
+    assert (got["boost"] == 1.0).all()
+    assert np.allclose(got["weight"], got["share"])
