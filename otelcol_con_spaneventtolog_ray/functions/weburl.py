@@ -171,3 +171,145 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 register("web_url_dedup", q_url_dedup, _URL_DEDUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# per-domain stats — the CCNet-style crawl report: docs / token mass /
+# language diversity per registrable domain. Hosts are synthesized
+# deterministically from doc_id with a SKEWED size distribution
+# (floor(sqrt(doc_id % 400)) -> domain d holds ~2d+1 of every 400 docs),
+# mirrored in the SQL so the hash compare exercises the whole fold.
+#
+# 100-TB shape: ONE (host, lang)-keyed exchange of per-block combiner rows
+# (docs + token partials — never raw pages), then a tiny per-host groupby
+# whose row count per group = the distinct-language count. No driver-side
+# materialization of anything bigger than |domains| x |langs|.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_MOD = 400
+#: NULL lang travels as the NUL sentinel (Ray's sort-aggregate cannot
+#: partition None keys); it only ever feeds the distinct-language COUNT, so
+#: it never needs restoring — SQL's GROUP BY gives NULL its own group too.
+_NULL_LANG = "\x00"
+
+
+def _domain_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (host, lang) combiner: docs + ws-token partials. Group key
+    = dom * |block langs| + factorized lang — exact at any lang length."""
+    from .textstats import ws_token_counts
+
+    ids = (
+        batch.column("doc_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    dom = np.floor(np.sqrt((ids % _DOMAIN_MOD).astype(np.float64))).astype(
+        np.int64
+    )
+    lang = batch.column("lang").to_numpy(zero_copy_only=False)
+    lang = np.where(
+        pa.compute.is_null(batch.column("lang").combine_chunks())
+        .to_numpy(zero_copy_only=False),
+        _NULL_LANG,
+        lang.astype(object),
+    )
+    toks = ws_token_counts(batch.column("text"))
+    langs_uniq, lang_inv = np.unique(lang.astype(str), return_inverse=True)
+    if len(ids) == 0:
+        return pa.table(
+            {"host": pa.array([], pa.string()),
+             "lang": pa.array([], pa.string()),
+             "docs": pa.array([], pa.int64()),
+             "tokens": pa.array([], pa.int64())}
+        )
+    key = dom * len(langs_uniq) + lang_inv
+    order = np.argsort(key, kind="stable")
+    k, t = key[order], toks[order]
+    first = np.flatnonzero(np.concatenate([[True], k[1:] != k[:-1]]))
+    gd = k[first] // len(langs_uniq)
+    gl = langs_uniq[k[first] % len(langs_uniq)]
+    host = np.array([f"d{int(x):02d}.example" for x in gd], dtype=object)
+    return pa.table(
+        {
+            "host": pa.array(host, pa.string()),
+            "lang": pa.array(gl.astype(object), pa.string()),
+            "docs": pa.array(
+                np.diff(np.append(first, len(k))).astype(np.int64), pa.int64()
+            ),
+            "tokens": pa.array(np.add.reduceat(t, first), pa.int64()),
+        }
+    )
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-domain crawl report: doc count, ws-token mass, distinct-language
+    count — over deterministically synthesized skewed domains."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from .blockutil import retype_block
+
+    per_lang = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "lang"],
+        )
+        .map_batches(_domain_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby(["host", "lang"])
+        .aggregate(Sum("docs", alias_name="docs"),
+                   Sum("tokens", alias_name="tokens"))
+    )
+
+    def lang_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"host": t.column("host"),
+             "docs": t.column("docs"),
+             "tokens": t.column("tokens"),
+             "langs": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}
+        )
+
+    df = (
+        per_lang.map_batches(lang_rows, batch_format="pyarrow",
+                             **remote_kwargs())
+        .groupby("host")
+        .aggregate(Sum("docs", alias_name="n_docs"),
+                   Sum("tokens", alias_name="n_tokens"),
+                   Sum("langs", alias_name="n_langs"))
+        .map_batches(
+            lambda t: retype_block(
+                t,
+                {"host": ("host", pa.string()),
+                 "n_docs": ("n_docs", pa.int64()),
+                 "n_tokens": ("n_tokens", pa.int64()),
+                 "n_langs": ("n_langs", pa.int64())},
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+        .to_pandas()
+    )
+    df = df.sort_values("host").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["host", "n_docs", "n_tokens", "n_langs"]], preserve_index=False
+    )
+
+
+_DOMAIN_STATS_SQL = f"""
+WITH d AS (
+  SELECT 'd' || printf('%02d',
+           CAST(floor(sqrt(doc_id % {_DOMAIN_MOD})) AS BIGINT))
+         || '.example' AS host,
+         lang,
+         coalesce((length(text) - length(replace(text, ' ', ''))) + 1, 0)
+           AS toks
+  FROM documents),
+g AS (
+  SELECT host, lang, count(*) AS docs,
+         CAST(sum(toks) AS BIGINT) AS tokens
+  FROM d GROUP BY 1, 2)
+SELECT host, CAST(sum(docs) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_langs
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+register("web_domain_stats", q_domain_stats, _DOMAIN_STATS_SQL)

@@ -63,3 +63,46 @@ def test_canonicalize_matches_duckdb_chain():
     exp = [r[0] for r in con.execute(sql).fetchall()]
     got = canonicalize_urls(pa.array(EDGE_URLS, pa.string())).to_pylist()
     assert got == exp == EXPECTED
+
+
+def test_domain_stats_planted(ray_session, tmp_path):
+    """Planted domain/lang fixture: doc_ids 0..3 (dom 0 gets id 0; dom 1
+    gets ids 1-3 — the sqrt skew), NULL lang forms its OWN language group
+    on both engines, NULL text contributes 0 tokens but still counts as a
+    doc."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from tests.test_entry_queries import _canon, _to_df
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c", "x y", None, "z"], pa.string()),
+            "lang": pa.array(["en", "de", None, "de"], pa.string()),
+            "source": pa.array(["s"] * 4, pa.string()),
+            "n_chars": pa.array([5, 3, 0, 1], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    import __ray_entry__ as e
+
+    got = _canon(_to_df(e.queries()["web_domain_stats"](str(tmp_path))))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp_path, 'documents.parquet')}')"
+    )
+    exp = _canon(con.execute(e.oracle_sql()["web_domain_stats"]).df())
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    byhost = got.set_index("host")
+    assert byhost.loc["d00.example", "n_docs"] == 1
+    assert byhost.loc["d01.example", "n_docs"] == 3
+    # de + NULL = two distinct language groups in domain d01
+    assert byhost.loc["d01.example", "n_langs"] == 2
+    # NULL text adds no tokens: "x y"(2) + None(0) + "z"(1)
+    assert byhost.loc["d01.example", "n_tokens"] == 3
