@@ -313,3 +313,148 @@ FROM g GROUP BY 1 ORDER BY 1
 """
 
 register("web_domain_stats", q_domain_stats, _DOMAIN_STATS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the crawl link graph — the classic crawl-side quality prior
+# (used by real pretraining pipelines to weight documents). The graph is
+# synthesized deterministically from doc_id arithmetic (node i has
+# outdeg = 1 + i%3, edge j -> (i*7 + j + 1) % N), and every quantity is
+# FIXED-POINT int64 micro-units with floor division, so the distributed
+# fold order cannot drift against the SQL mirror (which unrolls the same
+# three iterations as integer CTEs) — an ITERATIVE algorithm under the
+# driver's exact hash gate, not a rows-only check.
+#
+# 100-TB shape: per iteration, each rank block scatters (dst, contrib)
+# combiner rows (pre-reduced per block) plus one (own_id, 0) row so
+# zero-indegree nodes survive the groupby — the only exchange is that
+# groupby; no rank-vector broadcast, no edge materialization (edges are
+# functional in doc_id), no driver-side state. Iterations chain lazily and
+# execute as one streaming DAG.
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 3
+_PR_INIT = 1_000_000  # micro-units: every node starts at rank 1.0
+_PR_BASE = 150_000    # (1 - 0.85) in micro-units
+_PR_DAMP = 85         # damping numerator (percent)
+
+
+def _pr_scatter(batch: pa.Table, n_nodes: int) -> pa.Table:
+    """One PageRank scatter: per block emit pre-reduced (dst, contrib)
+    rows + a (self, 0) row per node (keeps zero-indegree nodes alive)."""
+    ids = (
+        batch.column("doc_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    rank = (
+        batch.column("rank").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    outdeg = 1 + ids % 3
+    contrib = rank // outdeg
+    dsts, vals = [ids], [np.zeros(len(ids), np.int64)]
+    for j in range(3):
+        m = outdeg > j
+        dsts.append((ids[m] * 7 + j + 1) % n_nodes)
+        vals.append(contrib[m])
+    dst = np.concatenate(dsts)
+    val = np.concatenate(vals)
+    order = np.argsort(dst, kind="stable")
+    d, v = dst[order], val[order]
+    first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+    return pa.table(
+        {
+            "doc_id": pa.array(d[first], pa.int64()),
+            "contrib": pa.array(np.add.reduceat(v, first), pa.int64()),
+        }
+    )
+
+
+def q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (3 iterations, damping 0.85) over the
+    deterministic doc_id link graph. Output: doc_id, rank_micro."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .blockutil import retype_block
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_nodes = pq.read_metadata(path).num_rows  # footer only, no data read
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.table(
+            {"doc_id": ids,
+             "rank": pa.array(
+                 np.full(batch.num_rows, _PR_INIT, np.int64), pa.int64()
+             )}
+        )
+
+    def fold_rank(t: pa.Table) -> pa.Table:
+        s = t.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"doc_id": t.column("doc_id"),
+             "rank": pa.array(
+                 _PR_BASE + (_PR_DAMP * s) // 100, pa.int64()
+             )}
+        )
+
+    ranks = ray.data.read_parquet(path, columns=["doc_id"]).map_batches(
+        init_rank, batch_format="pyarrow", **remote_kwargs()
+    )
+    for _ in range(PAGERANK_ITERS):
+        ranks = (
+            ranks.map_batches(
+                lambda b, n=n_nodes: _pr_scatter(b, n),
+                batch_format="pyarrow", **remote_kwargs(),
+            )
+            .groupby("doc_id")
+            .aggregate(Sum("contrib", alias_name="contrib"))
+            .map_batches(fold_rank, batch_format="pyarrow", **remote_kwargs())
+        )
+    df = (
+        ranks.map_batches(
+            lambda t: retype_block(
+                t,
+                {"doc_id": ("doc_id", pa.int64()),
+                 "rank_micro": ("rank", pa.int64())},
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+        .to_pandas()
+    )
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["doc_id", "rank_micro"]], preserve_index=False
+    )
+
+
+def _pagerank_sql() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+c{i} AS (
+  SELECT e.dst AS doc_id,
+         CAST(sum({prev}.rank // e.outdeg) AS BIGINT) AS s
+  FROM edges e JOIN {prev} ON e.src = {prev}.doc_id GROUP BY 1),
+r{i} AS (
+  SELECT d.doc_id,
+         {_PR_BASE} + ({_PR_DAMP} * coalesce(c{i}.s, 0)) // 100 AS rank
+  FROM documents d LEFT JOIN c{i} ON d.doc_id = c{i}.doc_id)""")
+        prev = f"r{i}"
+    return f"""
+WITH nodes AS (
+  SELECT doc_id, 1 + doc_id % 3 AS outdeg FROM documents),
+edges AS (
+  SELECT doc_id AS src, outdeg,
+         (doc_id * 7 + r.range + 1) % (SELECT count(*) FROM documents) AS dst
+  FROM nodes CROSS JOIN range(3) r WHERE r.range < outdeg),
+r0 AS (
+  SELECT doc_id, CAST({_PR_INIT} AS BIGINT) AS rank FROM documents),{",".join(iters)}
+SELECT doc_id, rank AS rank_micro FROM {prev} ORDER BY doc_id
+"""
+
+
+register("web_pagerank", q_pagerank, _pagerank_sql())

@@ -106,3 +106,53 @@ def test_domain_stats_planted(ray_session, tmp_path):
     assert byhost.loc["d01.example", "n_langs"] == 2
     # NULL text adds no tokens: "x y"(2) + None(0) + "z"(1)
     assert byhost.loc["d01.example", "n_tokens"] == 3
+
+
+def _pagerank_reference(n, iters=3):
+    """Independent scalar reference of the fixed-point iteration."""
+    rank = [1_000_000] * n
+    for _ in range(iters):
+        s = [0] * n
+        for i in range(n):
+            outdeg = 1 + i % 3
+            c = rank[i] // outdeg
+            for j in range(outdeg):
+                s[(i * 7 + j + 1) % n] += c
+        rank = [150_000 + (85 * x) // 100 for x in s]
+    return rank
+
+
+def test_pagerank_planted_matches_scalar_reference(ray_session, tmp_path):
+    """7-node graph: the distributed scatter-gather must equal the scalar
+    loop exactly (integer fixed-point → zero drift), and the SQL mirror
+    must agree row for row."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from tests.test_entry_queries import _canon, _to_df
+
+    n = 7
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(["t"] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+    import __ray_entry__ as e
+
+    got = _to_df(e.queries()["web_pagerank"](str(tmp_path)))
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["rank_micro"]) == _pagerank_reference(n)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp_path, 'documents.parquet')}')"
+    )
+    exp = _canon(con.execute(e.oracle_sql()["web_pagerank"]).df())
+    pd.testing.assert_frame_equal(_canon(got), exp, check_dtype=False)
