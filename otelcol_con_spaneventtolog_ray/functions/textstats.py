@@ -1549,3 +1549,171 @@ FROM s, th
 )
 
 register("text_perplexity_buckets", q_perplexity_buckets, _PPL_BUCKETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval — the standard lexical search scorer, as a two-phase Ray
+# DAG: (1) a tiny stats aggregate (per-term document frequency over the
+# query terms + total token mass for avgdl), broadcast once; (2) a scoring
+# scan where each block computes its docs' tf/dl fully vectorized
+# (dictionary-encode + bincount — no per-row Python) and emits a LOCAL
+# top-k partial, so the driver folds |blocks| x k rows, never the corpus.
+# Scores are rounded to 6dp BEFORE ranking on both engines, making the
+# (score desc, doc_id asc) order deterministic under float fold drift.
+#
+# 100-TB shape: phase 1 exchanges <= |terms|+1 combiner rows per block;
+# phase 2 is shuffle-free (stats ride ray.put); result is top-k only.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY_TERMS = ("hash", "vector", "spark")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def _bm25_stats_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (term, df partial) over the query terms + one NUL-keyed
+    row carrying the block's total token count (for avgdl)."""
+    flat, parents = _words_flat(batch)
+    terms, dfs = ["\x00tokens"], [int(len(parents))]
+    if len(parents):
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # O(|terms|) dictionary lookup, not an O(block vocab) Python dict
+        tids = pc.index_in(
+            pa.array(list(BM25_QUERY_TERMS)), value_set=d.dictionary
+        ).to_numpy(zero_copy_only=False)
+        for t, tid in zip(BM25_QUERY_TERMS, tids):
+            if np.isnan(tid):
+                continue
+            docs = np.unique(parents[codes == int(tid)])
+            if len(docs):
+                terms.append(t)
+                dfs.append(int(len(docs)))
+    return pa.table(
+        {"term": pa.array(terms, pa.string()),
+         "df": pa.array(dfs, pa.int64())}
+    )
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-k documents by BM25 over the fixed query terms. Output:
+    (rank, doc_id, score) with score rounded to 6dp pre-ranking."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..parquet_stats import file_num_rows
+
+    n_docs = file_num_rows(os.path.join(sf_dir, "documents.parquet"))
+    stats = (
+        _docs(sf_dir)
+        .map_batches(_bm25_stats_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+    df_of = dict(zip(stats["term"], stats["df"]))
+    total_tokens = int(df_of.pop("\x00tokens", 0))
+    avgdl = total_tokens / n_docs if n_docs else 1.0
+    idf_of = {
+        t: float(np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0))
+        for t, df in df_of.items()
+    }
+    stats_ref = ray.put((idf_of, avgdl))
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        idf, ad = ray.get(stats_ref)
+        flat, parents = _words_flat(batch)
+        n = batch.num_rows
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+        if len(parents) == 0 or not idf:
+            return empty
+        dl = np.bincount(parents, minlength=n).astype(np.float64)
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        qterms = sorted(idf)  # fixed fold order across runs
+        tids = pc.index_in(
+            pa.array(qterms), value_set=d.dictionary
+        ).to_numpy(zero_copy_only=False)
+        norm = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / ad)
+        score = np.zeros(n, np.float64)
+        for t, tid in zip(qterms, tids):
+            if np.isnan(tid):
+                continue
+            w = idf[t]
+            tf = np.bincount(parents[codes == int(tid)], minlength=n).astype(
+                np.float64
+            )
+            score += np.where(
+                tf > 0, w * tf * (BM25_K1 + 1.0) / (tf + norm), 0.0
+            )
+        keep = score > 0
+        if not keep.any():
+            return empty
+        ids = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)[keep]
+        )
+        sc = np.round(score[keep], 6)
+        # local top-k partial: (score desc, doc_id asc)
+        order = np.lexsort((ids, -sc))[:BM25_TOPK]
+        return pa.table(
+            {"doc_id": pa.array(ids[order], pa.int64()),
+             "score": pa.array(sc[order], pa.float64())}
+        )
+
+    parts = (
+        _docs(sf_dir)
+        .map_batches(score_block, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    parts = parts.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="stable"
+    ).head(BM25_TOPK).reset_index(drop=True)
+    parts["rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    return pa.Table.from_pandas(
+        parts[["rank", "doc_id", "score"]], preserve_index=False
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+_BM25_SQL = f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            x -> x != '')) AS token
+  FROM documents),
+nd AS (SELECT count(*) AS n FROM documents),
+ad AS (SELECT (SELECT count(*) FROM w)
+              / CAST((SELECT n FROM nd) AS DOUBLE) AS avgdl),
+dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM w
+       WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM w
+       WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(((SELECT n FROM nd) - df.df + 0.5) / (df.df + 0.5) + 1)
+           * tf.tf * ({BM25_K1} + 1)
+           / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+              + {BM25_B} * dl.dl / (SELECT avgdl FROM ad)))), 6) AS score
+  FROM tf JOIN df ON tf.token = df.token
+          JOIN dl ON tf.doc_id = dl.doc_id
+  GROUP BY 1)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, score
+FROM sc ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+"""
+
+register("text_bm25_topk", q_bm25_topk, _BM25_SQL)

@@ -1449,3 +1449,28 @@ def test_temperature_mixture_uniform_is_identity(ray_session, tmp_path):
     assert len(got) == 4
     assert (got["boost"] == 1.0).all()
     assert np.allclose(got["weight"], got["share"])
+
+
+def test_bm25_planted_semantics(ray_session, tmp_path):
+    """Hand-checkable BM25: the doc holding the RARE query term ('vector',
+    df=1) outranks docs with only the common term ('hash', df=3); a doc
+    with no query term is absent; shorter docs rank above longer ones at
+    equal tf (the length normalization). Exact parity with the SQL mirror."""
+    texts = [
+        "hash filler filler filler filler filler",  # common term, long
+        "hash",                                     # common term, short
+        "vector hash",                              # rare + common
+        "filler only no terms",                     # excluded
+    ]
+    sf = _write_docs(tmp_path, texts, [0, 1, 2, 3])
+    got = _sql_parity(sf, "text_bm25_topk")
+    got = got.sort_values("rank").reset_index(drop=True)  # canon sorted rows
+    assert list(got["doc_id"]) != []
+    assert 3 not in set(got["doc_id"])
+    byid = got.set_index("doc_id")
+    # rare-term doc wins outright
+    assert got.iloc[0]["doc_id"] == 2
+    # same tf of 'hash': the short doc (1) scores above the long doc (0)
+    assert byid.loc[1, "score"] > byid.loc[0, "score"]
+    # ranks are 1..n in score order
+    assert list(got["rank"]) == list(range(1, len(got) + 1))
