@@ -1620,3 +1620,88 @@ SELECT * FROM o UNION ALL SELECT * FROM l ORDER BY 1
 """
 
 register("events_watermark_counts", q_watermark_counts, _WATERMARK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# growth accounting: new users per day (first-seen day) + cumulative total.
+# Two-phase: per-block (user, min-day) combiner -> groupby(user).Min (the
+# only big exchange — one row per distinct user per block), then per-day
+# counts pre-reduced per block -> tiny groupby(day) -> driver cumsum over
+# |days| rows. The cumulative sum never touches a per-user row.
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _first_seen_partials(batch: pa.Table) -> pa.Table:
+    uid = (
+        batch.column("user_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ts = batch.column("ts").to_numpy(zero_copy_only=False)
+    day_us = (ts.astype("datetime64[us]").astype(np.int64)
+              // _DAY_US) * _DAY_US
+    order = np.argsort(uid, kind="stable")
+    u, d = uid[order], day_us[order]
+    first = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+    return pa.table(
+        {"user_id": pa.array(u[first], pa.int64()),
+         "day_us": pa.array(np.minimum.reduceat(d, first), pa.int64())}
+    )
+
+
+def _day_count_partials(batch: pa.Table) -> pa.Table:
+    d = batch.column("day_us").to_numpy(zero_copy_only=False).astype(np.int64)
+    u, c = np.unique(d, return_counts=True)
+    return pa.table(
+        {"day_us": pa.array(u, pa.int64()),
+         "new_users": pa.array(c.astype(np.int64), pa.int64())}
+    )
+
+
+def q_new_users_daily(sf_dir: str):
+    """(day_us, new_users, cum_users): users counted on their first-seen
+    day, with the running total."""
+    from ray.data.aggregate import Min, Sum
+
+    from .blockutil import retype_block
+
+    df = (
+        _events(sf_dir, ["user_id", "ts"])
+        .map_batches(_first_seen_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("user_id")
+        .aggregate(Min("day_us", alias_name="day_us"))
+        .map_batches(_day_count_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("day_us")
+        .aggregate(Sum("new_users", alias_name="new_users"))
+        .map_batches(
+            lambda t: retype_block(
+                t,
+                {"day_us": ("day_us", pa.int64()),
+                 "new_users": ("new_users", pa.int64())},
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+        .to_pandas()
+    )
+    df = df.sort_values("day_us").reset_index(drop=True)
+    df["cum_users"] = df["new_users"].cumsum().astype(np.int64)
+    return pa.Table.from_pandas(
+        df[["day_us", "new_users", "cum_users"]], preserve_index=False
+    )
+
+
+_NEW_USERS_SQL = f"""
+WITH f AS (
+  SELECT user_id,
+         (min(epoch_us(ts)) // {_DAY_US}) * {_DAY_US} AS day_us
+  FROM events GROUP BY 1),
+d AS (SELECT day_us, count(*) AS new_users FROM f GROUP BY 1)
+SELECT day_us, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day_us) AS BIGINT) AS cum_users
+FROM d ORDER BY day_us
+"""
+
+register("events_new_users_daily", q_new_users_daily, _NEW_USERS_SQL)

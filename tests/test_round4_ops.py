@@ -1474,3 +1474,24 @@ def test_bm25_planted_semantics(ray_session, tmp_path):
     assert byid.loc[1, "score"] > byid.loc[0, "score"]
     # ranks are 1..n in score order
     assert list(got["rank"]) == list(range(1, len(got) + 1))
+
+
+def test_new_users_daily_planted(ray_session, tmp_path):
+    """Staggered arrivals: u1 day0, u2 day0, u3 day2 (after earlier noise
+    events from u1/u2 — re-appearances must NOT recount), cum_users is the
+    running total and ends at the distinct-user count."""
+    day = 86_400_000_000
+    rows = [
+        (1, 10, 100, "view"),          # u100 day0
+        (2, 20, 101, "view"),          # u101 day0
+        (3, day + 5, 100, "click"),    # u100 again day1 -> not new
+        (4, 2 * day + 7, 102, "view"), # u102 day2
+        (5, 2 * day + 9, 101, "buy"),  # u101 again day2 -> not new
+    ]
+    sf = _write_events(tmp_path, [(e, pd.Timestamp(t, unit="us"), u, ty)
+                                  for e, t, u, ty in rows])
+    got = _sql_parity(sf, "events_new_users_daily")
+    got = got.sort_values("day_us").reset_index(drop=True)
+    assert list(got["new_users"]) == [2, 1]
+    assert list(got["cum_users"]) == [2, 3]
+    assert list(got["day_us"]) == [0, 2 * day]
