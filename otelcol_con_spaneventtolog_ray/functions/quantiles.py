@@ -555,3 +555,143 @@ register("events_value_percent_rank", q_value_percent_rank, _PCT_RANK_SQL)
 register("similarity_norm_quantiles", q_norm_quantiles, _NORM_Q_SQL)
 register("text_length_quantiles", q_text_length_quantiles, _TEXT_LEN_Q_SQL)
 register("text_above_median_length", q_above_median_length, _ABOVE_MEDIAN_SQL)
+
+
+# ---------------------------------------------------------------------------
+# robust dispersion: exact per-group median absolute deviation (MAD) — two
+# chained distribution folds on the same bounded-distribution engine: pass 1
+# selects each type's median, broadcast as a tiny (type -> median) map;
+# pass 2 folds the |v - median| distribution and selects ITS median. Both
+# passes exchange only distinct (key, value-cell, cnt) rows; raw events
+# never shuffle. Same integer rank contract as every quantile mirror.
+# ---------------------------------------------------------------------------
+
+
+def _select_p50(group: pa.Table, key_name: str) -> pa.Table:
+    """One key's distribution -> (key, n, p50) — the median-only selector."""
+    if group.num_rows == 0:
+        return pa.table(
+            {key_name: pa.array([], pa.string()),
+             "n": pa.array([], pa.int64()),
+             "p50": pa.array([], pa.int64())}
+        )
+    if group.num_rows > QUANTILE_MAX_GROUP:
+        raise ValueError(
+            f"MAD group {group.column(key_name)[0].as_py()!r} exceeds "
+            f"QUANTILE_MAX_GROUP={QUANTILE_MAX_GROUP} distinct cells; use "
+            "sketch_value_quantiles"
+        )
+    v = group.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = group.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(v, kind="stable")
+    v, cnt = v[order], cnt[order]
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    i = int(np.searchsorted(cum, ((n - 1) * 50) // 100, side="right"))
+    return pa.table(
+        {key_name: pa.array([group.column(key_name)[0].as_py()], pa.string()),
+         "n": pa.array([n], pa.int64()),
+         "p50": pa.array([int(v[i])], pa.int64())}
+    )
+
+
+def q_events_value_mad(sf_dir: str):
+    """Exact per-event-type (median, MAD) of value on the 1e-6 grid."""
+    import ray
+    import ray.data
+
+    def partials(batch: pa.Table) -> pa.Table:
+        t = batch.drop_null()
+        key = (
+            t.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        )
+        vm = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 1_000_000
+        ).astype(np.int64)
+        return _dist_partials(key, vm, "event_type")
+
+    def read():
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_type", "value"],
+        )
+
+    med_df = _distribution_fold(
+        read(), partials, "event_type",
+        lambda g: _select_p50(g, "event_type"),
+    ).to_pandas()
+    if len(med_df) == 0:
+        return pa.table(
+            {"event_type": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64()),
+             "median": pa.array([], pa.float64()),
+             "mad": pa.array([], pa.float64())}
+        )
+    med_keys = np.sort(med_df["event_type"].to_numpy(str))
+    med_vals = (
+        med_df.set_index("event_type").loc[med_keys, "p50"]
+        .to_numpy(np.int64)
+    )
+    med_ref = ray.put((med_keys, med_vals))
+
+    def dev_partials(batch: pa.Table) -> pa.Table:
+        keys, meds = ray.get(med_ref)
+        t = batch.drop_null()
+        key = (
+            t.column("event_type").to_numpy(zero_copy_only=False).astype(str)
+        )
+        vm = np.rint(
+            t.column("value").to_numpy(zero_copy_only=False) * 1_000_000
+        ).astype(np.int64)
+        pos = np.searchsorted(keys, key)
+        dev = np.abs(vm - meds[pos])
+        return _dist_partials(key, dev, "event_type")
+
+    mad_df = _distribution_fold(
+        read(), dev_partials, "event_type",
+        lambda g: _select_p50(g, "event_type"),
+    ).to_pandas()
+    out = med_df.merge(
+        mad_df.rename(columns={"p50": "mad_micro"})[["event_type",
+                                                     "mad_micro"]],
+        on="event_type",
+    )
+    out["median"] = (out["p50"] / 1_000_000.0).round(6)
+    out["mad"] = (out["mad_micro"] / 1_000_000.0).round(6)
+    out = out.sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["event_type", "n", "median", "mad"]], preserve_index=False
+    )
+
+
+_MAD_SQL = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+r AS (SELECT event_type, vm,
+             row_number() OVER (PARTITION BY event_type ORDER BY vm) - 1
+               AS rk
+      FROM v),
+med AS (SELECT r.event_type,
+               max(CASE WHEN r.rk = ((n.n - 1) * 50) // 100
+                   THEN r.vm END) AS med
+        FROM r JOIN n USING (event_type) GROUP BY 1),
+a AS (SELECT v.event_type, abs(v.vm - med.med) AS av
+      FROM v JOIN med USING (event_type)),
+r2 AS (SELECT event_type, av,
+              row_number() OVER (PARTITION BY event_type ORDER BY av) - 1
+                AS rk
+       FROM a),
+mad AS (SELECT r2.event_type,
+               max(CASE WHEN r2.rk = ((n.n - 1) * 50) // 100
+                   THEN r2.av END) AS mad
+        FROM r2 JOIN n USING (event_type) GROUP BY 1)
+SELECT n.event_type, n.n,
+       round(med.med / 1000000.0, 6) AS median,
+       round(mad.mad / 1000000.0, 6) AS mad
+FROM n JOIN med USING (event_type) JOIN mad USING (event_type)
+ORDER BY 1
+"""
+
+register("events_value_mad", q_events_value_mad, _MAD_SQL)

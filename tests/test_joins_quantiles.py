@@ -585,3 +585,37 @@ def test_percent_rank_ties_share_and_bounds(ray_session, tmp_path):
         {"event_id": 3, "vm": 2000, "pct_rank": round(1 / 3, 6)},
         {"event_id": 4, "vm": 3000, "pct_rank": 1.0},
     ]
+
+
+def test_mad_planted_exact(ray_session, tmp_path):
+    """Hand-checkable MAD: values [1,2,3,4,100] -> median 3 (rank (5-1)*50//100
+    = 2), |v-3| = [2,1,0,1,97] -> MAD 1. The outlier (100) moves the mean
+    wildly but must not move the MAD — the robustness property."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(5), pa.int64()),
+            "ts": pa.array([pd.Timestamp(i, unit="s") for i in range(5)],
+                           pa.timestamp("us")),
+            "user_id": pa.array([1] * 5, pa.int64()),
+            "event_type": pa.array(["m"] * 5, pa.string()),
+            "value": pa.array(vals, pa.float64()),
+            "props": pa.array(["{}"] * 5, pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    import __ray_entry__ as e
+
+    from tests.test_entry_queries import _to_df
+
+    got = _to_df(e.queries()["events_value_mad"](str(tmp_path)))
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["n"] == 5 and row["median"] == 3.0 and row["mad"] == 1.0

@@ -135,7 +135,10 @@ def main() -> None:
                      "corpus_token_budget",
                      # round-4 continuation ops
                      "web_url_dedup", "corpus_epoch_shuffle",
-                     "text_decontaminate_fuzzy"):
+                     "text_decontaminate_fuzzy",
+                     # closing-session ops (documents-only inputs)
+                     "web_domain_stats", "web_pagerank", "text_bm25_topk",
+                     "corpus_temperature_mixture"):
             t0 = time.monotonic()
             out = qs[name](sf)
             df = out.to_pandas() if hasattr(out, "to_pandas") else out

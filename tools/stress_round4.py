@@ -116,6 +116,7 @@ def main() -> None:
     from otelcol_con_spaneventtolog_ray.functions import quantiles as Q
     from otelcol_con_spaneventtolog_ray.functions import relational as R
     from otelcol_con_spaneventtolog_ray.functions import relational2 as R2
+    from otelcol_con_spaneventtolog_ray.functions import relational3 as R3
 
     walls: dict[str, float] = {}
     extra: dict[str, int] = {}
@@ -150,6 +151,7 @@ def main() -> None:
         ("rel_bracket_revenue_10x", R2.q_bracket_revenue),
         ("rel_late_sole_supplier_10x", R2.q_late_sole_supplier),
         ("rel_cheapest_supplier_10x", R2.q_cheapest_supplier),
+        ("rel_profit_by_nation_year_10x", R3.q_profit_by_nation_year),
     ):
         t0 = time.perf_counter()
         res = fn(tp_dir)
@@ -164,6 +166,13 @@ def main() -> None:
     n = E.q_window_functions(ev_dir).count()
     walls["events_window_functions_10m"] = round(time.perf_counter() - t0, 2)
     extra["window_rows"] = int(n)
+
+    # growth accounting at 10M events (150 users x 100 replicas share ids,
+    # so the first-seen fold collapses 10M rows to 150 users)
+    t0 = time.perf_counter()
+    nu = E.q_new_users_daily(ev_dir)
+    walls["events_new_users_daily_10m"] = round(time.perf_counter() - t0, 2)
+    extra["new_users_days"] = nu.num_rows
 
     print(json.dumps(
         {"metric": "round4 stress walls sec", "queries": walls,
