@@ -373,14 +373,14 @@ def _pr_scatter(batch: pa.Table, n_nodes: int) -> pa.Table:
 def q_pagerank(sf_dir: str):
     """Integer fixed-point PageRank (3 iterations, damping 0.85) over the
     deterministic doc_id link graph. Output: doc_id, rank_micro."""
-    import pyarrow.parquet as pq
     import ray.data
     from ray.data.aggregate import Sum
 
     from .blockutil import retype_block
+    from ..parquet_stats import file_num_rows
 
     path = os.path.join(sf_dir, "documents.parquet")
-    n_nodes = pq.read_metadata(path).num_rows  # footer only, no data read
+    n_nodes = file_num_rows(path)  # footers only (file OR dir-of-parts)
 
     def init_rank(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")
