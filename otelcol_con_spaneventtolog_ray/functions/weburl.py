@@ -337,6 +337,10 @@ PAGERANK_ITERS = 3
 _PR_INIT = 1_000_000  # micro-units: every node starts at rank 1.0
 _PR_BASE = 150_000    # (1 - 0.85) in micro-units
 _PR_DAMP = 85         # damping numerator (percent)
+#: gather buckets per iteration. One bucket (~|edges|/PR_BUCKETS combiner
+#: rows) must fit a block — at cluster scale set to O(total cores x 4),
+#: same bounded-group contract as the IVF cells / pack buckets.
+PR_BUCKETS = 256
 
 
 def _pr_scatter(batch: pa.Table, n_nodes: int) -> pa.Table:
@@ -362,10 +366,17 @@ def _pr_scatter(batch: pa.Table, n_nodes: int) -> pa.Table:
     order = np.argsort(dst, kind="stable")
     d, v = dst[order], val[order]
     first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+    gd = d[first]
     return pa.table(
         {
-            "doc_id": pa.array(d[first], pa.int64()),
+            "doc_id": pa.array(gd, pa.int64()),
             "contrib": pa.array(np.add.reduceat(v, first), pa.int64()),
+            # range bucket: the gather groups on ~PR_BUCKETS keys instead of
+            # N doc_ids (Ray's hash aggregate measured ~3x the cost of a
+            # coarse map_groups on the same rows at 1M nodes)
+            "bucket": pa.array(
+                gd * PR_BUCKETS // max(n_nodes, 1), pa.int64()
+            ),
         }
     )
 
@@ -374,7 +385,6 @@ def q_pagerank(sf_dir: str):
     """Integer fixed-point PageRank (3 iterations, damping 0.85) over the
     deterministic doc_id link graph. Output: doc_id, rank_micro."""
     import ray.data
-    from ray.data.aggregate import Sum
 
     from .blockutil import retype_block
     from ..parquet_stats import file_num_rows
@@ -391,13 +401,22 @@ def q_pagerank(sf_dir: str):
              )}
         )
 
-    def fold_rank(t: pa.Table) -> pa.Table:
-        s = t.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
+    def fold_bucket(t: pa.Table) -> pa.Table:
+        """One bucket's contrib rows -> that bucket's (doc_id, rank)."""
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.int64())}
+            )
+        order = np.argsort(d, kind="stable")
+        d, v = d[order], v[order]
+        first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        s = np.add.reduceat(v, first)
         return pa.table(
-            {"doc_id": t.column("doc_id"),
-             "rank": pa.array(
-                 _PR_BASE + (_PR_DAMP * s) // 100, pa.int64()
-             )}
+            {"doc_id": pa.array(d[first], pa.int64()),
+             "rank": pa.array(_PR_BASE + (_PR_DAMP * s) // 100, pa.int64())}
         )
 
     ranks = ray.data.read_parquet(path, columns=["doc_id"]).map_batches(
@@ -409,9 +428,9 @@ def q_pagerank(sf_dir: str):
                 lambda b, n=n_nodes: _pr_scatter(b, n),
                 batch_format="pyarrow", **remote_kwargs(),
             )
-            .groupby("doc_id")
-            .aggregate(Sum("contrib", alias_name="contrib"))
-            .map_batches(fold_rank, batch_format="pyarrow", **remote_kwargs())
+            .groupby("bucket")
+            .map_groups(fold_bucket, batch_format="pyarrow",
+                        **remote_kwargs())
         )
     df = (
         ranks.map_batches(
