@@ -244,7 +244,7 @@ def q_domain_stats(sf_dir: str):
     """Per-domain crawl report: doc count, ws-token mass, distinct-language
     count — over deterministically synthesized skewed domains."""
     import ray.data
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from .blockutil import retype_block
 
