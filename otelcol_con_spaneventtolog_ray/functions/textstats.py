@@ -1717,3 +1717,80 @@ FROM sc ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
 """
 
 register("text_bm25_topk", q_bm25_topk, _BM25_SQL)
+
+
+# ---------------------------------------------------------------------------
+# unigram entropy — the information-theoretic quality signal (low entropy =
+# repetitive/templated text; complements the repetition and gopher-rule
+# filters). Shuffle-free: each doc's token histogram lives inside its block
+# (one row per doc), so the whole op is one vectorized scan. The identity
+# H = ln(n) - (1/n) * sum(c * ln c) needs ONE reduceat over the per-(doc,
+# token) counts — no per-doc Python.
+# ---------------------------------------------------------------------------
+
+
+def q_unigram_entropy(sf_dir: str):
+    """(doc_id, n_tokens, entropy): Shannon entropy (nats, 6dp) of each
+    document's unigram distribution. Token-less (NULL/empty) docs have no
+    distribution and are absent — mirroring SQL's empty GROUP BY."""
+
+    def entropy_block(batch: pa.Table) -> pa.Table:
+        flat, parents = _words_flat(batch)
+        if len(parents) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_tokens": pa.array([], pa.int64()),
+                 "entropy": pa.array([], pa.float64())}
+            )
+        d = pc.dictionary_encode(flat)
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nd = len(d.dictionary)
+        key = parents.astype(np.int64) * nd + codes
+        key.sort()
+        first = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        cnt = np.diff(np.append(first, len(key))).astype(np.float64)
+        docs = key[first] // nd  # sorted, one run per doc
+        dfirst = np.flatnonzero(
+            np.concatenate([[True], docs[1:] != docs[:-1]])
+        )
+        n = np.add.reduceat(cnt, dfirst)
+        clogc = np.add.reduceat(cnt * np.log(cnt), dfirst)
+        ent = np.round(np.log(n) - clogc / n, 6)
+        ids = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)[docs[dfirst]]
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_tokens": pa.array(n.astype(np.int64), pa.int64()),
+             "entropy": pa.array(ent, pa.float64())}
+        )
+
+    df = (
+        _docs(sf_dir)
+        .map_batches(entropy_block, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["doc_id", "n_tokens", "entropy"]], preserve_index=False
+    )
+
+
+_ENTROPY_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x != '')) AS token
+  FROM documents),
+c AS (SELECT doc_id, token, count(*) AS c FROM w GROUP BY 1, 2),
+n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1)
+SELECT n.doc_id, n.n AS n_tokens,
+       round(ln(n.n) - sum(c.c * ln(c.c)) / n.n, 6) AS entropy
+FROM c JOIN n USING (doc_id)
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+register("text_unigram_entropy", q_unigram_entropy, _ENTROPY_SQL)

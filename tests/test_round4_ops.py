@@ -1495,3 +1495,21 @@ def test_new_users_daily_planted(ray_session, tmp_path):
     assert list(got["new_users"]) == [2, 1]
     assert list(got["cum_users"]) == [2, 3]
     assert list(got["day_us"]) == [0, 2 * day]
+
+
+def test_unigram_entropy_planted(ray_session, tmp_path):
+    """Hand-checkable entropies: uniform 4-token doc = ln(4), constant doc
+    = 0, 50/50 doc = ln(2); NULL-text doc absent. Exact SQL parity."""
+    import math
+
+    sf = _write_docs_sources(
+        tmp_path,
+        [(0, "a b c d", "s"), (1, "x x x x", "s"), (2, "y y z z", "s"),
+         (3, None, "s")],
+    )
+    got = _sql_parity(sf, "text_unigram_entropy").set_index("doc_id")
+    assert sorted(got.index) == [0, 1, 2]
+    assert abs(got.loc[0, "entropy"] - round(math.log(4), 6)) < 1e-9
+    assert got.loc[1, "entropy"] == 0.0
+    assert abs(got.loc[2, "entropy"] - round(math.log(2), 6)) < 1e-9
+    assert list(got["n_tokens"]) == [4, 4, 4]
