@@ -477,3 +477,141 @@ SELECT doc_id, rank AS rank_micro FROM {prev} ORDER BY doc_id
 
 
 register("web_pagerank", q_pagerank, _pagerank_sql())
+
+
+# ---------------------------------------------------------------------------
+# crawl-frontier reachability — BFS from a seed set over the same doc_id
+# link graph as PageRank: which pages are within FRONTIER_HOPS clicks of a
+# seed, and at what minimum depth. The iterative-TRAVERSAL counterpart to
+# PageRank's scatter-gather: each hop flat-maps the current frontier to its
+# successors (functional edges — nothing materializes the graph), levels
+# union as (doc_id, hop) rows, and ONE range-bucket map_groups takes the
+# per-node min hop (same PR_BUCKETS bounded-group contract). Frontier rows
+# are two int64s; no visited-set broadcast, no driver-side state.
+# ---------------------------------------------------------------------------
+
+FRONTIER_HOPS = 2
+FRONTIER_SEED_MOD = 97  # seeds: doc_id % 97 == 0 (~1% of the corpus)
+
+
+def _frontier_expand(batch: pa.Table, n_nodes: int, hop: int) -> pa.Table:
+    """Frontier block -> successor (doc_id, hop) rows, block-deduped."""
+    ids = (
+        batch.column("doc_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    outdeg = 1 + ids % 3
+    dsts = []
+    for j in range(3):
+        m = outdeg > j
+        dsts.append((ids[m] * 7 + j + 1) % n_nodes)
+    dst = np.unique(np.concatenate(dsts)) if len(ids) else np.array(
+        [], np.int64
+    )
+    return pa.table(
+        {"doc_id": pa.array(dst, pa.int64()),
+         "hop": pa.array(np.full(len(dst), hop, np.int64), pa.int64())}
+    )
+
+
+def q_crawl_frontier(sf_dir: str):
+    """(doc_id, hop): minimum click depth from the seed set within
+    FRONTIER_HOPS hops, seeds at hop 0."""
+    import ray.data
+
+    from .blockutil import retype_block
+    from ..parquet_stats import file_num_rows
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_nodes = file_num_rows(path)
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        s = ids[ids % FRONTIER_SEED_MOD == 0]
+        return pa.table(
+            {"doc_id": pa.array(s, pa.int64()),
+             "hop": pa.array(np.zeros(len(s), np.int64), pa.int64())}
+        )
+
+    levels = [
+        ray.data.read_parquet(path, columns=["doc_id"]).map_batches(
+            seed_rows, batch_format="pyarrow", **remote_kwargs()
+        )
+    ]
+    for hop in range(1, FRONTIER_HOPS + 1):
+        levels.append(
+            levels[-1].map_batches(
+                lambda b, n=n_nodes, h=hop: _frontier_expand(b, n, h),
+                batch_format="pyarrow", **remote_kwargs(),
+            )
+        )
+    union = levels[0]
+    for lv in levels[1:]:
+        union = union.union(lv)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "bucket", pa.array(d * PR_BUCKETS // max(n_nodes, 1), pa.int64())
+        )
+
+    def min_hop(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = t.column("hop").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((h, d))
+        d, h = d[order], h[order]
+        first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        return pa.table(
+            {"doc_id": pa.array(d[first], pa.int64()),
+             "hop": pa.array(h[first], pa.int64())}
+        )
+
+    df = (
+        union.map_batches(bucketize, batch_format="pyarrow",
+                          **remote_kwargs())
+        .groupby("bucket")
+        .map_groups(min_hop, batch_format="pyarrow", **remote_kwargs())
+        .map_batches(
+            lambda t: retype_block(
+                t,
+                {"doc_id": ("doc_id", pa.int64()),
+                 "hop": ("hop", pa.int64())},
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+        .to_pandas()
+    )
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df[["doc_id", "hop"]], preserve_index=False)
+
+
+def _frontier_sql() -> str:
+    hops = ["SELECT doc_id, 0 AS hop FROM seeds"]
+    prev = "seeds"
+    ctes = []
+    for h in range(1, FRONTIER_HOPS + 1):
+        ctes.append(f"""
+h{h} AS (
+  SELECT DISTINCT (e.dst) AS doc_id
+  FROM edges e JOIN {prev} ON e.src = {prev}.doc_id)""")
+        hops.append(f"SELECT doc_id, {h} AS hop FROM h{h}")
+        prev = f"h{h}"
+    return f"""
+WITH nodes AS (
+  SELECT doc_id, 1 + doc_id % 3 AS outdeg FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         (doc_id * 7 + r.range + 1) % (SELECT count(*) FROM documents) AS dst
+  FROM nodes CROSS JOIN range(3) r WHERE r.range < outdeg),
+seeds AS (
+  SELECT doc_id FROM documents WHERE doc_id % {FRONTIER_SEED_MOD} = 0),{",".join(ctes)}
+SELECT doc_id, CAST(min(hop) AS BIGINT) AS hop
+FROM ({" UNION ALL ".join(hops)})
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register("web_crawl_frontier", q_crawl_frontier, _frontier_sql())

@@ -156,3 +156,54 @@ def test_pagerank_planted_matches_scalar_reference(ray_session, tmp_path):
     )
     exp = _canon(con.execute(e.oracle_sql()["web_pagerank"]).df())
     pd.testing.assert_frame_equal(_canon(got), exp, check_dtype=False)
+
+
+def test_crawl_frontier_planted_matches_scalar_bfs(ray_session, tmp_path):
+    """9-node graph, seed = node 0: the distributed 2-hop frontier must
+    equal a scalar BFS (min hop per reached node), and the SQL mirror must
+    agree row for row."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from tests.test_entry_queries import _canon, _to_df
+
+    n = 9
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(n)), pa.int64()),
+            "text": pa.array(["t"] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "n_chars": pa.array([1] * n, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "documents.parquet"))
+
+    # scalar BFS reference over the functional edge rule
+    hops = {0: 0}
+    frontier = [0]
+    for h in (1, 2):
+        nxt = []
+        for i in frontier:
+            for j in range(1 + i % 3):
+                d = (i * 7 + j + 1) % n
+                if d not in hops:
+                    hops[d] = h
+                    nxt.append(d)
+                elif hops[d] > h:
+                    hops[d] = h
+        frontier = nxt
+    import __ray_entry__ as e
+
+    got = _to_df(e.queries()["web_crawl_frontier"](str(tmp_path)))
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert dict(zip(got["doc_id"], got["hop"])) == hops
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp_path, 'documents.parquet')}')"
+    )
+    exp = _canon(con.execute(e.oracle_sql()["web_crawl_frontier"]).df())
+    pd.testing.assert_frame_equal(_canon(got), exp, check_dtype=False)
