@@ -32,7 +32,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from .entry_queries import register
+from .entry_queries import register, register_lazy_sql
 from ..rayenv import remote_kwargs
 
 #: percentiles reported by every quantile query (integer percents)
@@ -695,3 +695,80 @@ ORDER BY 1
 """
 
 register("events_value_mad", q_events_value_mad, _MAD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# session-duration percentiles — the product-analytics composition: the
+# sort+segment sessionization fold (eventops) feeds the bounded-
+# distribution quantile engine. Durations are already integer micros, so
+# the distribution cells are exact; the single global key makes the final
+# selection one group (guarded by QUANTILE_MAX_GROUP like every exact
+# quantile). Only distinct (duration, cnt) cells ever shuffle.
+# ---------------------------------------------------------------------------
+
+
+def q_session_duration_quantiles(sf_dir: str):
+    """One row: n sessions + p25/50/75/90/99 of session duration in
+    seconds (6dp), composed from events_sessionization."""
+    from . import eventops as _ev
+
+    def partials(batch: pa.Table) -> pa.Table:
+        dur = (
+            batch.column("end_us").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            - batch.column("start_us").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        key = np.full(len(dur), "all", dtype=object)
+        return _dist_partials(key, dur, "k")
+
+    sessions = _ev.q_sessionization(sf_dir)
+    df = _grouped_quantiles(sessions, partials, "k")
+    if isinstance(df, pa.Table):  # empty-input sentinel from the helper
+        cols = {"n": pa.array([], pa.int64())}
+        for p in PCTS:
+            cols[f"p{p}"] = pa.array([], pa.float64())
+        return pa.table(cols)
+    for p in PCTS:
+        df[f"p{p}"] = (df[f"p{p}"] / 1_000_000.0).round(6)
+    return pa.Table.from_pandas(
+        df[["n"] + [f"p{p}" for p in PCTS]], preserve_index=False
+    )
+
+
+def _session_q_sql() -> str:
+    from .eventops import SESSION_GAP_US
+
+    pct_cols = ",\n       ".join(
+        f"round(max(CASE WHEN rk = ((n.nn - 1) * {p}) // 100 "
+        f"THEN d.dur END) / 1000000.0, 6) AS p{p}" for p in PCTS
+    )
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o),
+dur AS (
+  SELECT epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+  FROM s GROUP BY user_id, sid),
+d AS (SELECT dur, row_number() OVER (ORDER BY dur) - 1 AS rk FROM dur),
+n AS (SELECT count(*) AS nn FROM dur)
+SELECT n.nn AS n,
+       {pct_cols}
+FROM d, n GROUP BY 1
+"""
+
+
+register("events_session_duration_quantiles", q_session_duration_quantiles)
+# SQL composes eventops' SESSION_GAP_US -> deferred (worker-side direct
+# imports re-enter entry_queries while eventops is mid-init; see the
+# LAZY_ORACLE_SQL note in entry_queries.py)
+register_lazy_sql("events_session_duration_quantiles", _session_q_sql)

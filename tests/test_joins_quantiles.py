@@ -619,3 +619,52 @@ def test_mad_planted_exact(ray_session, tmp_path):
     assert len(got) == 1
     row = got.iloc[0]
     assert row["n"] == 5 and row["median"] == 3.0 and row["mad"] == 1.0
+
+
+def test_session_duration_quantiles_planted(ray_session, tmp_path):
+    """Two users, three sessions with durations 0s, 10s, 100s (gaps beyond
+    SESSION_GAP_US split sessions): median = 10s, p99 = 100s, n = 3."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from otelcol_con_spaneventtolog_ray.functions.eventops import (
+        SESSION_GAP_US,
+    )
+
+    gap = (SESSION_GAP_US + 1_000_000) // 1_000_000  # seconds past the gap
+    rows = [
+        # u1 session A: 2 events 10 s apart
+        (1, 0, 1), (2, 10, 1),
+        # u1 session B after the gap: single event -> duration 0
+        (3, 10 + gap, 1),
+        # u2 one session: 2 events 100 s apart
+        (4, 0, 2), (5, 100, 2),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([pd.Timestamp(r[1], unit="s") for r in rows],
+                           pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array(["e"] * len(rows), pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(tmp_path, "events.parquet"))
+    import __ray_entry__ as e
+
+    from tests.test_entry_queries import _to_df
+
+    got = _to_df(e.queries()["events_session_duration_quantiles"](
+        str(tmp_path)
+    ))
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["n"] == 3
+    # lower-order-statistic rank contract: ((n-1)*p)//100 -> indices
+    # p25->0, p50->1, p99->1 for n=3 (p99 only reaches the max for n>=100)
+    assert row["p25"] == 0.0 and row["p50"] == 10.0 and row["p99"] == 10.0
