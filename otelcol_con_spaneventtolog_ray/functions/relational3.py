@@ -224,3 +224,156 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 register("rel_profit_by_nation_year", q_profit_by_nation_year, _Q9_SQL)
+
+
+# ---------------------------------------------------------------------------
+# order-to-ship latency percentiles per order priority — the cross-family
+# composition: the Q12-style fact-fact orderkey hash join feeds the
+# bounded-distribution quantile engine. Lineitem pre-reduces to (orderkey,
+# ship-day, cnt) per block (same-day ships within an order collapse before
+# the exchange); post-join rows pre-reduce again to (priority, latency-days,
+# cnt) cells, so the quantile fold only ever sees distinct cells. Latency
+# is exact integer days on both engines (epoch_us // day).
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def q_ship_latency_quantiles(sf_dir: str):
+    """Per-priority percentiles of (ship day - order day): one row per
+    o_orderpriority with n and p25/50/75/90/99 in whole days."""
+    import ray
+    import ray.data
+
+    from . import quantiles as _q
+
+    def li_side(batch: pa.Table) -> pa.Table:
+        ok = (
+            batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        day = (
+            batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US
+        )
+        (gok, gd), gv, cnt = _r2._group_sum_int(
+            [ok, day], {}
+        )
+        return pa.table(
+            {"l_orderkey": pa.array(gok, pa.int64()),
+             "ship_day": pa.array(gd, pa.int64()),
+             "cnt": pa.array(cnt, pa.int64())}
+        )
+
+    def o_side(batch: pa.Table) -> pa.Table:
+        ok = (
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        day = (
+            batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64) // _DAY_US
+        )
+        pri = batch.column("o_orderpriority")
+        return pa.table(
+            {"l_orderkey": pa.array(ok, pa.int64()),
+             "order_day": pa.array(day, pa.int64()),
+             "pri": pri}
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+        li_side, batch_format="pyarrow", **remote_kwargs()
+    )
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(o_side, batch_format="pyarrow", **remote_kwargs())
+    sent = _q3_join_sentinels(_r2.R2_JOIN_PARTITIONS)
+    li = li.union(ray.data.from_arrow(pa.table(
+        {"l_orderkey": pa.array(sent, pa.int64()),
+         "ship_day": pa.array([0] * len(sent), pa.int64()),
+         "cnt": pa.array([0] * len(sent), pa.int64())}
+    )))
+    orders = orders.union(ray.data.from_arrow(pa.table(
+        {"l_orderkey": pa.array(sent, pa.int64()),
+         "order_day": pa.array([0] * len(sent), pa.int64()),
+         "pri": pa.array(["\x00"] * len(sent), pa.string())}
+    )))
+    joined = li.join(
+        orders, join_type="inner", num_partitions=_r2.R2_JOIN_PARTITIONS,
+        on=("l_orderkey",),
+    )
+
+    def lat_partials(batch: pa.Table) -> pa.Table:
+        cnt = (
+            batch.column("cnt").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keep = cnt > 0  # sentinel rows out
+        if not keep.any():
+            return pa.table(
+                {"pri": pa.array([], pa.string()),
+                 "v": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        lat = (
+            batch.column("ship_day").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            - batch.column("order_day").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )[keep]
+        pri = (
+            batch.column("pri").to_numpy(zero_copy_only=False)
+            .astype(str)[keep]
+        )
+        c = cnt[keep]
+        # weighted distinct-cell pre-reduce (same cells the fold sums)
+        order = np.lexsort((lat, pri))
+        p_s, l_s, c_s = pri[order], lat[order], c[order]
+        boundary = (p_s[1:] != p_s[:-1]) | (l_s[1:] != l_s[:-1])
+        first = np.flatnonzero(np.concatenate([[True], boundary]))
+        return pa.table(
+            {"pri": pa.array(p_s[first], pa.string()),
+             "v": pa.array(l_s[first], pa.int64()),
+             "cnt": pa.array(np.add.reduceat(c_s, first), pa.int64())}
+        )
+
+    df = _q._grouped_quantiles(joined, lat_partials, "pri")
+    if isinstance(df, pa.Table):  # empty-input sentinel
+        cols = {"pri": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64())}
+        for p in _q.PCTS:
+            cols[f"p{p}"] = pa.array([], pa.int64())
+        return pa.table(cols)
+    return pa.Table.from_pandas(
+        df[["pri", "n"] + [f"p{p}" for p in _q.PCTS]], preserve_index=False
+    )
+
+
+def _ship_latency_sql() -> str:
+    from . import quantiles as _q
+
+    pct_cols = ",\n       ".join(
+        f"max(CASE WHEN r.rk = ((n.n - 1) * {p}) // 100 "
+        f"THEN r.lat END) AS p{p}" for p in _q.PCTS
+    )
+    return f"""
+WITH j AS (
+  SELECT o.o_orderpriority AS pri,
+         epoch_us(l.l_shipdate) // {_DAY_US}
+           - epoch_us(o.o_orderdate) // {_DAY_US} AS lat
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+r AS (SELECT pri, lat,
+             row_number() OVER (PARTITION BY pri ORDER BY lat) - 1 AS rk
+      FROM j),
+n AS (SELECT pri, count(*) AS n FROM j GROUP BY 1)
+SELECT r.pri, max(n.n) AS n,
+       {pct_cols}
+FROM r JOIN n USING (pri)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+register("rel_ship_latency_quantiles", q_ship_latency_quantiles)
+from .entry_queries import register_lazy_sql  # noqa: E402
+
+register_lazy_sql("rel_ship_latency_quantiles", _ship_latency_sql)

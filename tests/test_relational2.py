@@ -490,3 +490,52 @@ def test_q2_argmin_encoding_bound_fails_fast(ray_session, tmp_path):
     )
     with _pytest.raises(Exception, match="argmin encoding bound"):
         e.queries()["rel_cheapest_supplier"](sf)
+
+
+def test_ship_latency_quantiles_planted(ray_session, tmp_path):
+    """One URGENT order with lineitem latencies [1, 1, 5] days (two
+    same-day ships collapse in the combiner but each still counts), one
+    LOW order with latency [10]: n and the lower-order-statistic
+    percentiles must match the SQL mirror and hand values."""
+    import pyarrow as pa
+
+    base = np.datetime64("1995-01-01", "us")
+    day = np.timedelta64(86_400_000_000, "us")
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O", "O"], pa.string()),
+            "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+            "o_orderdate": pa.array([base, base], pa.timestamp("us")),
+            "o_orderpriority": pa.array(["1-URGENT", "5-LOW"], pa.string()),
+        }
+    )
+    li_rows = [(1, 1), (1, 1), (1, 5), (2, 10)]
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in li_rows], pa.int64()),
+            "l_partkey": pa.array([1] * 4, pa.int64()),
+            "l_suppkey": pa.array([1] * 4, pa.int64()),
+            "l_linenumber": pa.array([1, 2, 3, 1], pa.int32()),
+            "l_quantity": pa.array([1.0] * 4, pa.float64()),
+            "l_extendedprice": pa.array([1.0] * 4, pa.float64()),
+            "l_discount": pa.array([0.0] * 4, pa.float64()),
+            "l_tax": pa.array([0.0] * 4, pa.float64()),
+            "l_returnflag": pa.array(["N"] * 4, pa.string()),
+            "l_linestatus": pa.array(["O"] * 4, pa.string()),
+            "l_shipdate": pa.array(
+                [base + r[1] * day for r in li_rows], pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(tmp_path, "lineitem.parquet"))
+    got = _parity(str(tmp_path), "rel_ship_latency_quantiles")
+    got = got.set_index("pri")
+    urgent = got.loc["1-URGENT"]
+    assert urgent["n"] == 3
+    assert urgent["p25"] == 1 and urgent["p50"] == 1 and urgent["p99"] == 1
+    assert urgent["p75"] == 1  # index (2*75)//100 = 1 -> still 1
+    low = got.loc["5-LOW"]
+    assert low["n"] == 1 and low["p50"] == 10

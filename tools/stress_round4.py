@@ -152,6 +152,7 @@ def main() -> None:
         ("rel_late_sole_supplier_10x", R2.q_late_sole_supplier),
         ("rel_cheapest_supplier_10x", R2.q_cheapest_supplier),
         ("rel_profit_by_nation_year_10x", R3.q_profit_by_nation_year),
+        ("rel_ship_latency_quantiles_10x", R3.q_ship_latency_quantiles),
     ):
         t0 = time.perf_counter()
         res = fn(tp_dir)
