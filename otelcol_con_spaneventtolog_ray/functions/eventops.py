@@ -1701,3 +1701,112 @@ FROM d ORDER BY day_us
 """
 
 register("events_new_users_daily", q_new_users_daily, _NEW_USERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# power-user concentration (Pareto report): how much of the event volume
+# the top ~1% of users generate. Exact from the count-of-counts histogram
+# (the dedup_group_stats pattern): per-user counts fold once (the only big
+# exchange, (user, cnt) combiner rows), then per-block count-of-counts
+# partials fold on the driver (|blocks| x |distinct counts|, bounded). The
+# cutoff is the K-th largest per-user count (K = ceil(1% of users)); ALL
+# users tied at the cutoff are included — the inclusive-tie rule every
+# histogram-derived order statistic in this repo uses, mirrored in SQL.
+# ---------------------------------------------------------------------------
+
+PARETO_PCT = 1  # "top 1%"
+
+
+def _user_count_partials(batch: pa.Table) -> pa.Table:
+    uid = (
+        batch.column("user_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    u, c = np.unique(uid, return_counts=True)
+    return pa.table(
+        {"user_id": pa.array(u, pa.int64()),
+         "n": pa.array(c.astype(np.int64), pa.int64())}
+    )
+
+
+def _count_hist_partials(batch: pa.Table) -> pa.Table:
+    n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    c, k = np.unique(n, return_counts=True)
+    return pa.table(
+        {"cnt": pa.array(c, pa.int64()),
+         "users": pa.array(k.astype(np.int64), pa.int64())}
+    )
+
+
+def q_power_users_pareto(sf_dir: str):
+    """One row: (n_users, n_events, k_target, cutoff, top_users,
+    top_events, top_share) — the top-1% concentration report."""
+    from ray.data.aggregate import Sum
+
+    hist = (
+        _events(sf_dir, ["user_id"])
+        .map_batches(_user_count_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(_count_hist_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .to_pandas()
+    )
+    hist = (
+        hist.groupby("cnt", as_index=False)["users"].sum()
+        .sort_values("cnt", ascending=False).reset_index(drop=True)
+    )
+    n_users = int(hist["users"].sum())
+    n_events = int((hist["cnt"] * hist["users"]).sum())
+    if n_users == 0:
+        return pa.table(
+            {"n_users": pa.array([], pa.int64()),
+             "n_events": pa.array([], pa.int64()),
+             "k_target": pa.array([], pa.int64()),
+             "cutoff": pa.array([], pa.int64()),
+             "top_users": pa.array([], pa.int64()),
+             "top_events": pa.array([], pa.int64()),
+             "top_share": pa.array([], pa.float64())}
+        )
+    # ceil via positive-operand integer division (DuckDB's // truncates
+    # toward zero, so the -(-x//y) idiom diverges between engines)
+    k = (n_users * PARETO_PCT + 99) // 100
+    cum_users = hist["users"].cumsum()
+    i = int(np.searchsorted(cum_users.to_numpy(), k, side="left"))
+    cutoff = int(hist.loc[i, "cnt"])
+    top = hist[hist["cnt"] >= cutoff]
+    top_users = int(top["users"].sum())
+    top_events = int((top["cnt"] * top["users"]).sum())
+    return pa.table(
+        {"n_users": pa.array([n_users], pa.int64()),
+         "n_events": pa.array([n_events], pa.int64()),
+         "k_target": pa.array([int(k)], pa.int64()),
+         "cutoff": pa.array([cutoff], pa.int64()),
+         "top_users": pa.array([top_users], pa.int64()),
+         "top_events": pa.array([top_events], pa.int64()),
+         "top_share": pa.array(
+             [round(top_events / n_events, 6)], pa.float64()
+         )}
+    )
+
+
+_PARETO_SQL = f"""
+WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+tot AS (SELECT count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events
+        FROM u),
+k AS (SELECT CAST((n_users * {PARETO_PCT} + 99) // 100 AS BIGINT) AS k
+      FROM tot),
+r AS (SELECT n, row_number() OVER (ORDER BY n DESC) AS rk FROM u),
+c AS (SELECT max(CASE WHEN rk = (SELECT k FROM k) THEN n END) AS cutoff
+      FROM r),
+top AS (SELECT count(*) AS top_users, CAST(sum(n) AS BIGINT) AS top_events
+        FROM u WHERE n >= (SELECT cutoff FROM c))
+SELECT tot.n_users, tot.n_events, k.k AS k_target,
+       CAST(c.cutoff AS BIGINT) AS cutoff,
+       top.top_users, top.top_events,
+       round(top.top_events / CAST(tot.n_events AS DOUBLE), 6) AS top_share
+FROM tot, k, c, top
+"""
+
+register("events_power_users_pareto", q_power_users_pareto, _PARETO_SQL)

@@ -1513,3 +1513,38 @@ def test_unigram_entropy_planted(ray_session, tmp_path):
     assert got.loc[1, "entropy"] == 0.0
     assert abs(got.loc[2, "entropy"] - round(math.log(2), 6)) < 1e-9
     assert list(got["n_tokens"]) == [4, 4, 4]
+
+
+def test_power_users_pareto_planted(ray_session, tmp_path):
+    """10 users: one with 91 events, nine with 1 each. K = ceil(10%... with
+    PARETO_PCT=1, ceil(10*1/100) = 1 -> cutoff = 91, top 1 user holds 91%
+    of events. Tie inclusivity: duplicate the heavy count and BOTH heavy
+    users must be included even though K=1."""
+    day_us = 1_000_000
+    rows = []
+    eid = 0
+    for u in range(10):
+        n = 91 if u == 0 else 1
+        for i in range(n):
+            rows.append((eid, eid * day_us, u, "e"))
+            eid += 1
+    sf = _write_events(tmp_path, [(e, pd.Timestamp(t, unit="us"), u, ty)
+                                  for e, t, u, ty in rows])
+    got = _sql_parity(sf, "events_power_users_pareto")
+    row = got.iloc[0]
+    assert row["n_users"] == 10 and row["n_events"] == 100
+    assert row["k_target"] == 1 and row["cutoff"] == 91
+    assert row["top_users"] == 1 and row["top_events"] == 91
+    assert row["top_share"] == 0.91
+
+    # tie at the cutoff: two users at 91 -> inclusive rule takes both
+    rows2 = list(rows)
+    for i in range(90):
+        rows2.append((eid, eid * day_us, 1, "e"))
+        eid += 1
+    sf2 = _write_events(tmp_path, [(e, pd.Timestamp(t, unit="us"), u, ty)
+                                   for e, t, u, ty in rows2])
+    got2 = _sql_parity(sf2, "events_power_users_pareto")
+    row2 = got2.iloc[0]
+    assert row2["k_target"] == 1 and row2["cutoff"] == 91
+    assert row2["top_users"] == 2 and row2["top_events"] == 182
