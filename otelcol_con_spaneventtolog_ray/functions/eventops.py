@@ -160,8 +160,10 @@ def q_sessionization(sf_dir: str):
     )
 
 
-_SESSION_SQL = f"""
-WITH o AS (
+#: the o/s sessionization CTE prefix — ONE definition of the break/window
+#: rule, shared by _SESSION_SQL and quantiles._session_q_sql so the two
+#: gated mirrors cannot silently diverge
+SESSION_CTES = f"""o AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
@@ -171,7 +173,10 @@ s AS (
   SELECT user_id, ts,
          sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS sid
-  FROM o)
+  FROM o)"""
+
+_SESSION_SQL = f"""
+WITH {SESSION_CTES}
 SELECT user_id, CAST(sid AS BIGINT) AS session_id, count(*) AS n_events,
        epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
 FROM s GROUP BY 1, 2
@@ -1638,6 +1643,11 @@ def _first_seen_partials(batch: pa.Table) -> pa.Table:
         batch.column("user_id").to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
+    if len(uid) == 0:
+        return pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "day_us": pa.array([], pa.int64())}
+        )
     ts = batch.column("ts").to_numpy(zero_copy_only=False)
     day_us = (ts.astype("datetime64[us]").astype(np.int64)
               // _DAY_US) * _DAY_US
@@ -1651,6 +1661,10 @@ def _first_seen_partials(batch: pa.Table) -> pa.Table:
 
 
 def _day_count_partials(batch: pa.Table) -> pa.Table:
+    from .blockutil import retype_block
+
+    # aggregate output: sparse shuffle partitions arrive SCHEMA-LESS
+    batch = retype_block(batch, {"day_us": ("day_us", pa.int64())})
     d = batch.column("day_us").to_numpy(zero_copy_only=False).astype(np.int64)
     u, c = np.unique(d, return_counts=True)
     return pa.table(
@@ -1678,6 +1692,12 @@ def q_new_users_daily(sf_dir: str):
                      **remote_kwargs())
         .to_pandas()
     )
+    if len(df) == 0:  # zero-block dataset -> column-less empty frame
+        return pa.table(
+            {"day_us": pa.array([], pa.int64()),
+             "new_users": pa.array([], pa.int64()),
+             "cum_users": pa.array([], pa.int64())}
+        )
     df = (
         df.groupby("day_us", as_index=False)["new_users"].sum()
         .sort_values("day_us").reset_index(drop=True)
@@ -1730,6 +1750,10 @@ def _user_count_partials(batch: pa.Table) -> pa.Table:
 
 
 def _count_hist_partials(batch: pa.Table) -> pa.Table:
+    from .blockutil import retype_block
+
+    # aggregate output: sparse shuffle partitions arrive SCHEMA-LESS
+    batch = retype_block(batch, {"n": ("n", pa.int64())})
     n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
     c, k = np.unique(n, return_counts=True)
     return pa.table(
@@ -1753,6 +1777,8 @@ def q_power_users_pareto(sf_dir: str):
                      **remote_kwargs())
         .to_pandas()
     )
+    if len(hist) == 0:  # zero-block dataset -> column-less empty frame
+        hist = pd.DataFrame({"cnt": [], "users": []})
     hist = (
         hist.groupby("cnt", as_index=False)["users"].sum()
         .sort_values("cnt", ascending=False).reset_index(drop=True)
@@ -1807,6 +1833,7 @@ SELECT tot.n_users, tot.n_events, k.k AS k_target,
        top.top_users, top.top_events,
        round(top.top_events / CAST(tot.n_events AS DOUBLE), 6) AS top_share
 FROM tot, k, c, top
+WHERE tot.n_users > 0
 """
 
 register("events_power_users_pareto", q_power_users_pareto, _PARETO_SQL)

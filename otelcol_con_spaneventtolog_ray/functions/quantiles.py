@@ -737,25 +737,14 @@ def q_session_duration_quantiles(sf_dir: str):
 
 
 def _session_q_sql() -> str:
-    from .eventops import SESSION_GAP_US
+    from .eventops import SESSION_CTES
 
     pct_cols = ",\n       ".join(
         f"round(max(CASE WHEN rk = ((n.nn - 1) * {p}) // 100 "
         f"THEN d.dur END) / 1000000.0, 6) AS p{p}" for p in PCTS
     )
     return f"""
-WITH o AS (
-  SELECT user_id, ts, event_id,
-         CASE WHEN lag(ts) OVER w IS NULL
-                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                      > {SESSION_GAP_US}
-              THEN 1 ELSE 0 END AS brk
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-s AS (
-  SELECT user_id, ts,
-         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) AS sid
-  FROM o),
+WITH {SESSION_CTES},
 dur AS (
   SELECT epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
   FROM s GROUP BY user_id, sid),

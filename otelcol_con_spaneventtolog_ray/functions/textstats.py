@@ -1616,6 +1616,10 @@ def q_bm25_topk(sf_dir: str):
         .aggregate(Sum("df", alias_name="df"))
         .to_pandas()
     )
+    if len(stats) == 0:  # zero-block dataset -> column-less empty frame
+        import pandas as pd
+
+        stats = pd.DataFrame({"term": [], "df": []})
     df_of = dict(zip(stats["term"], stats["df"]))
     total_tokens = int(df_of.pop("\x00tokens", 0))
     avgdl = total_tokens / n_docs if n_docs else 1.0
@@ -1676,6 +1680,12 @@ def q_bm25_topk(sf_dir: str):
         .map_batches(score_block, batch_format="pyarrow", **remote_kwargs())
         .to_pandas()
     )
+    if len(parts) == 0:  # zero-block dataset -> column-less empty frame
+        return pa.table(
+            {"rank": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
     parts = parts.sort_values(
         ["score", "doc_id"], ascending=[False, True], kind="stable"
     ).head(BM25_TOPK).reset_index(drop=True)
@@ -1773,6 +1783,12 @@ def q_unigram_entropy(sf_dir: str):
         .map_batches(entropy_block, batch_format="pyarrow", **remote_kwargs())
         .to_pandas()
     )
+    if len(df) == 0:  # zero-block dataset -> column-less empty frame
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "entropy": pa.array([], pa.float64())}
+        )
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(
         df[["doc_id", "n_tokens", "entropy"]], preserve_index=False

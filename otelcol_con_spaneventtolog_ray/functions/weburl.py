@@ -133,6 +133,12 @@ def q_url_dedup(sf_dir: str):
         )
         .to_pandas()
     )
+    if len(df) == 0:  # zero-block dataset -> column-less empty frame
+        return pa.table(
+            {"canonical_url": pa.array([], pa.string()),
+             "keep_doc_id": pa.array([], pa.int64()),
+             "n_variants": pa.array([], pa.int64())}
+        )
     df = df.sort_values("canonical_url").reset_index(drop=True)
     return pa.Table.from_pandas(
         df[["canonical_url", "keep_doc_id", "n_variants"]],
@@ -261,6 +267,13 @@ def q_domain_stats(sf_dir: str):
     )
 
     def lang_rows(t: pa.Table) -> pa.Table:
+        # aggregate output: sparse shuffle partitions arrive SCHEMA-LESS
+        t = retype_block(
+            t,
+            {"host": ("host", pa.string()),
+             "docs": ("docs", pa.int64()),
+             "tokens": ("tokens", pa.int64())},
+        )
         return pa.table(
             {"host": t.column("host"),
              "docs": t.column("docs"),
@@ -287,6 +300,13 @@ def q_domain_stats(sf_dir: str):
         )
         .to_pandas()
     )
+    if len(df) == 0:  # zero-block dataset -> column-less empty frame
+        return pa.table(
+            {"host": pa.array([], pa.string()),
+             "n_docs": pa.array([], pa.int64()),
+             "n_tokens": pa.array([], pa.int64()),
+             "n_langs": pa.array([], pa.int64())}
+        )
     df = df.sort_values("host").reset_index(drop=True)
     return pa.Table.from_pandas(
         df[["host", "n_docs", "n_tokens", "n_langs"]], preserve_index=False
@@ -354,6 +374,12 @@ def _pr_scatter(batch: pa.Table, n_nodes: int) -> pa.Table:
         batch.column("rank").to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
+    if len(ids) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "contrib": pa.array([], pa.int64()),
+             "bucket": pa.array([], pa.int64())}
+        )
     outdeg = 1 + ids % 3
     contrib = rank // outdeg
     dsts, vals = [ids], [np.zeros(len(ids), np.int64)]
@@ -391,6 +417,7 @@ def q_pagerank(sf_dir: str):
 
     path = os.path.join(sf_dir, "documents.parquet")
     n_nodes = file_num_rows(path)  # footers only (file OR dir-of-parts)
+    _assert_contiguous_ids(path, n_nodes, "web_pagerank")
 
     def init_rank(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")
@@ -443,6 +470,11 @@ def q_pagerank(sf_dir: str):
         )
         .to_pandas()
     )
+    if len(df) == 0:  # zero-block dataset -> column-less empty frame
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "rank_micro": pa.array([], pa.int64())}
+        )
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(
         df[["doc_id", "rank_micro"]], preserve_index=False
@@ -490,6 +522,25 @@ register("web_pagerank", q_pagerank, _pagerank_sql())
 # are two int64s; no visited-set broadcast, no driver-side state.
 # ---------------------------------------------------------------------------
 
+def _assert_contiguous_ids(path: str, n_nodes: int, op: str) -> None:
+    """The arithmetic link graph is defined over doc_ids 0..N-1. Fail fast
+    from footer statistics (no data read) when the corpus has gaps or an
+    offset — otherwise the Ray scatter would route contributions to
+    phantom ids while the SQL mirror (which joins back to `documents`)
+    would not, and the hash gate would catch it only downstream."""
+    if n_nodes == 0:
+        return
+    from ..parquet_stats import column_stats_bounds
+
+    lo, hi = column_stats_bounds(path, "doc_id")
+    if int(lo) != 0 or int(hi) != n_nodes - 1:
+        raise ValueError(
+            f"{op} requires contiguous doc_ids 0..N-1 (footer stats show"
+            f" min={int(lo)}, max={int(hi)}, N={n_nodes}); re-index or map"
+            " ids before building the arithmetic link graph"
+        )
+
+
 FRONTIER_HOPS = 2
 FRONTIER_SEED_MOD = 97  # seeds: doc_id % 97 == 0 (~1% of the corpus)
 
@@ -524,6 +575,7 @@ def q_crawl_frontier(sf_dir: str):
 
     path = os.path.join(sf_dir, "documents.parquet")
     n_nodes = file_num_rows(path)
+    _assert_contiguous_ids(path, n_nodes, "web_crawl_frontier")
 
     def seed_rows(batch: pa.Table) -> pa.Table:
         ids = (
@@ -561,6 +613,11 @@ def q_crawl_frontier(sf_dir: str):
     def min_hop(t: pa.Table) -> pa.Table:
         d = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         h = t.column("hop").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "hop": pa.array([], pa.int64())}
+            )
         order = np.lexsort((h, d))
         d, h = d[order], h[order]
         first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
@@ -584,6 +641,11 @@ def q_crawl_frontier(sf_dir: str):
         )
         .to_pandas()
     )
+    if len(df) == 0:  # zero-block dataset -> column-less empty frame
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "hop": pa.array([], pa.int64())}
+        )
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df[["doc_id", "hop"]], preserve_index=False)
 

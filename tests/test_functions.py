@@ -1084,7 +1084,9 @@ def test_document_queries_handle_empty_corpus(ray_session, tmp_path):
     pq.write_table(
         pa.table({"doc_id": pa.array([], pa.int64()),
                   "text": pa.array([], pa.string()),
-                  "lang": pa.array([], pa.string())}),
+                  "lang": pa.array([], pa.string()),
+                  "source": pa.array([], pa.string()),
+                  "n_chars": pa.array([], pa.int64())}),
         str(d / "documents.parquet"),
     )
     qs = e.queries()
@@ -1097,7 +1099,10 @@ def test_document_queries_handle_empty_corpus(ray_session, tmp_path):
                  "dedup_simhash", "dedup_simhash_near_dups",
                  "corpus_clean_keep", "multimodal_features",
                  "multimodal_resize", "multimodal_frame_sample",
-                 "multimodal_audio_energy"]:
+                 "multimodal_audio_energy",
+                 "web_domain_stats", "web_pagerank", "web_crawl_frontier",
+                 "web_url_dedup", "text_bm25_topk", "text_unigram_entropy",
+                 "corpus_temperature_mixture"]:
         out = qs[name](str(d))
         out = _to_df(out)
         assert len(out) == 0, name
@@ -1799,3 +1804,29 @@ def test_training_chunks_composition(ray_session):
         ["doc_id", "chunk_idx"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     assert set(got["doc_id"]) <= kept
+
+
+def test_event_queries_handle_empty_events(ray_session, tmp_path):
+    """The new event-table ops degrade to empty results on a zero-row
+    events table (incl. surviving Ray 2.49's schema-less empty aggregate
+    partitions) instead of crashing mid-pipeline."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    pq.write_table(
+        pa.table({"event_id": pa.array([], pa.int64()),
+                  "ts": pa.array([], pa.timestamp("us")),
+                  "user_id": pa.array([], pa.int64()),
+                  "event_type": pa.array([], pa.string()),
+                  "value": pa.array([], pa.float64()),
+                  "props": pa.array([], pa.string())}),
+        os.path.join(tmp_path, "events.parquet"),
+    )
+    qs = e.queries()
+    for name in ["events_new_users_daily", "events_power_users_pareto",
+                 "events_value_mad", "events_session_duration_quantiles"]:
+        out = _to_df(qs[name](str(tmp_path)))
+        assert len(out) == 0, name
