@@ -1810,3 +1810,162 @@ GROUP BY 1, 2 ORDER BY 1
 """
 
 register("text_unigram_entropy", q_unigram_entropy, _ENTROPY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence per source — the distribution-drift monitor
+# (which sources' unigram distributions deviate from the corpus): the
+# standard corpus-QA / domain-shift signal. Distributions live over the
+# shared top-K vocabulary + one OOV cell (the text_lm_score vocab
+# contract), so the cell space is bounded at K+1 regardless of corpus
+# size. ONE (source, cell) combiner exchange; the driver folds
+# |sources| x (K+1) rows (the source_mixture driver-fold precedent, x K+1
+# — fine for catalog-scale source counts, not per-URL "sources").
+# ---------------------------------------------------------------------------
+
+_JSD_OOV = " oov "  # OOV cell label (contains spaces: collides with no
+#: whitespace-split token, and stays a plain SQL string literal)
+
+
+def _jsd_cell_partials(vocab_ref):
+    def _fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        import ray
+
+        vocab, _, _ = ray.get(vocab_ref)
+        flat, parents = _words_flat(batch)
+        if len(parents) == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "cell": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        src = np.where(pd.isna(src), "\x00", src.astype(object))[parents]
+        pos = pc.index_in(flat, value_set=vocab).to_numpy(
+            zero_copy_only=False
+        )
+        cell = np.where(
+            np.isnan(pos),
+            _JSD_OOV,
+            np.asarray(vocab.to_pylist(), dtype=object)[
+                np.nan_to_num(pos).astype(np.int64)
+            ],
+        )
+        key = np.char.add(np.char.add(src.astype(str), "\x01"),
+                          cell.astype(str))
+        u, c = np.unique(key, return_counts=True)
+        parts = np.char.partition(u, "\x01")
+        return pa.table(
+            {"source": pa.array(parts[:, 0].astype(object), pa.string()),
+             "cell": pa.array(parts[:, 2].astype(object), pa.string()),
+             "n": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    return _fn
+
+
+def q_js_divergence_by_source(sf_dir: str):
+    """(source, n_tokens, jsd): Jensen-Shannon divergence (nats, 6dp) of
+    each source's unigram distribution from the whole-corpus distribution,
+    over the top-K vocabulary + OOV cell."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    vocab, vcounts, total = corpus_vocab(sf_dir)
+    if total == 0:
+        return pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_tokens": pa.array([], pa.int64()),
+             "jsd": pa.array([], pa.float64())}
+        )
+    vocab_ref = ray.put((vocab, vcounts, total))
+    df = (
+        _docs(sf_dir, columns=("doc_id", "text", "source"))
+        .map_batches(_jsd_cell_partials(vocab_ref), batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby(["source", "cell"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_tokens": pa.array([], pa.int64()),
+             "jsd": pa.array([], pa.float64())}
+        )
+    cells = sorted(df["cell"].unique())
+    cell_ix = {c: i for i, c in enumerate(cells)}
+    # corpus distribution over the observed cells
+    qcnt = np.zeros(len(cells))
+    for c, n in df.groupby("cell")["n"].sum().items():
+        qcnt[cell_ix[c]] = n
+    qdist = qcnt / qcnt.sum()
+    out_src, out_tok, out_jsd = [], [], []
+    for src, grp in df.groupby("source", dropna=False):
+        pcnt = np.zeros(len(cells))
+        for c, n in zip(grp["cell"], grp["n"]):
+            pcnt[cell_ix[c]] = n
+        stot = pcnt.sum()
+        pdist = pcnt / stot
+        m = (pdist + qdist) / 2.0
+        pm = pdist > 0
+        qm = qdist > 0
+        jsd = 0.5 * float(np.sum(pdist[pm] * np.log(pdist[pm] / m[pm]))) \
+            + 0.5 * float(np.sum(qdist[qm] * np.log(qdist[qm] / m[qm])))
+        out_src.append(None if src == "\x00" else src)
+        out_tok.append(int(stot))
+        out_jsd.append(round(jsd, 6))
+    out = pd.DataFrame(
+        {"source": out_src, "n_tokens": out_tok, "jsd": out_jsd}
+    ).sort_values("source").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["source", "n_tokens", "jsd"]], preserve_index=False
+    )
+
+
+_JSD_SQL = (
+    _VOCAB_CTE
+    + f""",
+w2 AS (
+  SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x != '')) AS token
+  FROM documents),
+sc AS (
+  SELECT w2.source, coalesce(v.token, '{_JSD_OOV}') AS cell,
+         count(*) AS n
+  FROM w2 LEFT JOIN v ON w2.token = v.token
+  GROUP BY 1, 2),
+q AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n FROM sc GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM q),
+stot AS (SELECT source, CAST(sum(n) AS BIGINT) AS st FROM sc GROUP BY 1),
+grid AS (
+  SELECT s.source, q.cell, q.n AS qn, coalesce(sc.n, 0) AS pn
+  FROM (SELECT DISTINCT source FROM sc) s
+  CROSS JOIN q
+  LEFT JOIN sc ON sc.source IS NOT DISTINCT FROM s.source
+              AND sc.cell = q.cell),
+terms AS (
+  SELECT g.source, stot.st,
+         CASE WHEN g.pn > 0 THEN
+           0.5 * (g.pn / CAST(stot.st AS DOUBLE))
+               * ln((g.pn / CAST(stot.st AS DOUBLE))
+                    / ((g.pn / CAST(stot.st AS DOUBLE)
+                        + g.qn / CAST(tot.t AS DOUBLE)) / 2))
+         ELSE 0 END
+         + CASE WHEN g.qn > 0 THEN
+           0.5 * (g.qn / CAST(tot.t AS DOUBLE))
+               * ln((g.qn / CAST(tot.t AS DOUBLE))
+                    / ((g.pn / CAST(stot.st AS DOUBLE)
+                        + g.qn / CAST(tot.t AS DOUBLE)) / 2))
+         ELSE 0 END AS term
+  FROM grid g
+  JOIN stot ON stot.source IS NOT DISTINCT FROM g.source
+  CROSS JOIN tot)
+SELECT source, max(st) AS n_tokens, round(sum(term), 6) AS jsd
+FROM terms GROUP BY 1 ORDER BY 1
+"""
+)
+
+register("text_js_divergence_by_source", q_js_divergence_by_source, _JSD_SQL)

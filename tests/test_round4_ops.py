@@ -1548,3 +1548,26 @@ def test_power_users_pareto_planted(ray_session, tmp_path):
     row2 = got2.iloc[0]
     assert row2["k_target"] == 1 and row2["cutoff"] == 91
     assert row2["top_users"] == 2 and row2["top_events"] == 182
+
+
+def test_js_divergence_planted(ray_session, tmp_path):
+    """Hand-checkable JSD: sources A='x x x x', B='y y y y' -> corpus is
+    50/50, each source diverges by 0.5*ln(4/3) + 0.25*ln(1/3... computed:
+    0.215762 nats (symmetric). A single-source corpus has JSD exactly 0."""
+    import math
+
+    sf = _write_docs_sources(
+        tmp_path, [(0, "x x x x", "A"), (1, "y y y y", "B")]
+    )
+    got = _sql_parity(sf, "text_js_divergence_by_source").set_index("source")
+    p, q = 1.0, 0.5
+    exp = 0.5 * (p * math.log(p / 0.75)) + 0.5 * (
+        0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    )
+    assert abs(got.loc["A", "jsd"] - round(exp, 6)) < 1e-9
+    assert abs(got.loc["B", "jsd"] - round(exp, 6)) < 1e-9
+    assert got.loc["A", "n_tokens"] == 4
+
+    sf2 = _write_docs_sources(tmp_path, [(0, "x y x y", "only")])
+    got2 = _sql_parity(sf2, "text_js_divergence_by_source")
+    assert list(got2["jsd"]) == [0.0]
