@@ -138,7 +138,8 @@ def main() -> None:
                      "text_decontaminate_fuzzy",
                      # closing-session ops (documents-only inputs)
                      "web_domain_stats", "web_pagerank", "text_bm25_topk",
-                     "corpus_temperature_mixture", "text_unigram_entropy", "web_crawl_frontier"):
+                     "corpus_temperature_mixture", "text_unigram_entropy", "web_crawl_frontier",
+                     "text_js_divergence_by_source"):
             t0 = time.monotonic()
             out = qs[name](sf)
             df = out.to_pandas() if hasattr(out, "to_pandas") else out
