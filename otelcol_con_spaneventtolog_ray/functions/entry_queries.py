@@ -50,6 +50,7 @@ from . import (  # noqa: E402,F401
     relational,
     relational2,
     relational3,
+    relational4,
     similarity,
     sketch,
     textstats,

@@ -60,6 +60,7 @@ SQL_CHECKED = [
     "web_domain_stats", "web_pagerank", "text_bm25_topk", "events_new_users_daily", "events_value_mad", "text_unigram_entropy", "web_crawl_frontier", "events_session_duration_quantiles",
     "rel_ship_latency_quantiles", "events_power_users_pareto",
     "text_js_divergence_by_source",
+    "rel_important_parts", "rel_heavy_shippers",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
