@@ -1414,3 +1414,88 @@ FROM documents GROUP BY 1 ORDER BY 1
 
 register("dedup_group_stats", q_dedup_group_stats, _GROUP_STATS_SQL)
 register("dedup_dup_rate_by_source", q_dup_rate_by_source, _DUP_RATE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup — the continuous-crawl op: a newly crawled batch is
+# admitted against the EXISTING corpus without rescoring old-vs-old pairs.
+# Cohorts are deterministic from the table itself (doc_id % INCR_NEW_MOD
+# == 0 is the "new batch"); a new doc survives iff no existing doc has its
+# text AND it is the first (min doc_id) occurrence within the batch.
+#
+# 100-TB shape: ONE scan; each block pre-reduces to at most one
+# (h1, h2, ex_min, new_min) row per distinct hash (np.minimum.reduceat),
+# so the single hash-keyed groupby is the only exchange and it carries
+# 4-int64 rows — never text. No broadcast of the existing-corpus hash set
+# (that alternative is O(corpus) driver memory); the anti-join IS the
+# groupby. Same Min-fold shape as dedup_exact, same NULL/text contract.
+# ---------------------------------------------------------------------------
+
+INCR_NEW_MOD = 10  # doc_id % 10 == 0 -> the newly crawled cohort (~10%)
+_INT64_MAX = np.iinfo(np.int64).max
+
+
+def _incr_partials(batch: pa.Table) -> pa.Table:
+    """Per-block (h1, h2, ex_min, new_min) combiner rows — min existing /
+    min new doc_id per distinct content hash (sentinel INT64_MAX = none)."""
+    h1, h2 = batch_content_hash(batch.column("text"))
+    h1 = h1.view(np.int64)
+    h2 = h2.view(np.int64)
+    did = (
+        batch.column("doc_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    is_new = (did % INCR_NEW_MOD) == 0
+    ex = np.where(is_new, _INT64_MAX, did)
+    nw = np.where(is_new, did, _INT64_MAX)
+    order = np.lexsort((h2, h1))
+    h1s, h2s = h1[order], h2[order]
+    boundary = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+    first = np.flatnonzero(np.concatenate([[True], boundary]))
+    return pa.table(
+        {
+            "h1": pa.array(h1s[first], pa.int64()),
+            "h2": pa.array(h2s[first], pa.int64()),
+            "ex_min": pa.array(
+                np.minimum.reduceat(ex[order], first), pa.int64()
+            ),
+            "new_min": pa.array(
+                np.minimum.reduceat(nw[order], first), pa.int64()
+            ),
+        }
+    )
+
+
+def q_incremental_dedup(sf_dir: str):
+    """doc_ids of new-batch docs that survive incremental dedup against the
+    existing corpus (text unseen among existing docs, first within batch)."""
+    from ray.data.aggregate import Min
+
+    df = (
+        _docs(sf_dir)
+        .map_batches(_incr_partials, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["h1", "h2"])
+        .aggregate(Min("ex_min", alias_name="ex_min"),
+                   Min("new_min", alias_name="new_min"))
+        .to_pandas()
+    )
+    if len(df) == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    ex = df["ex_min"].to_numpy().astype(np.int64)
+    nw = df["new_min"].to_numpy().astype(np.int64)
+    keep = np.sort(nw[(ex == _INT64_MAX) & (nw != _INT64_MAX)])
+    return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+
+_INCR_SQL = f"""
+WITH g AS (
+  SELECT coalesce(text, '') AS t,
+         min(CASE WHEN doc_id % {INCR_NEW_MOD} <> 0 THEN doc_id END) AS ex_min,
+         min(CASE WHEN doc_id % {INCR_NEW_MOD} = 0 THEN doc_id END) AS new_min
+  FROM documents GROUP BY 1)
+SELECT new_min AS doc_id FROM g
+WHERE ex_min IS NULL AND new_min IS NOT NULL
+ORDER BY 1
+"""
+
+register("dedup_incremental", q_incremental_dedup, _INCR_SQL)

@@ -60,7 +60,7 @@ SQL_CHECKED = [
     "web_domain_stats", "web_pagerank", "text_bm25_topk", "events_new_users_daily", "events_value_mad", "text_unigram_entropy", "web_crawl_frontier", "events_session_duration_quantiles",
     "rel_ship_latency_quantiles", "events_power_users_pareto",
     "text_js_divergence_by_source",
-    "rel_important_parts", "rel_heavy_shippers",
+    "rel_important_parts", "rel_heavy_shippers", "dedup_incremental",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
@@ -1832,3 +1832,33 @@ def test_event_queries_handle_empty_events(ray_session, tmp_path):
                  "events_value_mad", "events_session_duration_quantiles"]:
         out = _to_df(qs[name](str(tmp_path)))
         assert len(out) == 0, name
+
+
+def test_incremental_dedup_planted_semantics(ray_session, tmp_path):
+    """New-batch docs (id % 10 == 0): one duplicating an existing text is
+    rejected, two sharing a fresh text keep only the first, a unique text
+    survives; existing docs never appear in the output."""
+    import pyarrow.parquet as pq
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        q_incremental_dedup,
+    )
+
+    ids = [1, 2, 3, 10, 20, 30, 40]
+    texts = [
+        "old alpha", "old beta", "old gamma",
+        "old alpha",            # 10: dup of existing -> dropped
+        "fresh delta", "fresh delta",  # 20 kept, 30 batch-dup -> dropped
+        "fresh epsilon",        # 40: unique -> kept
+    ]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["s"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = q_incremental_dedup(str(d)).to_pylist()
+    assert out == [{"doc_id": 20}, {"doc_id": 40}]
