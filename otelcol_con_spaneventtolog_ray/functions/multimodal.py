@@ -332,3 +332,163 @@ register("multimodal_audio_energy", q_media_audio_energy)  # rows-only
 register("multimodal_features", q_media_features, _MEDIA_SQL)
 register("multimodal_resize", q_media_resize, _RESIZE_SQL)
 register("multimodal_frame_sample", q_media_frames, _FRAMES_SQL)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash (average-hash) near-dup — the image-dedup op web-scale
+# multimodal pipelines run (LAION-style pHash dedup): each opaque payload is
+# reduced to a 64-bit aHash (64 equal byte-blocks; bit k = block-k mean >
+# payload mean), and near-identical payloads are found by the SAME 16-bit
+# chunk-banding + bucketed XOR-popcount verify the SimHash text path uses
+# (pigeonhole: Hamming <= 3 implies one of 4 chunks matches exactly).
+#
+# The hash is fully vectorized over the Arrow buffer: ONE np.add.reduceat
+# over the concatenated payload bytes with per-row block boundaries — no
+# per-payload Python. Payloads shorter than PHASH_MIN_BYTES are dropped
+# (64 blocks need 64 bytes; real thumbnails are KBs), as are constant
+# payloads (hash 0 — the all-dark-image bucket, mirroring the SimHash
+# word-less-doc exclusion so one degenerate bucket can't go quadratic).
+#
+# 100-TB shape: the fan-out exchange carries (chunk_idx, chunk_val, doc_id,
+# simhash) rows — 4 rows x ~26 bytes per payload, never the payload bytes;
+# the verify runs per bucket on the workers under dedup.VERIFY_MAX_GROUP.
+# Rows-only (the blob->block arithmetic has no stable SQL mirror); planted
+# byte-flip fixtures pin recall in tests/test_functions.py.
+# ---------------------------------------------------------------------------
+
+PHASH_MIN_BYTES = 64
+PHASH_HAMMING_MAX = 3
+
+
+def ahash_batch(batch: pa.Table) -> pa.Table:
+    """media table -> (doc_id, simhash, chunk0..chunk3) — 64-bit aHash of
+    each payload, named like the SimHash columns so dedup's banding/verify
+    kernels apply unchanged. Drops short and constant payloads."""
+    pay = batch.column("payload")
+    if isinstance(pay, pa.ChunkedArray):
+        pay = pay.combine_chunks()
+    did = (
+        batch.column("doc_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "simhash": pa.array([], pa.int64()),
+         **{f"chunk{c}": pa.array([], pa.int32()) for c in range(4)}}
+    )
+    if len(pay) == 0:
+        return empty
+    # large_binary buffers: [validity, int64 offsets, data] (attach_payload
+    # builds the array fresh, so offset == 0 and no nulls)
+    offs = np.frombuffer(pay.buffers()[1], np.int64)[: len(pay) + 1]
+    buf = np.frombuffer(pay.buffers()[2], np.uint8)[: offs[-1]]
+    lens = np.diff(offs)
+    keep = lens >= PHASH_MIN_BYTES
+    if not keep.any():
+        return empty
+    did, offs0, lens = did[keep], offs[:-1][keep], lens[keep]
+    n = len(did)
+    # per-row 64 block boundaries: off + (k*len)//64, strictly increasing
+    # within a row because len >= 64
+    k = np.arange(64, dtype=np.int64)
+    bounds = (offs0[:, None] + (k[None, :] * lens[:, None]) // 64).ravel()
+    sums = np.add.reduceat(buf.astype(np.int64), bounds)
+    ends = np.append(bounds[1:], offs0[-1] + lens[-1])
+    counts = ends - bounds
+    # rows are not adjacent in the buffer when short rows were dropped:
+    # fix each row's LAST chunk count to run to the row end
+    counts = counts.reshape(n, 64)
+    counts[:, -1] = lens - (k[-1] * lens) // 64
+    sums = sums.reshape(n, 64)
+    # reduceat over non-adjacent rows overcounts the last chunk (it runs to
+    # the next KEPT row's start); recompute it exactly as row total - rest
+    row_tot = np.add.reduceat(buf.astype(np.int64), np.stack(
+        [offs0, offs0 + lens - 1], axis=1).ravel())[::2] + buf[
+        offs0 + lens - 1].astype(np.int64)
+    sums[:, -1] = row_tot - sums[:, :-1].sum(axis=1)
+    mean_chunk = sums / counts
+    mean_row = (row_tot / lens)[:, None]
+    bits = mean_chunk > mean_row
+    hashes = np.packbits(bits, axis=1).view(">u8").ravel().astype(np.uint64)
+    nz = hashes != 0  # constant payloads -> all-zero hash -> excluded
+    did, hashes = did[nz], hashes[nz]
+    cols = {
+        "doc_id": pa.array(did, pa.int64()),
+        "simhash": pa.array(hashes.view(np.int64), pa.int64()),
+    }
+    for c in range(4):
+        cols[f"chunk{c}"] = pa.array(
+            ((hashes >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+            .astype(np.int32),
+            pa.int32(),
+        )
+    return pa.table(cols)
+
+
+def q_media_phash(sf_dir: str):
+    """(doc_id, phash) — the per-payload 64-bit average-hash. Rows-only."""
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "phash": t.column("simhash")}
+        )
+
+    return (
+        _media_ds(sf_dir)
+        .map_batches(ahash_batch, batch_format="pyarrow",
+                     batch_size=MEDIA_BATCH_SIZE, **remote_kwargs())
+        .map_batches(fmt, batch_format="pyarrow", **remote_kwargs())
+    )
+
+
+def q_media_phash_near_dups(sf_dir: str):
+    """Near-identical payload pairs (aHash Hamming <= PHASH_HAMMING_MAX):
+    chunk-equality buckets -> per-bucket row-blocked XOR-popcount verify —
+    dedup's SimHash kernels over the multimodal hash. Rows-only."""
+    from .dedup import VERIFY_MAX_GROUP, _simhash_verify_group
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        sigs = ahash_batch(batch)
+        parts = []
+        for c in range(4):
+            parts.append(pa.table(
+                {"chunk_idx": pa.array(
+                    np.full(sigs.num_rows, c, dtype=np.int8), pa.int8()),
+                 "chunk_val": sigs.column(f"chunk{c}"),
+                 "doc_id": sigs.column("doc_id"),
+                 "simhash": sigs.column("simhash")}
+            ))
+        return pa.concat_tables(parts)
+
+    cap = VERIFY_MAX_GROUP
+
+    def verify(g: pa.Table) -> pa.Table:
+        out = _simhash_verify_group(g, cap)
+        if out.num_rows == 0:
+            return out
+        ham = out.column("hamming").to_numpy(zero_copy_only=False)
+        return out.filter(pa.array(ham <= PHASH_HAMMING_MAX))
+
+    pairs = (
+        _media_ds(sf_dir)
+        .map_batches(fanout, batch_format="pyarrow",
+                     batch_size=MEDIA_BATCH_SIZE, **remote_kwargs())
+        .groupby(["chunk_idx", "chunk_val"])
+        .map_groups(verify, batch_format="pyarrow", **remote_kwargs())
+    )
+    df = pairs.groupby(["id_a", "id_b"]).min("hamming").to_pandas()
+    if len(df) == 0 or "id_a" not in df.columns:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+    df = df.rename(columns={"min(hamming)": "hamming"})
+    df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["id_a", "id_b", "hamming"]], preserve_index=False
+    )
+
+
+register("multimodal_phash", q_media_phash)  # rows-only
+register("multimodal_phash_near_dups", q_media_phash_near_dups)  # rows-only

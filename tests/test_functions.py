@@ -77,6 +77,7 @@ ROWS_ONLY_RUN = [
     "similarity_pq_rerank", "corpus_training_chunks",
     "sketch_bloom_users", "sketch_cms_top_tokens", "text_bpe_merges",
     "sketch_mg_heavy_users", "text_decontaminate_fuzzy",
+    "multimodal_phash", "multimodal_phash_near_dups",
 ]
 
 
@@ -90,6 +91,10 @@ def test_rows_only_query_runs_nonempty(ray_session, name):
         # the CORRECT result is empty; schema must still be stable (the
         # planted-contamination test in test_fuzzy_decontam.py pins rows)
         assert list(out.columns) == ["doc_id", "bench_doc_id", "jaccard"]
+    elif name == "multimodal_phash_near_dups":
+        # distinct synthetic payloads rarely land within Hamming 3; empty
+        # is correct — recall is pinned by the planted byte-flip fixture
+        assert list(out.columns) == ["id_a", "id_b", "hamming"]
     else:
         assert len(out) > 0, name
 
@@ -1862,3 +1867,36 @@ def test_incremental_dedup_planted_semantics(ray_session, tmp_path):
     pq.write_table(tbl, str(d / "documents.parquet"))
     out = q_incremental_dedup(str(d)).to_pylist()
     assert out == [{"doc_id": 20}, {"doc_id": 40}]
+
+
+def test_phash_near_dups_planted_byte_flips(ray_session, tmp_path):
+    """aHash near-dup recall on planted payloads: an identical copy pairs at
+    Hamming 0, a one-block edit pairs at Hamming 1, and structurally
+    different payloads (Hamming 32) never pair."""
+    import pyarrow.parquet as pq
+    from otelcol_con_spaneventtolog_ray.functions.multimodal import (
+        q_media_phash_near_dups,
+    )
+
+    blk_a, blk_u = "a" * 16, "u" * 16
+    pat_alt = "".join(blk_a if i % 2 == 0 else blk_u for i in range(64))
+    pat_half = blk_a * 32 + blk_u * 32
+    pat_half_edit = blk_a * 5 + blk_u + blk_a * 26 + blk_u * 32
+    ids = [0, 1, 2, 100, 101]
+    texts = [pat_alt, pat_half, "the quick brown fox " * 60,
+             pat_alt, pat_half_edit]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["s"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in q_media_phash_near_dups(str(d)).to_pylist()
+    }
+    assert pairs == {(0, 100): 0, (1, 101): 1}

@@ -139,7 +139,8 @@ def main() -> None:
                      # closing-session ops (documents-only inputs)
                      "web_domain_stats", "web_pagerank", "text_bm25_topk",
                      "corpus_temperature_mixture", "text_unigram_entropy", "web_crawl_frontier",
-                     "text_js_divergence_by_source"):
+                     "text_js_divergence_by_source",
+                     "dedup_incremental"):
             t0 = time.monotonic()
             out = qs[name](sf)
             df = out.to_pandas() if hasattr(out, "to_pandas") else out

@@ -117,6 +117,7 @@ def main() -> None:
     from otelcol_con_spaneventtolog_ray.functions import relational as R
     from otelcol_con_spaneventtolog_ray.functions import relational2 as R2
     from otelcol_con_spaneventtolog_ray.functions import relational3 as R3
+    from otelcol_con_spaneventtolog_ray.functions import relational4 as R4
 
     walls: dict[str, float] = {}
     extra: dict[str, int] = {}
@@ -153,6 +154,8 @@ def main() -> None:
         ("rel_cheapest_supplier_10x", R2.q_cheapest_supplier),
         ("rel_profit_by_nation_year_10x", R3.q_profit_by_nation_year),
         ("rel_ship_latency_quantiles_10x", R3.q_ship_latency_quantiles),
+        ("rel_important_parts_10x", R4.q_important_parts),
+        ("rel_heavy_shippers_10x", R4.q_heavy_shippers),
     ):
         t0 = time.perf_counter()
         res = fn(tp_dir)
