@@ -904,3 +904,98 @@ FROM documents
 """
 
 register("corpus_epoch_shuffle", q_epoch_shuffle, _EPOCH_SHUFFLE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# train/holdout split report — the deterministic hash split every training
+# pipeline runs before the tokenizer sees a byte: ~1% of docs (by a 16-bit
+# md5(doc_id) prefix, the repo's mirrored sampling contract — see
+# sample_stratified_batch's md5 note) are fenced off as held-out data, and
+# the report shows the per-source counts so a skewed source can't silently
+# dominate the holdout. Pure filter+count inside map_batches: each block
+# collapses to its distinct (source, split) cells, ONE tiny groupby, no
+# doc rows shuffle.
+# ---------------------------------------------------------------------------
+
+#: holdout iff substr(md5(doc_id), 1, 4) < HOLDOUT_HEX — 0x028f/0x10000 ≈ 1.0%
+HOLDOUT_HEX = "028f"
+
+
+def _holdout_partials(batch: pa.Table) -> pa.Table:
+    import hashlib
+
+    ids = batch.column("doc_id").to_pylist()
+    # md5 retained DELIBERATELY: the split decision IS the hash value and
+    # must be byte-reproducible by the mirror's substr(md5(...)) (same
+    # contract as sample_stratified_batch)
+    hold = np.array(
+        [hashlib.md5(str(i).encode()).hexdigest()[:4] < HOLDOUT_HEX
+         for i in ids],
+        dtype=np.int64,
+    )
+    src = batch.column("source").to_numpy(zero_copy_only=False).astype(str)
+    order = np.argsort(src, kind="stable")
+    s = src[order]
+    h = hold[order]
+    first = np.flatnonzero(np.concatenate([[True], s[1:] != s[:-1]]))
+    return pa.table(
+        {
+            "source": pa.array(s[first], pa.string()),
+            "n_holdout": pa.array(np.add.reduceat(h, first), pa.int64()),
+            "n_docs": pa.array(
+                np.diff(np.append(first, len(s))).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def q_train_holdout_split(sf_dir: str):
+    """(source, n_train, n_holdout, holdout_pct) — deterministic ~1% split."""
+    from ray.data.aggregate import Sum
+
+    df = (
+        _dedup._docs(sf_dir, columns=("doc_id", "source"))
+        .map_batches(_holdout_partials, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("source")
+        .aggregate(Sum("n_holdout", alias_name="n_holdout"),
+                   Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()  # |sources| rows
+    )
+    if len(df) == 0 or "source" not in df.columns:
+        return pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_train": pa.array([], pa.int64()),
+             "n_holdout": pa.array([], pa.int64()),
+             "holdout_pct": pa.array([], pa.float64())}
+        )
+    nh = df["n_holdout"].to_numpy().astype(np.int64)
+    nd = df["n_docs"].to_numpy().astype(np.int64)
+    out = pa.table(
+        {
+            "source": pa.array(df["source"].astype(str), pa.string()),
+            "n_train": pa.array(nd - nh, pa.int64()),
+            "n_holdout": pa.array(nh, pa.int64()),
+            "holdout_pct": pa.array(
+                np.round(nh / nd * 100.0, 6), pa.float64()
+            ),
+        }
+    )
+    return out.sort_by([("source", "ascending")])
+
+
+_HOLDOUT_SQL = f"""
+SELECT source,
+       CAST(count(*) FILTER (
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) >= '{HOLDOUT_HEX}'
+       ) AS BIGINT) AS n_train,
+       CAST(count(*) FILTER (
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{HOLDOUT_HEX}'
+       ) AS BIGINT) AS n_holdout,
+       round(count(*) FILTER (
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{HOLDOUT_HEX}'
+       ) * 100.0 / count(*), 6) AS holdout_pct
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+register("corpus_train_holdout_split", q_train_holdout_split, _HOLDOUT_SQL)

@@ -140,12 +140,26 @@ def main() -> None:
                      "web_domain_stats", "web_pagerank", "text_bm25_topk",
                      "corpus_temperature_mixture", "text_unigram_entropy", "web_crawl_frontier",
                      "text_js_divergence_by_source",
-                     "dedup_incremental"):
+                     "dedup_incremental", "multimodal_phash"):
             t0 = time.monotonic()
             out = qs[name](sf)
             df = out.to_pandas() if hasattr(out, "to_pandas") else out
             walls[f"{name}@{n}"] = round(time.monotonic() - t0, 2)
             walls[f"{name}@{n}_rows"] = len(df)
+    # phash near-dups at 100k only: the replica corpus is a deliberate
+    # heavy-dup regime (every base doc -> a ~reps-size clique, pair count
+    # grows as reps^2), so the 1M run would stress the PAIR OUTPUT, not the
+    # banding — same reason the exact-Jaccard baseline is doc-capped
+    n0 = min(args.docs) if args.docs else 0
+    if n0:
+        sf = build_docs(n0)
+        t0 = time.monotonic()
+        out = qs["multimodal_phash_near_dups"](sf)
+        walls[f"multimodal_phash_near_dups@{n0}"] = round(
+            time.monotonic() - t0, 2
+        )
+        walls[f"multimodal_phash_near_dups@{n0}_rows"] = out.num_rows
+
     # SemDeDup at replicated-embedding scale: cells must stay ~sqrt(n), so
     # raise the coarse-quantizer knob for the big runs (documented in
     # similarity.py; the seeds are still the first IVF_CELLS by vec_id)
