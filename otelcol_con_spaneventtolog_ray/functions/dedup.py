@@ -1499,3 +1499,173 @@ ORDER BY 1
 """
 
 register("dedup_incremental", q_incremental_dedup, _INCR_SQL)
+
+
+# ---------------------------------------------------------------------------
+# containment near-dup — the ASYMMETRIC duplicate web text is full of:
+# doc A embedded inside a larger doc B (quote pages, boilerplate wrappers,
+# syndicated articles with added chrome). Jaccard misses these (a small A
+# inside a big B has low |∩|/|∪|), and MinHash-LSH approximates Jaccard, so
+# its buckets miss them too. Candidates here come from a RARE-SHINGLE
+# inverted index instead: every distinct shingle held by at most
+# CONTAINMENT_DF_CAP documents emits its C(g,2) doc pairs; pairs are
+# deduped and verified exactly (containment = |∩| / min(|A|,|B|)) by the
+# same chunk-pair pushdown-read machinery as the MinHash path.
+#
+# 100-TB shape: the index exchange is (shingle, doc_id) rows — linear in
+# corpus tokens, the same cost class as the BM25/IDF index builds — and the
+# SAMPLE mask (index only shingles with the low CONTAINMENT_SAMPLE_BITS of
+# their hash zero) divides it by 2^bits with a recall trade documented
+# here: a contained doc of W words still shares ~W/2^bits sampled shingles
+# with its container, so recall loss only bites for very short docs.
+# Common shingles (df > cap) emit nothing — boilerplate can't go quadratic.
+# Rows-only: the sampling/df-cap candidate rule lives in the internal hash
+# domain, so there is no DuckDB mirror; recall and exactness are pinned by
+# the planted-containment and scalar-oracle tests.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+CONTAINMENT_DF_CAP = 5
+CONTAINMENT_SAMPLE_BITS = 3  # index 1/8 of the shingle space
+
+
+def containment_index_batch(batch: pa.Table) -> pa.Table:
+    """flat-map: (sh, doc_id) rows for each SAMPLED distinct shingle."""
+    ids = (
+        batch.column("doc_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    sh, offs, n = _doc_shingles(batch)
+    par = np.repeat(np.arange(n), np.diff(offs))
+    mask = (sh & np.uint64((1 << CONTAINMENT_SAMPLE_BITS) - 1)) == 0
+    return pa.table(
+        {
+            "sh": pa.array(sh[mask].view(np.int64), pa.int64()),
+            "doc_id": pa.array(ids[par[mask]], pa.int64()),
+        }
+    )
+
+
+def _rare_shingle_pairs(group: pa.Table) -> pa.Table:
+    """One shingle's posting list -> candidate pairs, empty if df > cap."""
+    ids = (
+        group.column("doc_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    g = len(ids)
+    if g < 2 or g > CONTAINMENT_DF_CAP:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()),
+             "id_b": pa.array([], pa.int64())}
+        )
+    ids = np.sort(ids)
+    ai, bj = np.triu_indices(g, k=1)
+    return pa.table(
+        {"id_a": pa.array(ids[ai], pa.int64()),
+         "id_b": pa.array(ids[bj], pa.int64())}
+    )
+
+
+def _containment_chunk_verify_fn(path: str, lo: int, chunk: int):
+    """Chunk-pair exact verify (same pushdown shape as the MinHash verify,
+    different accept rule): containment = |∩| / min(|A|, |B|)."""
+
+    def _sets(tbl: pa.Table):
+        ids = (
+            tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        order = np.argsort(ids, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        return ids[order], *_doc_shingles(tbl)[:2]
+
+    def _verify(group: pa.Table) -> pa.Table:
+        a = group.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = int((a[0] - lo) // chunk)
+        cb = int((b[0] - lo) // chunk)
+        aids, ash, aoffs = _sets(_read_docs_range(
+            path, lo + ca * chunk, lo + (ca + 1) * chunk))
+        if cb == ca:
+            bids, bsh, boffs = aids, ash, aoffs
+        else:
+            bids, bsh, boffs = _sets(_read_docs_range(
+                path, lo + cb * chunk, lo + (cb + 1) * chunk))
+        ia = np.searchsorted(aids, a)
+        ib = np.searchsorted(bids, b)
+        la = aoffs[ia + 1] - aoffs[ia]
+        lb = boffs[ib + 1] - boffs[ib]
+        inter = _pair_intersection_counts(ash, aoffs, ia, bsh, boffs, ib)
+        ok = (la > 0) & (lb > 0)
+        cont = np.zeros(len(a))
+        cont[ok] = inter[ok] / np.minimum(la, lb)[ok]
+        keep = cont >= CONTAINMENT_THRESHOLD
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "containment": pa.array(
+                    np.round(cont[keep], 6), pa.float64()
+                ),
+            }
+        )
+
+    return _verify
+
+
+def q_containment_pairs(sf_dir: str):
+    """(id_a, id_b, containment >= 0.9) — asymmetric doc-inside-doc pairs
+    from the rare-shingle index, verified exactly per chunk pair."""
+    from ..parquet_stats import column_stats_bounds, file_num_rows
+
+    path = _docs_path(sf_dir)
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+         "containment": pa.array([], pa.float64())}
+    )
+    if file_num_rows(path) == 0:
+        return empty
+    cand = (
+        _docs(sf_dir)
+        .map_batches(containment_index_batch, batch_format="pyarrow",
+                     **remote_kwargs())
+        .groupby("sh")
+        .map_groups(_rare_shingle_pairs, batch_format="pyarrow",
+                    **remote_kwargs())
+    )
+    uniq = cand.groupby(["id_a", "id_b"]).count()
+    lo_f, _hi_f = column_stats_bounds(path, "doc_id")
+    lo, chunk = int(lo_f), MINHASH_CHUNK_DOCS
+
+    def chunk_keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return pa.table(
+                {"ca": pa.array([], pa.int64()), "cb": pa.array([], pa.int64()),
+                 "id_a": pa.array([], pa.int64()),
+                 "id_b": pa.array([], pa.int64())}
+            )
+        a = t.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"ca": pa.array((a - lo) // chunk, pa.int64()),
+             "cb": pa.array((b - lo) // chunk, pa.int64()),
+             "id_a": pa.array(a, pa.int64()),
+             "id_b": pa.array(b, pa.int64())}
+        )
+
+    keyed = uniq.map_batches(chunk_keys, batch_format="pyarrow",
+                             **remote_kwargs())
+    pairs = keyed.groupby(["ca", "cb"]).map_groups(
+        _containment_chunk_verify_fn(path, lo, chunk),
+        batch_format="pyarrow", **remote_kwargs()
+    )
+    df = pairs.to_pandas()
+    if len(df) == 0:
+        return empty
+    df = df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["id_a", "id_b", "containment"]], preserve_index=False
+    )
+
+
+register("dedup_containment_pairs", q_containment_pairs)  # rows-only

@@ -79,6 +79,7 @@ ROWS_ONLY_RUN = [
     "sketch_bloom_users", "sketch_cms_top_tokens", "text_bpe_merges",
     "sketch_mg_heavy_users", "text_decontaminate_fuzzy",
     "multimodal_phash", "multimodal_phash_near_dups",
+    "dedup_containment_pairs",
 ]
 
 
@@ -96,6 +97,10 @@ def test_rows_only_query_runs_nonempty(ray_session, name):
         # distinct synthetic payloads rarely land within Hamming 3; empty
         # is correct — recall is pinned by the planted byte-flip fixture
         assert list(out.columns) == ["id_a", "id_b", "hamming"]
+    elif name == "dedup_containment_pairs":
+        # the driver corpus has no >=0.9-containment embeddings; empty is
+        # correct — recall/exactness pinned by the planted fixture
+        assert list(out.columns) == ["id_a", "id_b", "containment"]
     else:
         assert len(out) > 0, name
 
@@ -1901,3 +1906,46 @@ def test_phash_near_dups_planted_byte_flips(ray_session, tmp_path):
         for r in q_media_phash_near_dups(str(d)).to_pylist()
     }
     assert pairs == {(0, 100): 0, (1, 101): 1}
+
+
+def test_containment_planted_doc_inside_doc(ray_session, tmp_path):
+    """A doc embedded contiguously in a larger doc is found at containment
+    ~1.0 (the asymmetric case MinHash-Jaccard misses); unrelated docs and
+    low-overlap docs never pair; every emitted pair matches the exact
+    scalar-oracle containment on shingle sets."""
+    import pyarrow.parquet as pq
+    from otelcol_con_spaneventtolog_ray.functions.dedup import (
+        CONTAINMENT_THRESHOLD,
+        q_containment_pairs,
+        word_shingles,
+    )
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i:03d}" for i in range(300)]
+    inner = " ".join(rng.choice(words[:150], size=80))
+    outer = inner + " " + " ".join(rng.choice(words[150:], size=200))
+    others = [" ".join(rng.choice(words, size=90)) for _ in range(20)]
+    ids = [0, 1] + list(range(10, 30))
+    texts = [inner, outer] + others
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["s"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in q_containment_pairs(str(d)).to_pylist()
+    }
+    assert (0, 1) in got, "planted doc-inside-doc pair missed"
+    assert got[(0, 1)] >= 0.99
+    # exactness: every emitted pair matches the scalar oracle
+    sets = {i: word_shingles(t) for i, t in zip(ids, texts)}
+    for (a, b), c in got.items():
+        exact = len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b]))
+        assert abs(c - round(exact, 6)) < 1e-9
+        assert exact >= CONTAINMENT_THRESHOLD
