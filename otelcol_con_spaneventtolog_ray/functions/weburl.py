@@ -677,3 +677,137 @@ GROUP BY 1 ORDER BY 1
 
 
 register("web_crawl_frontier", q_crawl_frontier, _frontier_sql())
+
+
+# ---------------------------------------------------------------------------
+# link reciprocity — the link-spam / link-farm signal: what fraction of
+# directed links is reciprocated (A->B and B->A)? Mutual-link density far
+# above the organic web's baseline marks exchange schemes. Over the same
+# arithmetic doc_id graph as PageRank/BFS.
+#
+# 100-TB shape: edges never materialize (functional in doc_id); each block
+# emits canonical (lo, hi, dir, bucket) rows — dir 1 = lo->hi, 2 = hi->lo,
+# globally unique per (pair, dir) by construction, so a per-bucket SUM of
+# dir is the OR of directions (3 = reciprocal). ONE range-bucket map_groups
+# folds each bucket to a (n_edges, n_reciprocal) partial (same PR_BUCKETS
+# bounded-group contract as PageRank's gather), and the driver sums
+# <= PR_BUCKETS partial rows into the single summary row.
+# ---------------------------------------------------------------------------
+
+def _recip_scatter(batch: pa.Table, n_nodes: int) -> pa.Table:
+    ids = (
+        batch.column("doc_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    if len(ids) == 0:
+        return pa.table(
+            {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64()),
+             "dir": pa.array([], pa.int64()),
+             "bucket": pa.array([], pa.int64())}
+        )
+    outdeg = 1 + ids % 3
+    srcs, dsts = [], []
+    for j in range(3):
+        m = outdeg > j
+        srcs.append(ids[m])
+        dsts.append((ids[m] * 7 + j + 1) % n_nodes)
+    s = np.concatenate(srcs)
+    d = np.concatenate(dsts)
+    keep = s != d  # self-links carry no reciprocity signal
+    s, d = s[keep], d[keep]
+    lo = np.minimum(s, d)
+    hi = np.maximum(s, d)
+    dirbit = np.where(s < d, 1, 2).astype(np.int64)
+    return pa.table(
+        {
+            "lo": pa.array(lo, pa.int64()),
+            "hi": pa.array(hi, pa.int64()),
+            "dir": pa.array(dirbit, pa.int64()),
+            "bucket": pa.array(lo * PR_BUCKETS // max(n_nodes, 1), pa.int64()),
+        }
+    )
+
+
+def _recip_fold(group: pa.Table) -> pa.Table:
+    """One bucket -> (n_edges, n_reciprocal) partial: sum dir per (lo, hi)
+    — each (pair, dir) row is globally unique, so sum == bitwise OR."""
+    lo = group.column("lo").to_numpy(zero_copy_only=False).astype(np.int64)
+    hi = group.column("hi").to_numpy(zero_copy_only=False).astype(np.int64)
+    dr = group.column("dir").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(lo) == 0:
+        return pa.table(
+            {"n_edges": pa.array([], pa.int64()),
+             "n_reciprocal": pa.array([], pa.int64())}
+        )
+    order = np.lexsort((hi, lo))
+    lo_s, hi_s, dr_s = lo[order], hi[order], dr[order]
+    first = np.flatnonzero(np.concatenate(
+        [[True], (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])]
+    ))
+    dirs = np.add.reduceat(dr_s, first)
+    recip = int((dirs == 3).sum())
+    return pa.table(
+        {"n_edges": pa.array([len(first) + recip], pa.int64()),
+         "n_reciprocal": pa.array([recip], pa.int64())}
+    )
+
+
+def q_link_reciprocity(sf_dir: str):
+    """One summary row: n_edges (directed, non-self), n_reciprocal_pairs,
+    reciprocity = reciprocated directed edges / all directed edges."""
+    import ray.data
+
+    from ..parquet_stats import file_num_rows
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_nodes = file_num_rows(path)
+    _assert_contiguous_ids(path, n_nodes, "web_link_reciprocity")
+    parts = (
+        ray.data.read_parquet(path, columns=["doc_id"])
+        .map_batches(lambda b: _recip_scatter(b, n_nodes),
+                     batch_format="pyarrow", **remote_kwargs())
+        .groupby("bucket")
+        .map_groups(_recip_fold, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()  # <= PR_BUCKETS partial rows
+    )
+    if len(parts) == 0 or "n_edges" not in parts.columns:
+        return pa.table(
+            {"n_edges": pa.array([0], pa.int64()),
+             "n_reciprocal_pairs": pa.array([0], pa.int64()),
+             "reciprocity": pa.array([0.0], pa.float64())}
+        )
+    ne = int(parts["n_edges"].sum())
+    nr = int(parts["n_reciprocal"].sum())
+    return pa.table(
+        {
+            "n_edges": pa.array([ne], pa.int64()),
+            "n_reciprocal_pairs": pa.array([nr], pa.int64()),
+            "reciprocity": pa.array(
+                [round(2.0 * nr / ne, 6) if ne else 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+_RECIPROCITY_SQL = """
+WITH nodes AS (
+  SELECT doc_id, 1 + doc_id % 3 AS outdeg FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         (doc_id * 7 + r.range + 1) % (SELECT count(*) FROM documents) AS dst
+  FROM nodes CROSS JOIN range(3) r WHERE r.range < outdeg),
+e AS (SELECT src, dst FROM edges WHERE src <> dst),
+p AS (SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+             sum(CASE WHEN src < dst THEN 1 ELSE 2 END) AS dirs
+      FROM e GROUP BY 1, 2)
+SELECT CAST(sum(1 + CASE WHEN dirs = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_edges,
+       CAST(sum(CASE WHEN dirs = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reciprocal_pairs,
+       round(2.0 * sum(CASE WHEN dirs = 3 THEN 1 ELSE 0 END)
+             / sum(1 + CASE WHEN dirs = 3 THEN 1 ELSE 0 END), 6)
+         AS reciprocity
+FROM p
+"""
+
+register("web_link_reciprocity", q_link_reciprocity, _RECIPROCITY_SQL)

@@ -61,7 +61,7 @@ SQL_CHECKED = [
     "rel_ship_latency_quantiles", "events_power_users_pareto",
     "text_js_divergence_by_source",
     "rel_important_parts", "rel_heavy_shippers", "dedup_incremental",
-    "corpus_train_holdout_split",
+    "corpus_train_holdout_split", "web_link_reciprocity",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
