@@ -1669,3 +1669,140 @@ def q_containment_pairs(sf_dir: str):
 
 
 register("dedup_containment_pairs", q_containment_pairs)  # rows-only
+
+
+# ---------------------------------------------------------------------------
+# dup rate x length quartile — the corpus-QA cross report ("are short docs
+# more duplicated?") composing the bounded-distribution quantile engine
+# (global char-length quartile boundaries, driver-held 3 ints) with the
+# exact-dedup hash groupby. Identical texts have identical length, so the
+# bucket rides the (h1, h2) group for free: ONE corpus-scale exchange (the
+# same hash groupby dedup_exact runs), then block partials collapse the
+# per-text table to (bucket, n_docs, n_dup_docs) cells and a 4-row groupby
+# finishes. Boundary semantics are the repo's order-statistic contract
+# (rank ((n-1)*p)//100), mirrored in SQL via row_number.
+# ---------------------------------------------------------------------------
+
+def q_dup_rate_by_length_quartile(sf_dir: str):
+    """(bucket 0-3, n_docs, n_dup_docs, dup_rate) by global length quartile."""
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    from .quantiles import _dist_partials, _grouped_quantiles
+
+    def len_partials(batch: pa.Table) -> pa.Table:
+        v = pc.utf8_length(
+            pc.fill_null(batch.column("text"), "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return _dist_partials(
+            np.full(len(v), "all", dtype=object).astype(str), v, "k"
+        )
+
+    empty = pa.table(
+        {"bucket": pa.array([], pa.int64()),
+         "n_docs": pa.array([], pa.int64()),
+         "n_dup_docs": pa.array([], pa.int64()),
+         "dup_rate": pa.array([], pa.float64())}
+    )
+    qdf = _grouped_quantiles(
+        _docs(sf_dir, columns=("text",)), len_partials, "k"
+    )
+    if isinstance(qdf, pa.Table):  # empty corpus
+        return empty
+    p25, p50, p75 = (int(qdf["p25"][0]), int(qdf["p50"][0]),
+                     int(qdf["p75"][0]))
+
+    def hash_bucket(batch: pa.Table) -> pa.Table:
+        h1, h2 = batch_content_hash(batch.column("text"))
+        v = pc.utf8_length(
+            pc.fill_null(batch.column("text"), "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = np.full(len(v), 3, dtype=np.int64)
+        bucket[v <= p75] = 2
+        bucket[v <= p50] = 1
+        bucket[v <= p25] = 0
+        return pa.table(
+            {"h1": pa.array(h1.view(np.int64), pa.int64()),
+             "h2": pa.array(h2.view(np.int64), pa.int64()),
+             "bucket": pa.array(bucket, pa.int64())}
+        )
+
+    def cell_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "count()" not in t.column_names:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()),
+                 "n_docs": pa.array([], pa.int64()),
+                 "n_dup_docs": pa.array([], pa.int64())}
+            )
+        b = (
+            t.column("min(bucket)").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        c = (
+            t.column("count()").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        dup = np.where(c >= 2, c, 0)
+        order = np.argsort(b, kind="stable")
+        b_s, c_s, d_s = b[order], c[order], dup[order]
+        first = np.flatnonzero(np.concatenate([[True], b_s[1:] != b_s[:-1]]))
+        return pa.table(
+            {"bucket": pa.array(b_s[first], pa.int64()),
+             "n_docs": pa.array(np.add.reduceat(c_s, first), pa.int64()),
+             "n_dup_docs": pa.array(np.add.reduceat(d_s, first), pa.int64())}
+        )
+
+    df = (
+        _docs(sf_dir, columns=("text",))
+        .map_batches(hash_bucket, batch_format="pyarrow", **remote_kwargs())
+        .groupby(["h1", "h2"])
+        .aggregate(Count(), Min("bucket"))
+        .map_batches(cell_partials, batch_format="pyarrow", **remote_kwargs())
+        .groupby("bucket")
+        .sum(["n_docs", "n_dup_docs"])
+        .to_pandas()  # <= 4 rows
+    )
+    if len(df) == 0 or "bucket" not in df.columns:
+        return empty
+    nd = df["sum(n_docs)"].to_numpy().astype(np.int64)
+    dd = df["sum(n_dup_docs)"].to_numpy().astype(np.int64)
+    out = pa.table(
+        {
+            "bucket": pa.array(
+                df["bucket"].to_numpy().astype(np.int64), pa.int64()
+            ),
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_dup_docs": pa.array(dd, pa.int64()),
+            "dup_rate": pa.array(
+                np.round(dd / np.maximum(nd, 1), 6), pa.float64()
+            ),
+        }
+    )
+    return out.sort_by([("bucket", "ascending")])
+
+
+_DUP_LENQ_SQL = """
+WITH v AS (SELECT length(coalesce(text, '')) AS vm FROM documents),
+r AS (SELECT vm, row_number() OVER (ORDER BY vm) - 1 AS rk FROM v),
+n AS (SELECT count(*) AS n FROM v),
+b AS (SELECT max(CASE WHEN rk = ((n.n - 1) * 25) // 100 THEN vm END) AS p25,
+             max(CASE WHEN rk = ((n.n - 1) * 50) // 100 THEN vm END) AS p50,
+             max(CASE WHEN rk = ((n.n - 1) * 75) // 100 THEN vm END) AS p75
+      FROM r, n),
+d AS (SELECT coalesce(text, '') AS t,
+             CASE WHEN length(coalesce(text, '')) <= b.p25 THEN 0
+                  WHEN length(coalesce(text, '')) <= b.p50 THEN 1
+                  WHEN length(coalesce(text, '')) <= b.p75 THEN 2
+                  ELSE 3 END AS bucket
+      FROM documents, b),
+g AS (SELECT t, min(bucket) AS bucket, count(*) AS c FROM d GROUP BY 1)
+SELECT bucket, CAST(sum(c) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)
+             / CAST(sum(c) AS DOUBLE), 6) AS dup_rate
+FROM g GROUP BY 1 ORDER BY 1
+"""
+
+register("dedup_rate_by_length_quartile", q_dup_rate_by_length_quartile,
+         _DUP_LENQ_SQL)
