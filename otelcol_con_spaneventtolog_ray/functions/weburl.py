@@ -407,17 +407,17 @@ def _pr_scatter(batch: pa.Table, n_nodes: int) -> pa.Table:
     )
 
 
-def q_pagerank(sf_dir: str):
-    """Integer fixed-point PageRank (3 iterations, damping 0.85) over the
-    deterministic doc_id link graph. Output: doc_id, rank_micro."""
+def _pagerank_ranks(sf_dir: str, op: str = "web_pagerank"):
+    """The iterative rank DATASET (doc_id, rank in micro-units) — shared by
+    q_pagerank and the rank-weighted sampler so the chained-iteration DAG
+    is built once and each consumer attaches its own finish stage."""
     import ray.data
 
-    from .blockutil import retype_block
     from ..parquet_stats import file_num_rows
 
     path = os.path.join(sf_dir, "documents.parquet")
     n_nodes = file_num_rows(path)  # footers only (file OR dir-of-parts)
-    _assert_contiguous_ids(path, n_nodes, "web_pagerank")
+    _assert_contiguous_ids(path, n_nodes, op)
 
     def init_rank(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id")
@@ -459,6 +459,15 @@ def q_pagerank(sf_dir: str):
             .map_groups(fold_bucket, batch_format="pyarrow",
                         **remote_kwargs())
         )
+    return ranks
+
+
+def q_pagerank(sf_dir: str):
+    """Integer fixed-point PageRank (3 iterations, damping 0.85) over the
+    deterministic doc_id link graph. Output: doc_id, rank_micro."""
+    from .blockutil import retype_block
+
+    ranks = _pagerank_ranks(sf_dir)
     df = (
         ranks.map_batches(
             lambda t: retype_block(
@@ -481,7 +490,9 @@ def q_pagerank(sf_dir: str):
     )
 
 
-def _pagerank_sql() -> str:
+def _pagerank_cte() -> tuple[str, str]:
+    """(WITH-clause SQL, final relation name) for the unrolled integer
+    PageRank — shared by the pagerank mirror and the rank-weighted sampler."""
     iters = []
     prev = "r0"
     for i in range(1, PAGERANK_ITERS + 1):
@@ -495,7 +506,7 @@ r{i} AS (
          {_PR_BASE} + ({_PR_DAMP} * coalesce(c{i}.s, 0)) // 100 AS rank
   FROM documents d LEFT JOIN c{i} ON d.doc_id = c{i}.doc_id)""")
         prev = f"r{i}"
-    return f"""
+    cte = f"""
 WITH nodes AS (
   SELECT doc_id, 1 + doc_id % 3 AS outdeg FROM documents),
 edges AS (
@@ -503,12 +514,90 @@ edges AS (
          (doc_id * 7 + r.range + 1) % (SELECT count(*) FROM documents) AS dst
   FROM nodes CROSS JOIN range(3) r WHERE r.range < outdeg),
 r0 AS (
-  SELECT doc_id, CAST({_PR_INIT} AS BIGINT) AS rank FROM documents),{",".join(iters)}
-SELECT doc_id, rank AS rank_micro FROM {prev} ORDER BY doc_id
-"""
+  SELECT doc_id, CAST({_PR_INIT} AS BIGINT) AS rank FROM documents),{",".join(iters)}"""
+    return cte, prev
+
+
+def _pagerank_sql() -> str:
+    cte, prev = _pagerank_cte()
+    return f"{cte}\nSELECT doc_id, rank AS rank_micro FROM {prev} ORDER BY doc_id\n"
 
 
 register("web_pagerank", q_pagerank, _pagerank_sql())
+
+
+# ---------------------------------------------------------------------------
+# rank-weighted document sample — the crawl-prior importance sample real
+# pretraining pipelines draw (keep probability ∝ PageRank): composes the
+# integer-exact PageRank fold with the repo's md5 importance-sampling
+# contract (keep iff h48(doc_id) < rank_micro x scale — no float RNG, no
+# cross-engine ULP risk; see sample_weighted_batch's md5 note).
+#
+# 100-TB shape: the sampler is ONE filter map_batches attached to the
+# already-bounded PageRank DAG — no new exchange, no rank broadcast; the
+# keep decision uses only the row's own (doc_id, rank).
+# ---------------------------------------------------------------------------
+
+#: keep iff h48(doc_id) < rank_micro * SCALE; at the rank mean (1.0 = 1e6
+#: micro) the keep rate is SCALE * 1e6 / 2^48 ≈ 2% — and a page with 2x the
+#: mean rank is exactly 2x as likely to survive
+RANK_SAMPLE_SCALE = 5_600_000
+
+
+def q_rank_weighted_sample(sf_dir: str):
+    """(doc_id, rank_micro) for the PageRank-importance-sampled subset."""
+    import hashlib
+
+    from .blockutil import retype_block
+
+    ranks = _pagerank_ranks(sf_dir, op="web_rank_weighted_sample")
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = retype_block(
+            t,
+            {"doc_id": ("doc_id", pa.int64()),
+             "rank_micro": ("rank", pa.int64())},
+        )
+        ids = t.column("doc_id").to_pylist()
+        # md5 retained DELIBERATELY: the keep decision IS the hash value
+        # (same mirrored contract as sample_weighted_batch)
+        h48 = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:12], 16)
+             for i in ids],
+            dtype=np.int64,
+        )
+        rank = (
+            t.column("rank_micro").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return t.filter(pa.array(h48 < rank * RANK_SAMPLE_SCALE))
+
+    df = ranks.map_batches(
+        keep, batch_format="pyarrow", **remote_kwargs()
+    ).to_pandas()
+    if len(df) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "rank_micro": pa.array([], pa.int64())}
+        )
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["doc_id", "rank_micro"]], preserve_index=False
+    )
+
+
+def _rank_sample_sql() -> str:
+    cte, prev = _pagerank_cte()
+    return f"""{cte}
+SELECT doc_id, rank AS rank_micro FROM {prev}
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      < rank * {RANK_SAMPLE_SCALE}
+ORDER BY doc_id
+"""
+
+
+register("web_rank_weighted_sample", q_rank_weighted_sample,
+         _rank_sample_sql())
 
 
 # ---------------------------------------------------------------------------

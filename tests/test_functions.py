@@ -62,7 +62,7 @@ SQL_CHECKED = [
     "text_js_divergence_by_source",
     "rel_important_parts", "rel_heavy_shippers", "dedup_incremental",
     "corpus_train_holdout_split", "web_link_reciprocity",
-    "dedup_rate_by_length_quartile",
+    "dedup_rate_by_length_quartile", "web_rank_weighted_sample",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
