@@ -484,6 +484,129 @@ def _q_pipeline_stats(sf_dir: str):
     return pd.DataFrame({c: df[c].astype("int64") for c in df.columns})
 
 
+# span-attr projection config (op D4 path over sattrs): http.* span
+# attributes copied into the record's attribute map; resource.attributes
+# kept so the resource_attrs output column (service key) is populated
+SPANATTR_CFG = dataclasses.replace(
+    PipelineConfig(
+        log_attributes_from=("span.attributes", "resource.attributes")
+    ),
+    observed_timestamp_ns=OBS_NS,
+)
+
+
+def _q_status_quantiles(sf_dir: str):
+    """Per-service HTTP status-code percentiles over the routed records:
+    the span-attr projection path (http.status_code) keyed by the resource
+    service, folded through the exact bounded-distribution quantile engine
+    (quantiles.py) — only DISTINCT (service, status, cnt) combiner rows ever
+    cross the exchange, never the records."""
+    import numpy as np
+
+    from otelcol_con_spaneventtolog_ray.functions.quantiles import (
+        PCTS,
+        _dist_partials,
+        _grouped_quantiles,
+    )
+
+    def partials(t: pa.Table) -> pa.Table:
+        svc = pc.map_lookup(
+            t.column("resource_attrs").combine_chunks(),
+            query_key="service.name", occurrence="first",
+        )
+        svc = pc.utf8_slice_codeunits(svc, start=2, stop=1 << 30)
+        code = pc.map_lookup(
+            t.column("attributes").combine_chunks(),
+            query_key="http.status_code", occurrence="first",
+        )
+        code = pc.cast(
+            pc.utf8_slice_codeunits(code, start=2, stop=1 << 30), pa.int64()
+        )
+        return _dist_partials(
+            svc.to_numpy(zero_copy_only=False).astype(str),
+            code.to_numpy(zero_copy_only=False),
+            "service",
+        )
+
+    ds = _records(sf_dir, SPANATTR_CFG).select_columns(
+        ["resource_attrs", "attributes"]
+    )
+    df = _grouped_quantiles(ds, partials, "service")
+    if isinstance(df, pa.Table):  # typed empty sentinel
+        return df
+    return pa.Table.from_pandas(
+        df[["service", "n"] + [f"p{p}" for p in PCTS]], preserve_index=False
+    )
+
+
+def _q_top_exception_types(sf_dir: str):
+    """Top-3 exception types per service (count desc, type asc) over the
+    routed error records: MAP attr lookups + the salted two-phase counts
+    fold; the rank runs driver-side on the dimension-sized
+    (service x exception.type) counts result."""
+    def project(t: pa.Table) -> pa.Table:
+        mask = pc.equal(t.column("event_name"), "exception")
+        t = t.filter(mask)
+        svc = pc.map_lookup(
+            t.column("resource_attrs").combine_chunks(),
+            query_key="service.name", occurrence="first",
+        )
+        et = pc.map_lookup(
+            t.column("attributes").combine_chunks(),
+            query_key="exception.type", occurrence="first",
+        )
+        return pa.table(
+            {
+                "service": pc.utf8_slice_codeunits(svc, start=2, stop=1 << 30),
+                "etype": pc.utf8_slice_codeunits(et, start=2, stop=1 << 30),
+            }
+        )
+
+    ds = (
+        _records(sf_dir, DEFAULT_CFG)
+        .select_columns(["event_name", "resource_attrs", "attributes"])
+        .map_batches(project, batch_format="pyarrow", **remote_kwargs())
+    )
+    counts = counts_table(ds, ["service", "etype"]).to_pandas()
+    counts = counts.sort_values(
+        ["service", "n", "etype"], ascending=[True, False, True], kind="stable"
+    )
+    counts["rank"] = counts.groupby("service").cumcount() + 1
+    counts = counts[counts["rank"] <= 3].reset_index(drop=True)
+    return pa.Table.from_pandas(counts, preserve_index=False)
+
+
+def _q_dead_letter(sf_dir: str):
+    """Dead-letter audit: pages with deterministically planted poison-pill
+    OTEL1 lines (sources/synth.malformed_line_for_doc) run the REAL
+    single-pass parse in collect_malformed mode; the query returns the
+    (url, raw, reason) rows each validity stage rejected. Pins SURVEY §4's
+    parse-failures-stay-auditable contract under the driver gate — the
+    reference connector silently skips unconvertible events; this repo keeps
+    them in an auditable side channel instead."""
+    import ray.data
+
+    from otelcol_con_spaneventtolog_ray.sources.synth import (
+        embed_docs_malformed_batch,
+    )
+    from otelcol_con_spaneventtolog_ray.stages.parse import make_deadletter_fn
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    pages = docs.map_batches(
+        embed_docs_malformed_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+    ds = pages.map_batches(
+        make_deadletter_fn(), batch_format="pyarrow", **remote_kwargs()
+    )
+    return ds.map_batches(
+        lambda t: t.set_column(1, "raw", pc.cast(t.column("raw"), pa.string())),
+        batch_format="pyarrow",
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: full parse->enrich over embedded pages,
     returning the per-sink routed counts (small, stable schema)."""
@@ -582,6 +705,11 @@ GATE_FRONT = [
     "text_decontaminate_fuzzy",
     "similarity_doc_embedding_join",
     "events_watermark_counts",
+    # resumed-session additions: pipeline-composed telemetry analytics +
+    # the dead-letter audit path — never gated, queue behind the overflow
+    "pipeline_status_quantiles",
+    "pipeline_top_exception_types",
+    "pipeline_dead_letter",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round
@@ -650,6 +778,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_trace_rollup": _q_trace_rollup,
         "pipeline_service_severity": _q_service_severity,
         "pipeline_attr_key_stats": _q_attr_key_stats,
+        "pipeline_status_quantiles": _q_status_quantiles,
+        "pipeline_top_exception_types": _q_top_exception_types,
+        "pipeline_dead_letter": _q_dead_letter,
         "events_severity_route": _q_events_severity_route,
         "events_hourly_counts": _q_events_hourly_counts,
     }
@@ -746,6 +877,29 @@ def _sevattr_cases() -> tuple[str, str]:
         " ELSE 'info' END"
     )
     return num, txt
+
+
+def _status_q_sql() -> str:
+    """Per-service status-code order statistics — the same zero-based
+    ((n-1)*p)//100 rank contract every quantile mirror in this repo uses."""
+    from otelcol_con_spaneventtolog_ray.functions.quantiles import PCTS
+
+    pcols = ",\n".join(
+        f" CAST(max(CASE WHEN r.rk = ((n.n - 1) * {p}) // 100"
+        f" THEN r.vm END) AS BIGINT) AS p{p}"
+        for p in PCTS
+    )
+    return (
+        _EV_CTE
+        + ", v AS (SELECT 'svc-' || (doc_id % 4) AS service,"
+        " 200 + (doc_id % 5) * 100 AS vm FROM ev),"
+        " r AS (SELECT service, vm, row_number() OVER"
+        " (PARTITION BY service ORDER BY vm) - 1 AS rk FROM v),"
+        " n AS (SELECT service, count(*) AS n FROM v GROUP BY 1)"
+        " SELECT r.service AS service, max(n.n) AS n,\n"
+        + pcols
+        + "\nFROM r JOIN n USING (service) GROUP BY 1 ORDER BY 1"
+    )
 
 
 _EVENTS_ROUTE_CASE = (
@@ -845,6 +999,32 @@ def oracle_sql() -> dict[str, str]:
         " || (CASE WHEN doc_id % 10 = 0 THEN ['trace.state']"
         " ELSE []::VARCHAR[] END)) AS key FROM ev)"
         " SELECT key, count(*) AS n FROM keys GROUP BY 1 ORDER BY 1",
+        "pipeline_status_quantiles": _status_q_sql(),
+        "pipeline_top_exception_types": _EV_CTE
+        + ", c AS (SELECT 'svc-' || (doc_id % 4) AS service,"
+        " 'Err' || (doc_id % 7) AS etype, count(*) AS n FROM ev"
+        " WHERE k = 0 GROUP BY 1, 2),"
+        " r AS (SELECT service, etype, n, row_number() OVER"
+        " (PARTITION BY service ORDER BY n DESC, etype) AS rank FROM c)"
+        " SELECT service, etype, n, rank FROM r WHERE rank <= 3"
+        " ORDER BY 1, 4",
+        # poison-pill mirror of sources/synth.malformed_line_for_doc
+        "pipeline_dead_letter": "SELECT"
+        " 'https://docs.example/' || printf('%08d', doc_id) AS url,"
+        " CASE (doc_id // 6) % 3"
+        " WHEN 0 THEN 'OTEL1 trace=' || printf('%032x', doc_id)"
+        " WHEN 1 THEN 'OTEL1 trace=' || printf('%032x', doc_id)"
+        " || ' span=' || printf('%016x', doc_id)"
+        " || ' span_name=span-bad span_kind=Internal ts=xx state="
+        " name=poison attrs= sattrs= rattrs='"
+        " ELSE 'OTEL1 trace=' || repeat('z', 32)"
+        " || ' span=' || printf('%016x', doc_id)"
+        " || ' span_name=span-bad span_kind=Internal"
+        " ts=' || (1750000000000000000 + doc_id) || ' state="
+        " name=poison attrs= sattrs= rattrs=' END AS raw,"
+        " CASE (doc_id // 6) % 3 WHEN 0 THEN 'bad_token_count'"
+        " WHEN 1 THEN 'bad_field_or_ts' ELSE 'bad_hex' END AS reason"
+        " FROM documents WHERE doc_id % 6 = 0",
         "events_severity_route": "SELECT event_type,"
         f" {_EVENTS_ROUTE_CASE} AS severity_text, count(*) AS n FROM events"
         " GROUP BY 1, 2 ORDER BY 1, 2",

@@ -358,3 +358,54 @@ def embed_docs_batch(batch: pa.Table) -> pa.Table:
         ],
         schema=PAGES_SCHEMA,
     )
+
+
+# ---------------------------------------------------------------------------
+# dead-letter fixture: poison-pill malformed OTEL1 lines (SURVEY §4 — parse
+# failures must not kill the job and must stay auditable; reference analog:
+# the connector silently skips events it cannot convert, this repo keeps
+# them in a (url, raw, reason) side channel instead)
+# ---------------------------------------------------------------------------
+
+MALFORMED_REASONS = ("bad_token_count", "bad_field_or_ts", "bad_hex")
+
+
+def malformed_line_for_doc(doc_id: int) -> str | None:
+    """Deterministic poison-pill OTEL1 line for doc_id % 6 == 0 pages
+    (None otherwise). The kind cycles ``(doc_id // 6) % 3`` over the parse
+    stage's three validity gates: 0 -> wrong token count, 1 -> non-integer
+    ts, 2 -> non-hex trace id. Pure arithmetic so the DuckDB oracle
+    reproduces line AND rejection reason exactly."""
+    if doc_id % 6 != 0:
+        return None
+    kind = (doc_id // 6) % 3
+    if kind == 0:
+        return f"OTEL1 trace={doc_id:032x}"
+    if kind == 1:
+        return (
+            f"OTEL1 trace={doc_id:032x} span={doc_id:016x}"
+            " span_name=span-bad span_kind=Internal ts=xx state="
+            " name=poison attrs= sattrs= rattrs="
+        )
+    return (
+        "OTEL1 trace=" + "z" * 32 + f" span={doc_id:016x}"
+        f" span_name=span-bad span_kind=Internal"
+        f" ts={BASE_EVENT_TS_NS + doc_id} state="
+        " name=poison attrs= sattrs= rattrs="
+    )
+
+
+def embed_docs_malformed_batch(batch: pa.Table) -> pa.Table:
+    """:func:`embed_docs_batch` variant planting one deterministic malformed
+    OTEL1 line on every doc_id % 6 == 0 page — the dead-letter audit
+    fixture read by ``pipeline_dead_letter``."""
+    pages = embed_docs_batch(batch)
+    doc_ids = batch.column("doc_id").to_numpy()
+    texts = pages.column("text").to_pylist()
+    out = []
+    for doc_id, text in zip(doc_ids, texts):
+        bad = malformed_line_for_doc(int(doc_id))
+        out.append(text if bad is None else text + "\n" + bad)
+    return pages.set_column(
+        3, "text", pa.array(out, pa.large_string())
+    )

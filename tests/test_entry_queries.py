@@ -66,6 +66,8 @@ PIPELINE_GATED = [
     "pipeline_nested_attr",
     "pipeline_log_templates", "pipeline_trace_rollup",
     "pipeline_service_severity", "pipeline_attr_key_stats",
+    "pipeline_status_quantiles", "pipeline_top_exception_types",
+    "pipeline_dead_letter",
     "events_severity_route", "events_hourly_counts",
 ]
 
