@@ -710,6 +710,7 @@ GATE_FRONT = [
     "pipeline_status_quantiles",
     "pipeline_top_exception_types",
     "pipeline_dead_letter",
+    "text_classifier_scores",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

@@ -1969,3 +1969,104 @@ FROM terms GROUP BY 1 ORDER BY 1
 )
 
 register("text_js_divergence_by_source", q_js_divergence_by_source, _JSD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear classifier inference — the quality-classifier shape
+# (fastText/logreg-style filtering, e.g. CCNet/GPT-3-style page scoring) as
+# a first-class ACTOR-POOL stage: the model (weight table) is built once per
+# actor in __init__, scoring is vectorized per batch. Weights are derived
+# arithmetically from the bucket index so the DuckDB mirror reproduces the
+# exact same model — integer scores, no float drift.
+# ---------------------------------------------------------------------------
+
+HASH_CLS_DIM = 4096         # feature-hash buckets
+HASH_CLS_MULT = 2654435761  # Knuth multiplicative constant
+HASH_CLS_MOD = 2001         # weights span [-1000, 1000]
+
+
+class HashedClassifier:
+    """Actor-pool inference stage: hashed bag-of-words linear classifier.
+
+    ``__init__`` (once per actor — the model-load pattern) materializes the
+    HASH_CLS_DIM int64 weight table; ``__call__`` scores a batch with one
+    dictionary-encode + gather + segment-sum. md5 is retained DELIBERATELY
+    as the feature-hash contract (the mirror's substr(md5(token))) and is
+    computed per DISTINCT token per batch with a per-actor memo — the
+    bounded-vocabulary shape real tokenizer/embedding inference has."""
+
+    def __init__(self):
+        self.weights = (
+            np.arange(HASH_CLS_DIM, dtype=np.int64) * HASH_CLS_MULT
+        ) % HASH_CLS_MOD - HASH_CLS_MOD // 2
+        self._bucket_memo: dict[str, int] = {}
+
+    def _buckets(self, tokens: list[str]) -> np.ndarray:
+        memo = self._bucket_memo
+        out = np.empty(len(tokens), dtype=np.int64)
+        for i, t in enumerate(tokens):
+            b = memo.get(t)
+            if b is None:
+                b = int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % HASH_CLS_DIM
+                memo[t] = b
+            out[i] = b
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, parents = _words_flat(batch)
+        doc_tok = np.bincount(parents, minlength=batch.num_rows)
+        has = doc_tok > 0  # token-less docs absent (SQL: no unnested rows)
+        dict_arr = pc.dictionary_encode(flat)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        buckets = self._buckets(dict_arr.dictionary.to_pylist())
+        tok_w = self.weights[
+            buckets[dict_arr.indices.to_numpy(zero_copy_only=False)]
+        ]
+        offs = np.zeros(batch.num_rows + 1, dtype=np.int64)
+        np.cumsum(doc_tok, out=offs[1:])
+        sums = (
+            np.add.reduceat(tok_w, offs[:-1][has])
+            if has.any()
+            else np.zeros(0, np.int64)
+        )
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[has]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "score": pa.array(sums, pa.int64()),
+                "label": pa.array(
+                    np.where(sums > 0, "keep", "drop"), pa.string()
+                ),
+            }
+        )
+
+
+def q_classifier_scores(sf_dir: str):
+    return _docs(sf_dir).map_batches(
+        HashedClassifier,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        **remote_kwargs(),
+    )
+
+
+_HASH_CLS_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                    x -> x != '')) AS token
+  FROM documents),
+b AS (SELECT doc_id,
+             CAST(('0x' || substr(md5(token), 1, 12)) AS BIGINT)
+               % {HASH_CLS_DIM} AS bucket
+      FROM w)
+SELECT doc_id,
+       CAST(sum((bucket * {HASH_CLS_MULT}) % {HASH_CLS_MOD}
+                - {HASH_CLS_MOD // 2}) AS BIGINT) AS score,
+       CASE WHEN sum((bucket * {HASH_CLS_MULT}) % {HASH_CLS_MOD}
+                     - {HASH_CLS_MOD // 2}) > 0
+            THEN 'keep' ELSE 'drop' END AS label
+FROM b GROUP BY 1
+"""
+
+register("text_classifier_scores", q_classifier_scores, _HASH_CLS_SQL)

@@ -140,7 +140,8 @@ def main() -> None:
                      "web_domain_stats", "web_pagerank", "text_bm25_topk",
                      "corpus_temperature_mixture", "text_unigram_entropy", "web_crawl_frontier",
                      "text_js_divergence_by_source",
-                     "dedup_incremental", "multimodal_phash"):
+                     "dedup_incremental", "multimodal_phash",
+                     "text_classifier_scores"):
             t0 = time.monotonic()
             out = qs[name](sf)
             df = out.to_pandas() if hasattr(out, "to_pandas") else out
