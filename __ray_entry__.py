@@ -711,6 +711,7 @@ GATE_FRONT = [
     "pipeline_top_exception_types",
     "pipeline_dead_letter",
     "text_classifier_scores",
+    "web_domain_cap",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

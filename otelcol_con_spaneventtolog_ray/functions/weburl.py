@@ -900,3 +900,97 @@ FROM p
 """
 
 register("web_link_reciprocity", q_link_reciprocity, _RECIPROCITY_SQL)
+
+
+# ---------------------------------------------------------------------------
+# per-domain document quota (crawl balancing) — the curation step that stops
+# a handful of giant hosts from dominating a training corpus (C4/RefinedWeb
+# style per-domain caps). Keep the CAP_K crawl-priority-smallest doc_ids per
+# registrable domain (the same skewed synthesized hosts as web_domain_stats,
+# so big domains saturate the cap while the tail passes through untouched).
+#
+# 100-TB shape: per-block combiner keeps <= CAP_K candidates per domain
+# present in the block (vectorized segment-rank mask, no sort of the corpus),
+# so the exchange carries <= |domains| x CAP_K x blocks (domain, doc_id)
+# rows; one bounded groupby(domain).map_groups picks the global smallest K.
+# No global sort, no full-row shuffle.
+# ---------------------------------------------------------------------------
+
+#: 25 binds at the driver's 500-doc gate tables (domains 6-9 and 13-19
+#: saturate, the small tail passes through) so BOTH regimes are hash-checked
+DOMAIN_CAP_K = 25
+
+
+def _cap_partials(batch: pa.Table) -> pa.Table:
+    ids = (
+        batch.column("doc_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    if len(ids) == 0:
+        return pa.table(
+            {"domain": pa.array([], pa.int64()),
+             "doc_id": pa.array([], pa.int64())}
+        )
+    dom = np.floor(np.sqrt((ids % _DOMAIN_MOD).astype(np.float64))).astype(
+        np.int64
+    )
+    order = np.lexsort((ids, dom))
+    d_s, i_s = dom[order], ids[order]
+    first = np.flatnonzero(np.concatenate([[True], d_s[1:] != d_s[:-1]]))
+    seg_len = np.diff(np.append(first, len(d_s)))
+    rank_in_seg = np.arange(len(d_s)) - np.repeat(first, seg_len)
+    keep = rank_in_seg < DOMAIN_CAP_K
+    return pa.table(
+        {"domain": pa.array(d_s[keep], pa.int64()),
+         "doc_id": pa.array(i_s[keep], pa.int64())}
+    )
+
+
+def _cap_group(g: pa.Table) -> pa.Table:
+    """One domain's candidate pool (<= CAP_K x blocks rows, bounded):
+    global smallest-K selection + 1-based crawl-priority rank."""
+    ids = np.sort(g.column("doc_id").to_numpy(zero_copy_only=False))[
+        :DOMAIN_CAP_K
+    ]
+    dom = int(g.column("domain")[0].as_py())
+    return pa.table(
+        {
+            "host": pa.array(
+                [f"d{dom:02d}.example"] * len(ids), pa.string()
+            ),
+            "doc_id": pa.array(ids, pa.int64()),
+            "rank": pa.array(
+                np.arange(1, len(ids) + 1, dtype=np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def q_domain_cap(sf_dir: str):
+    import ray.data
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        )
+        .map_batches(_cap_partials, batch_format="pyarrow", **remote_kwargs())
+        .groupby("domain")
+        .map_groups(_cap_group, batch_format="pyarrow", **remote_kwargs())
+    )
+
+
+_DOMAIN_CAP_SQL = f"""
+WITH r AS (
+  SELECT doc_id,
+         CAST(floor(sqrt(doc_id % {_DOMAIN_MOD})) AS BIGINT) AS dom,
+         row_number() OVER (
+           PARTITION BY floor(sqrt(doc_id % {_DOMAIN_MOD}))
+           ORDER BY doc_id) AS rank
+  FROM documents)
+SELECT 'd' || CASE WHEN dom < 10 THEN '0' ELSE '' END || dom
+         || '.example' AS host,
+       doc_id, rank
+FROM r WHERE rank <= {DOMAIN_CAP_K}
+"""
+
+register("web_domain_cap", q_domain_cap, _DOMAIN_CAP_SQL)

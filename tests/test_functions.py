@@ -63,7 +63,7 @@ SQL_CHECKED = [
     "rel_important_parts", "rel_heavy_shippers", "dedup_incremental",
     "corpus_train_holdout_split", "web_link_reciprocity",
     "dedup_rate_by_length_quartile", "web_rank_weighted_sample",
-    "text_classifier_scores",
+    "text_classifier_scores", "web_domain_cap",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

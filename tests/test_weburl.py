@@ -207,3 +207,46 @@ def test_crawl_frontier_planted_matches_scalar_bfs(ray_session, tmp_path):
     )
     exp = _canon(con.execute(e.oracle_sql()["web_crawl_frontier"]).df())
     pd.testing.assert_frame_equal(_canon(got), exp, check_dtype=False)
+
+
+def test_domain_cap_global_smallest_across_blocks(ray_session, tmp_path):
+    """Adversarial block split: each domain's crawl-priority-smallest ids
+    are scattered across MANY parquet row groups, so a per-block cap alone
+    would keep the wrong candidates — the final groupby fold must pick the
+    GLOBAL smallest K. Oracle = the mirror's row_number semantics in
+    DuckDB over the same file."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from tests.test_entry_queries import _canon, _to_df
+
+    rng = np.random.default_rng(7)
+    ids = rng.permutation(np.arange(4000, dtype=np.int64))  # shuffled order
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(["w"] * len(ids), pa.string()),
+            "lang": pa.array(["en"] * len(ids), pa.string()),
+        }
+    )
+    pq.write_table(
+        tbl, os.path.join(tmp_path, "documents.parquet"), row_group_size=250
+    )
+    got = _canon(_to_df(e.queries()["web_domain_cap"](str(tmp_path))))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(tmp_path, 'documents.parquet')}')"
+    )
+    exp = _canon(con.execute(e.oracle_sql()["web_domain_cap"]).df())
+    assert len(got) == len(exp)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the cap must actually bind: 4000 docs -> every domain saturates
+    assert got.groupby("host").size().max() == 25
