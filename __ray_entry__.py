@@ -607,6 +607,170 @@ def _q_dead_letter(sf_dir: str):
     )
 
 
+def _q_error_by_rank_band(sf_dir: str):
+    """Telemetry x crawl-graph composition: error/event volume per PageRank
+    magnitude band — "do low-authority pages emit disproportionate errors?",
+    the observability-meets-crawl-quality report. Bands are the DIGIT COUNT
+    of the integer fixed-point rank (exact in both engines — no float log,
+    no global max pass), so band assignment is a zero-exchange map over the
+    already-bounded iterative rank DAG. Per-doc event/error counts come from
+    the REAL routed records (pre-reduced per block, completed with zero rows
+    so event-less docs survive the inner join); one doc-keyed hash join +
+    one |bands|-sized groupby are the only exchanges past the rank fold."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from otelcol_con_spaneventtolog_ray.functions.blockutil import retype_block
+    from otelcol_con_spaneventtolog_ray.functions.relutil import (
+        _q3_join_sentinels,
+    )
+    from otelcol_con_spaneventtolog_ray.functions.weburl import (
+        _pagerank_ranks,
+    )
+
+    p10 = np.power(10, np.arange(1, 19)).astype(np.int64)
+
+    def band_map(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "band": pa.array([], pa.int64())}
+            )
+        r = t.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        band = (np.searchsorted(p10, r, side="right") + 1).astype(np.int64)
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "band": pa.array(band, pa.int64())}
+        )
+
+    def ev_partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "ne": pa.array([], pa.int64())}
+            )
+        doc = pc.cast(
+            pc.utf8_slice_codeunits(t.column("url"), start=21, stop=1 << 30),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        err = (
+            t.column("sink").to_numpy(zero_copy_only=False) == "error"
+        ).astype(np.int64)
+        order = np.argsort(doc, kind="stable")
+        d, e = doc[order], err[order]
+        first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        return pa.table(
+            {"doc_id": pa.array(d[first], pa.int64()),
+             "n": pa.array(
+                 np.diff(np.append(first, len(d))).astype(np.int64),
+                 pa.int64()),
+             "ne": pa.array(np.add.reduceat(e, first), pa.int64())}
+        )
+
+    def zero_rows(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+             "n": pa.array(z, pa.int64()),
+             "ne": pa.array(z, pa.int64())}
+        )
+
+    counts = (
+        _records(sf_dir, DEFAULT_CFG)
+        .select_columns(["url", "sink"])
+        .map_batches(ev_partials, batch_format="pyarrow", **remote_kwargs())
+        .union(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+            ).map_batches(zero_rows, batch_format="pyarrow", **remote_kwargs())
+        )
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n"), Sum("ne", alias_name="ne"))
+        .map_batches(
+            lambda t: retype_block(
+                t,
+                {"doc_id": ("doc_id", pa.int64()),
+                 "n": ("n", pa.int64()),
+                 "ne": ("ne", pa.int64())},
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+    )
+
+    bands = _pagerank_ranks(sf_dir, op="pipeline_error_by_rank_band").map_batches(
+        band_map, batch_format="pyarrow", **remote_kwargs()
+    )
+    num_partitions = 8
+    sent = _q3_join_sentinels(num_partitions)
+    zs = np.zeros(len(sent), np.int64)
+    bands = bands.union(ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(sent, pa.int64()),
+         "band": pa.array(zs - 1, pa.int64())}
+    )))
+    counts = counts.union(ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(sent, pa.int64()),
+         "n": pa.array(zs, pa.int64()),
+         "ne": pa.array(zs, pa.int64())}
+    )))
+    joined = bands.join(
+        counts, join_type="inner", num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def band_partials(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ids >= 0))
+        if t.num_rows == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int64()),
+                 "n_docs": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "ne": pa.array([], pa.int64())}
+            )
+        b = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = t.column("ne").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        b_s = b[order]
+        first = np.flatnonzero(np.concatenate([[True], b_s[1:] != b_s[:-1]]))
+        return pa.table(
+            {"band": pa.array(b_s[first], pa.int64()),
+             "n_docs": pa.array(
+                 np.diff(np.append(first, len(b_s))).astype(np.int64),
+                 pa.int64()),
+             "n": pa.array(np.add.reduceat(n[order], first), pa.int64()),
+             "ne": pa.array(np.add.reduceat(e[order], first), pa.int64())}
+        )
+
+    df = (
+        joined.map_batches(band_partials, batch_format="pyarrow",
+                           **remote_kwargs())
+        .groupby("band")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n", alias_name="n_events"),
+            Sum("ne", alias_name="n_errors"),
+        )
+        .map_batches(
+            lambda t: retype_block(
+                t,
+                {"band": ("band", pa.int64()),
+                 "n_docs": ("n_docs", pa.int64()),
+                 "n_events": ("n_events", pa.int64()),
+                 "n_errors": ("n_errors", pa.int64())},
+            ),
+            batch_format="pyarrow", **remote_kwargs(),
+        )
+        .to_pandas()
+    )
+    df = df.sort_values("band").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["band", "n_docs", "n_events", "n_errors"]], preserve_index=False
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: full parse->enrich over embedded pages,
     returning the per-sink routed counts (small, stable schema)."""
@@ -712,6 +876,7 @@ GATE_FRONT = [
     "pipeline_dead_letter",
     "text_classifier_scores",
     "web_domain_cap",
+    "pipeline_error_by_rank_band",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round
@@ -783,6 +948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_status_quantiles": _q_status_quantiles,
         "pipeline_top_exception_types": _q_top_exception_types,
         "pipeline_dead_letter": _q_dead_letter,
+        "pipeline_error_by_rank_band": _q_error_by_rank_band,
         "events_severity_route": _q_events_severity_route,
         "events_hourly_counts": _q_events_hourly_counts,
     }
@@ -901,6 +1067,33 @@ def _status_q_sql() -> str:
         " SELECT r.service AS service, max(n.n) AS n,\n"
         + pcols
         + "\nFROM r JOIN n USING (service) GROUP BY 1 ORDER BY 1"
+    )
+
+
+def _error_band_sql() -> str:
+    """PageRank CTE (the weburl mirror, unrolled integer iterations) joined
+    against the embedded-event error counts; band = digit count of the
+    fixed-point rank (length of its decimal rendering — exact in both
+    engines, no float log)."""
+    from otelcol_con_spaneventtolog_ray.functions.weburl import _pagerank_cte
+
+    cte, prev = _pagerank_cte()
+    return (
+        cte
+        + """,
+ev2 AS (
+  SELECT d.doc_id AS doc_id, (d.doc_id + t.j) % 5 AS k
+  FROM documents d, LATERAL (SELECT unnest(range(d.doc_id % 4)) AS j) t),
+ec AS (SELECT doc_id, count(*) AS n,
+              sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS ne
+       FROM ev2 GROUP BY 1)
+SELECT CAST(length(CAST(r.rank AS VARCHAR)) AS BIGINT) AS band,
+       count(*) AS n_docs,
+       CAST(coalesce(sum(ec.n), 0) AS BIGINT) AS n_events,
+       CAST(coalesce(sum(ec.ne), 0) AS BIGINT) AS n_errors
+FROM """
+        + prev
+        + " r LEFT JOIN ec USING (doc_id) GROUP BY 1 ORDER BY 1"
     )
 
 
@@ -1027,6 +1220,7 @@ def oracle_sql() -> dict[str, str]:
         " CASE (doc_id // 6) % 3 WHEN 0 THEN 'bad_token_count'"
         " WHEN 1 THEN 'bad_field_or_ts' ELSE 'bad_hex' END AS reason"
         " FROM documents WHERE doc_id % 6 = 0",
+        "pipeline_error_by_rank_band": _error_band_sql(),
         "events_severity_route": "SELECT event_type,"
         f" {_EVENTS_ROUTE_CASE} AS severity_text, count(*) AS n FROM events"
         " GROUP BY 1, 2 ORDER BY 1, 2",

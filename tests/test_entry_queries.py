@@ -67,7 +67,7 @@ PIPELINE_GATED = [
     "pipeline_log_templates", "pipeline_trace_rollup",
     "pipeline_service_severity", "pipeline_attr_key_stats",
     "pipeline_status_quantiles", "pipeline_top_exception_types",
-    "pipeline_dead_letter",
+    "pipeline_dead_letter", "pipeline_error_by_rank_band",
     "events_severity_route", "events_hourly_counts",
 ]
 
