@@ -877,6 +877,7 @@ GATE_FRONT = [
     "text_classifier_scores",
     "web_domain_cap",
     "pipeline_error_by_rank_band",
+    "similarity_mmr_topk",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

@@ -1742,3 +1742,129 @@ FROM cells c ORDER BY c.vec_id
 """
 
 register("dedup_semantic_keep", q_semdedup_keep, _SEMDEDUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# MMR-diversified top-k (Carbonell & Goldstein 1998) — the retrieval
+# post-processing step RAG/data-selection pipelines run after ANN: greedily
+# re-rank a candidate pool balancing relevance against redundancy,
+# mmr(d) = LAMBDA * sim(q, d) - (1 - LAMBDA) * max sim(d, selected).
+#
+# 100-TB shape: the DISTRIBUTED work is (1) the same per-block local-top-k
+# candidate scan cosine_topk runs (pool partials only cross to the driver)
+# and (2) ONE filtered gather of the <= Q x MMR_POOL pool vectors
+# (broadcast sorted id list, searchsorted membership per block — no second
+# full-matrix anything). The greedy selection itself is O(Q x k x pool)
+# on the driver over a bounded pool — the part that cannot parallelize
+# (each pick depends on all previous picks) stays driver-side by design.
+# Rows-only query: the greedy argmax chain is not SQL-expressible; pinned
+# by an exact brute-force numpy oracle test instead.
+# ---------------------------------------------------------------------------
+
+MMR_POOL = 50        # relevance candidates per query entering the re-rank
+MMR_K = TOP_K        # diversified results returned per query
+MMR_LAMBDA = 0.7     # relevance weight (classic default)
+
+
+def q_mmr_topk(sf_dir: str):
+    import ray
+
+    q_ids, q_mat = _query_vectors(sf_dir)
+    q_ref = ray.put((q_ids, _norm_rows(q_mat)))
+
+    def local_pool(batch: pa.Table) -> pa.Table:
+        qids, qn = ray.get(q_ref)
+        ids, mat = _batch_matrix(batch)
+        sims = _norm_rows(mat) @ qn.T
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            col = sims[:, qi]
+            mask = ids != qid
+            cids, csims = ids[mask], np.round(col[mask], 6)
+            order = np.lexsort((cids, -csims))[:MMR_POOL]
+            out_q += [int(qid)] * len(order)
+            out_n += cids[order].tolist()
+            out_s += csims[order].tolist()
+        return pa.table(
+            {"qid": pa.array(out_q, pa.int64()),
+             "nid": pa.array(out_n, pa.int64()),
+             "score": pa.array(out_s, pa.float64())}
+        )
+
+    partials = (
+        _emb(sf_dir)
+        .map_batches(local_pool, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    if len(partials) == 0:
+        return pa.table(
+            {"qid": pa.array([], pa.int64()),
+             "nid": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64())}
+        )
+    partials = partials.sort_values(
+        ["qid", "score", "nid"], ascending=[True, False, True], kind="stable"
+    )
+    pool = partials.groupby("qid", sort=True).head(MMR_POOL)
+
+    # gather the pool vectors: ONE filtered scan, searchsorted membership
+    want = np.unique(pool["nid"].to_numpy())
+    want_ref = ray.put(want)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        w = ray.get(want_ref)
+        ids, mat = _batch_matrix(batch)
+        pos = np.searchsorted(w, ids)
+        pos[pos >= len(w)] = 0
+        keep = w[pos] == ids
+        sel = np.flatnonzero(keep)
+        return pa.table(
+            {"vec_id": pa.array(ids[sel], pa.int64()),
+             "embedding": pa.array(
+                 [mat[i].tolist() for i in sel],
+                 pa.list_(pa.float32()))}
+        )
+
+    got = _emb(sf_dir).map_batches(
+        gather, batch_format="pyarrow", **remote_kwargs()
+    ).to_pandas()
+    vec_by_id = {
+        int(r.vec_id): _norm_rows(
+            np.asarray(r.embedding, np.float64)[None, :]
+        )[0]
+        for r in got.itertuples()
+    }
+
+    rows_q, rows_n, rows_r, rows_s = [], [], [], []
+    for qid, g in pool.groupby("qid", sort=True):
+        nids = g["nid"].to_numpy()
+        rel = g["score"].to_numpy()  # already rounded 6dp, sorted desc
+        cand = np.stack([vec_by_id[int(n)] for n in nids])
+        pair = np.round(cand @ cand.T, 6)  # candidate-candidate sims
+        selected: list[int] = []
+        avail = np.ones(len(nids), dtype=bool)
+        for rank in range(1, min(MMR_K, len(nids)) + 1):
+            if selected:
+                red = pair[:, selected].max(axis=1)
+            else:
+                red = np.zeros(len(nids))
+            mmr = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * red
+            mmr[~avail] = -np.inf
+            # argmax with (mmr desc, nid asc) tie-break
+            best = np.lexsort((nids, -mmr))[0]
+            selected.append(int(best))
+            avail[best] = False
+            rows_q.append(int(qid))
+            rows_n.append(int(nids[best]))
+            rows_r.append(rank)
+            rows_s.append(float(rel[best]))
+    return pa.table(
+        {"qid": pa.array(rows_q, pa.int64()),
+         "nid": pa.array(rows_n, pa.int64()),
+         "rank": pa.array(rows_r, pa.int64()),
+         "score": pa.array(rows_s, pa.float64())}
+    )
+
+
+register("similarity_mmr_topk", q_mmr_topk)

@@ -81,7 +81,7 @@ ROWS_ONLY_RUN = [
     "sketch_bloom_users", "sketch_cms_top_tokens", "text_bpe_merges",
     "sketch_mg_heavy_users", "text_decontaminate_fuzzy",
     "multimodal_phash", "multimodal_phash_near_dups",
-    "dedup_containment_pairs",
+    "dedup_containment_pairs", "similarity_mmr_topk",
 ]
 
 
@@ -1951,3 +1951,64 @@ def test_containment_planted_doc_inside_doc(ray_session, tmp_path):
         exact = len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b]))
         assert abs(c - round(exact, 6)) < 1e-9
         assert exact >= CONTAINMENT_THRESHOLD
+
+
+def test_mmr_topk_matches_bruteforce_oracle(ray_session):
+    """Exact oracle for the rows-only MMR query: recompute the full greedy
+    MMR chain over ALL embeddings in one numpy pass (global top-MMR_POOL
+    relevance pool, identical 6dp rounding and (mmr desc, nid asc)
+    tie-break) and require byte-equality. Equality holds only if the
+    distributed candidate fold really contains the GLOBAL pool and the
+    filtered vector gather returned the right rows."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        NUM_QUERIES,
+        _norm_rows,
+    )
+
+    got = _to_df(e.queries()["similarity_mmr_topk"](SF_DIR))
+
+    t = pq.read_table(
+        os.path.join(SF_DIR, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = t.column("embedding").combine_chunks()
+    mat = _norm_rows(
+        emb.flatten().to_numpy(zero_copy_only=False)
+        .astype(np.float64).reshape(len(ids), -1)
+    )
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    qsel = np.arange(min(NUM_QUERIES, len(ids)))
+    rows = []
+    for qi in qsel:
+        qid = int(ids[qi])
+        sims = np.round(mat @ mat[qi], 6)
+        mask = ids != qid
+        cids, csims = ids[mask], sims[mask]
+        o = np.lexsort((cids, -csims))[:MMR_POOL]
+        nids, rel = cids[o], csims[o]
+        cand = mat[np.searchsorted(ids, nids)]
+        pair = np.round(cand @ cand.T, 6)
+        sel: list[int] = []
+        avail = np.ones(len(nids), dtype=bool)
+        for rank in range(1, min(MMR_K, len(nids)) + 1):
+            red = pair[:, sel].max(axis=1) if sel else np.zeros(len(nids))
+            mmr = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * red
+            mmr[~avail] = -np.inf
+            best = int(np.lexsort((nids, -mmr))[0])
+            sel.append(best)
+            avail[best] = False
+            rows.append((qid, int(nids[best]), rank, float(rel[best])))
+    exp = pd.DataFrame(rows, columns=["qid", "nid", "rank", "score"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
