@@ -160,3 +160,46 @@ def test_enrich_equals_oracle_for_any_config(cfg, seed):
         assert g["attributes"] == list(e.attributes.items())
         assert g["resource_attrs"] == list(e.resource_attrs.items())
         assert g["sink"] == e.sink
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(PAGE_TEXT, min_size=1, max_size=4))
+def test_dead_letter_conserves_every_otel_line(texts):
+    """Dead-letter conservation law: for ANY input, every 'OTEL1 '-prefixed
+    line lands in exactly one of {events, dead-letter} with its bytes
+    intact, the audit mode changes nothing about the events output, and
+    every rejection reason is from the declared vocabulary."""
+    from otelcol_con_spaneventtolog_ray.sources.synth import (
+        MALFORMED_REASONS,
+    )
+
+    n = len(texts)
+    batch = pa.Table.from_arrays(
+        [
+            pa.array([f"https://t.example/{i}" for i in range(n)], pa.string()),
+            pa.array([0] * n, pa.timestamp("us")),
+            pa.array([b""] * n, pa.binary()),
+            pa.array(texts, pa.large_string()),
+            pa.array(["en"] * n, pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+    plain = parse_pages_batch(batch)
+    events, dead = parse_pages_batch(batch, collect_malformed=True)
+    # audit mode is a pure side-channel: events output identical
+    assert events.equals(plain)
+    assert set(dead.column("reason").to_pylist()) <= set(MALFORMED_REASONS)
+    # per-page conservation, byte-identical lines (multiset equality)
+    got: dict[str, list[str]] = {}
+    for url, raw in zip(
+        events.column("url").to_pylist(), events.column("raw").to_pylist()
+    ):
+        got.setdefault(url, []).append(raw)
+    for url, raw in zip(
+        dead.column("url").to_pylist(), dead.column("raw").to_pylist()
+    ):
+        got.setdefault(url, []).append(raw)
+    for i, text in enumerate(texts):
+        url = f"https://t.example/{i}"
+        want = [ln for ln in text.split("\n") if ln.startswith("OTEL1 ")]
+        assert sorted(got.get(url, [])) == sorted(want), url
