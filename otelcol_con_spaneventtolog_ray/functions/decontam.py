@@ -39,8 +39,12 @@ DECON_K = 5
 
 #: deterministic benchmark set: doc_id % DECON_BENCH_MOD == 0 (a stand-in
 #: for an eval suite living in its own table; swap _benchmark_mask to point
-#: at one)
-DECON_BENCH_MOD = 97
+#: at one). Real suites are FIXED-size — the mod selector merely scales the
+#: stand-in with sf so every test scale has a non-trivial suite; the
+#: broadcast index stays O(|benchmark|) either way. 10 (not a sparser mod)
+#: so the suite intersects the corpus's planted near-dup pairs and the
+#: fuzzy path below is exercised end-to-end on the driver tables.
+DECON_BENCH_MOD = 10
 
 
 def _docs(sf_dir: str):

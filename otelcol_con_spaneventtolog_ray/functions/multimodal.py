@@ -358,6 +358,44 @@ register("multimodal_frame_sample", q_media_frames, _FRAMES_SQL)
 
 PHASH_MIN_BYTES = 64
 PHASH_HAMMING_MAX = 3
+#: every PHASH_VARIANT_MOD-th doc also emits a "re-encoded" copy of its
+#: payload (one byte perturbed, media_id = doc_id + PHASH_VARIANT_BASE).
+#: The text-bytes stand-in payload has NO organic aHash near-dups — the
+#: corpus's planted near-dup TEXT pairs measure aHash Hamming 14-35,
+#: indistinguishable from the random-pair mean of ~32, because a word edit
+#: shifts all 64 block boundaries. Real thumbnail re-encodes perturb bytes
+#: in place, which is what the variant simulates; only the phash queries
+#: read this augmented source, so the SQL-gated resize/frames/features
+#: oracles over the unaugmented media table are untouched.
+PHASH_VARIANT_MOD = 25
+PHASH_VARIANT_BASE = 1_000_000_000
+
+
+def attach_payload_variants_batch(batch: pa.Table) -> pa.Table:
+    """attach_payload + deterministic near-identical re-encode rows."""
+    base = attach_payload_batch(batch)
+    ids = base.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    sel = ids % PHASH_VARIANT_MOD == 0
+    if not sel.any():
+        return base
+    sub = base.filter(pa.array(sel))
+    payloads = []
+    for p in sub.column("payload").to_pylist():
+        b = bytearray(p)
+        if len(b) >= PHASH_MIN_BYTES:
+            mid = len(b) // 2
+            b[mid] = (b[mid] + 128) % 256  # one-byte "re-encode artifact"
+        payloads.append(bytes(b))
+    variant = pa.Table.from_arrays(
+        [
+            pa.array(ids[sel] + PHASH_VARIANT_BASE, pa.int64()),
+            sub.column("media_type"),
+            pa.array(payloads, pa.large_binary()),
+            sub.column("payload_len"),
+        ],
+        schema=base.schema,
+    )
+    return pa.concat_tables([base, variant])
 
 
 def ahash_batch(batch: pa.Table) -> pa.Table:
@@ -425,8 +463,19 @@ def ahash_batch(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
+def _media_ds_variants(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(
+        attach_payload_variants_batch, batch_format="pyarrow", **remote_kwargs()
+    )
+
+
 def q_media_phash(sf_dir: str):
-    """(doc_id, phash) — the per-payload 64-bit average-hash. Rows-only."""
+    """(doc_id, phash) — the per-payload 64-bit average-hash over the
+    variant-augmented media table. Rows-only."""
 
     def fmt(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -434,7 +483,7 @@ def q_media_phash(sf_dir: str):
         )
 
     return (
-        _media_ds(sf_dir)
+        _media_ds_variants(sf_dir)
         .map_batches(ahash_batch, batch_format="pyarrow",
                      batch_size=MEDIA_BATCH_SIZE, **remote_kwargs())
         .map_batches(fmt, batch_format="pyarrow", **remote_kwargs())
@@ -444,7 +493,9 @@ def q_media_phash(sf_dir: str):
 def q_media_phash_near_dups(sf_dir: str):
     """Near-identical payload pairs (aHash Hamming <= PHASH_HAMMING_MAX):
     chunk-equality buckets -> per-bucket row-blocked XOR-popcount verify —
-    dedup's SimHash kernels over the multimodal hash. Rows-only."""
+    dedup's SimHash kernels over the multimodal hash, run over the
+    variant-augmented media table (each planted re-encode pairs with its
+    original at Hamming ~0-2). Rows-only."""
     from .dedup import VERIFY_MAX_GROUP, _simhash_verify_group
 
     def fanout(batch: pa.Table) -> pa.Table:
@@ -470,7 +521,7 @@ def q_media_phash_near_dups(sf_dir: str):
         return out.filter(pa.array(ham <= PHASH_HAMMING_MAX))
 
     pairs = (
-        _media_ds(sf_dir)
+        _media_ds_variants(sf_dir)
         .map_batches(fanout, batch_format="pyarrow",
                      batch_size=MEDIA_BATCH_SIZE, **remote_kwargs())
         .groupby(["chunk_idx", "chunk_val"])

@@ -1890,9 +1890,11 @@ def test_phash_near_dups_planted_byte_flips(ray_session, tmp_path):
     pat_alt = "".join(blk_a if i % 2 == 0 else blk_u for i in range(64))
     pat_half = blk_a * 32 + blk_u * 32
     pat_half_edit = blk_a * 5 + blk_u + blk_a * 26 + blk_u * 32
-    ids = [0, 1, 2, 100, 101]
+    # ids avoid PHASH_VARIANT_MOD multiples except 50, which pins the
+    # planted re-encode variant pairing with its own original
+    ids = [1, 2, 3, 101, 102, 50]
     texts = [pat_alt, pat_half, "the quick brown fox " * 60,
-             pat_alt, pat_half_edit]
+             pat_alt, pat_half_edit, "lorem ipsum dolor sit " * 60]
     tbl = pa.table({
         "doc_id": pa.array(ids, pa.int64()),
         "text": pa.array(texts, pa.string()),
@@ -1907,7 +1909,14 @@ def test_phash_near_dups_planted_byte_flips(ray_session, tmp_path):
         (r["id_a"], r["id_b"]): r["hamming"]
         for r in q_media_phash_near_dups(str(d)).to_pylist()
     }
-    assert pairs == {(0, 100): 0, (1, 101): 1}
+    from otelcol_con_spaneventtolog_ray.functions.multimodal import (
+        PHASH_VARIANT_BASE,
+    )
+
+    variant_pair = (50, PHASH_VARIANT_BASE + 50)
+    assert variant_pair in pairs and pairs[variant_pair] <= 3
+    del pairs[variant_pair]
+    assert pairs == {(1, 101): 0, (2, 102): 1}
 
 
 def test_containment_planted_doc_inside_doc(ray_session, tmp_path):

@@ -36,10 +36,11 @@ def test_fuzzy_decontam_matches_bruteforce_oracle(ray_session, tmp_path):
     ids = list(range(n))
     texts = [" ".join(rng.choice(words, size=50)) for _ in range(n)]
     M = DECON_BENCH_MOD  # benchmark ids: 0, M, 2M
-    texts[10] = texts[M].replace("alpha", "omega", 1)   # near copy (j~0.9)
-    texts[11] = texts[0]                                # exact copy (j=1.0)
+    pa_, pb, pc = M + 1, M + 2, M + 3  # planted ids, never % M == 0
+    texts[pa_] = texts[M].replace("alpha", "omega", 1)  # near copy (j~0.9)
+    texts[pb] = texts[0]                                # exact copy (j=1.0)
     half = texts[2 * M].split()                         # heavy edit (j<0.5)
-    texts[12] = " ".join(half[:10] + ["zzz"] * 40)
+    texts[pc] = " ".join(half[:10] + ["zzz"] * 40)
     sf = _write_docs(tmp_path, texts, ids)
 
     got = q_decontaminate_fuzzy(sf).to_pandas()
@@ -59,9 +60,10 @@ def test_fuzzy_decontam_matches_bruteforce_oracle(ray_session, tmp_path):
         )
     )
     assert sorted(got_pairs) == sorted(exp)
-    assert (10, M, 0.88) in got_pairs
-    assert (11, 0, 1.0) in got_pairs
-    assert not any(d == 12 for d, _, _ in got_pairs)  # heavy edit below 0.5
+    near = [(d, b, j) for d, b, j in got_pairs if d == pa_ and b == M]
+    assert len(near) == 1 and 0.7 <= near[0][2] < 1.0  # near copy found
+    assert (pb, 0, 1.0) in got_pairs
+    assert not any(d == pc for d, _, _ in got_pairs)  # heavy edit below 0.5
 
 
 def test_fuzzy_decontam_empty_and_no_benchmark(ray_session, tmp_path):
