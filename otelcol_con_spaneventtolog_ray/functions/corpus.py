@@ -359,7 +359,14 @@ FROM u ORDER BY source
 
 def q_training_chunks(sf_dir: str):
     """(doc_id, chunk_idx, n_tokens) for every chunk of every KEPT document
-    (rows-only; composition pinned against the component queries)."""
+    (rows-only; composition pinned against the component queries).
+
+    Deliberately NOT SQL-gated: the keep-set's near-dup component is
+    MinHash-LSH with 8 bands x 8 rows, whose detection probability at the
+    0.8 Jaccard threshold is 1-(1-j^8)^8 ~ 0.77 — an exact-Jaccard DuckDB
+    mirror is the WRONG oracle by design (it would flag every pair the
+    banding probabilistically skips). Contrast text_decontaminate_fuzzy,
+    whose 32x2 banding at threshold 0.5 misses <= 1e-4 and IS gated."""
     import ray
 
     from . import textstats as _textstats2

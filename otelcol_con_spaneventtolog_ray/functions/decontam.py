@@ -674,8 +674,9 @@ def q_decontaminate_fuzzy(sf_dir: str):
             batch.column("doc_id").to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        # benchmark docs trivially match themselves — drop self pairs
-        not_self = ids[pair_doc] != bids[pair_bench]
+        # benchmark docs are not training docs (docstring contract; also
+        # drops the trivial self-match) — exclude them from the left side
+        not_self = ids[pair_doc] % DECON_BENCH_MOD != 0
         pair_doc, pair_bench = pair_doc[not_self], pair_bench[not_self]
         if len(pair_doc) == 0:
             return empty
@@ -714,4 +715,35 @@ def q_decontaminate_fuzzy(sf_dir: str):
     )
 
 
-register("text_decontaminate_fuzzy", q_decontaminate_fuzzy)  # rows-only (LSH)
+# SQL-gatable DESPITE the LSH: at threshold 0.5 with 32 bands x 2 rows the
+# per-pair miss probability is (1 - j^2)^32 <= 1e-4 at the j=0.5 boundary
+# and ~1e-12 at the planted j>=0.85, so exact-Jaccard IS the oracle (unlike
+# dedup's 8x8 banding at 0.8, whose ~23%-at-threshold recall curve is the
+# documented reason corpus_clean_keep/training_chunks stay rows-only).
+# Same word-split + distinct-3-gram semantics as the Ray kernels; the
+# jaccard >= 0.5 test is pure integers (3*inter >= |a|+|b|) on both sides.
+_FUZZY_DECON_SQL = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x != '') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+           i -> w[i] || chr(1) || w[i+1] || chr(1) || w[i+2])) AS s
+  FROM w),
+b AS (SELECT doc_id, s FROM sh
+      WHERE doc_id % {DECON_BENCH_MOD} = 0 AND len(s) > 0),
+t AS (SELECT doc_id, s FROM sh
+      WHERE doc_id % {DECON_BENCH_MOD} != 0 AND len(s) > 0),
+p AS (
+  SELECT t.doc_id AS doc_id, b.doc_id AS bench_doc_id,
+         len(list_intersect(t.s, b.s)) AS inter,
+         len(t.s) AS la, len(b.s) AS lb
+  FROM t JOIN b ON TRUE)
+SELECT doc_id, bench_doc_id,
+       round(inter::DOUBLE / (la + lb - inter), 6) AS jaccard
+FROM p WHERE inter > 0 AND 3 * inter >= la + lb
+"""
+
+register("text_decontaminate_fuzzy", q_decontaminate_fuzzy, _FUZZY_DECON_SQL)

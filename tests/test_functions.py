@@ -64,6 +64,7 @@ SQL_CHECKED = [
     "corpus_train_holdout_split", "web_link_reciprocity",
     "dedup_rate_by_length_quartile", "web_rank_weighted_sample",
     "text_classifier_scores", "web_domain_cap",
+    "text_decontaminate_fuzzy",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
@@ -79,7 +80,7 @@ ROWS_ONLY_RUN = [
     "similarity_pq_codes", "similarity_pq_topk",
     "similarity_pq_rerank", "corpus_training_chunks",
     "sketch_bloom_users", "sketch_cms_top_tokens", "text_bpe_merges",
-    "sketch_mg_heavy_users", "text_decontaminate_fuzzy",
+    "sketch_mg_heavy_users",
     "multimodal_phash", "multimodal_phash_near_dups",
     "dedup_containment_pairs", "similarity_mmr_topk",
 ]
@@ -90,16 +91,7 @@ def test_rows_only_query_runs_nonempty(ray_session, name):
     import __ray_entry__ as e
 
     out = _to_df(e.queries()[name](SF_DIR))
-    if name == "text_decontaminate_fuzzy":
-        # the driver corpus has no >=0.5-Jaccard benchmark near-copies, so
-        # the CORRECT result is empty; schema must still be stable (the
-        # planted-contamination test in test_fuzzy_decontam.py pins rows)
-        assert list(out.columns) == ["doc_id", "bench_doc_id", "jaccard"]
-    elif name == "multimodal_phash_near_dups":
-        # distinct synthetic payloads rarely land within Hamming 3; empty
-        # is correct — recall is pinned by the planted byte-flip fixture
-        assert list(out.columns) == ["id_a", "id_b", "hamming"]
-    elif name == "dedup_containment_pairs":
+    if name == "dedup_containment_pairs":
         # the driver corpus has no >=0.9-containment embeddings; empty is
         # correct — recall/exactness pinned by the planted fixture
         assert list(out.columns) == ["id_a", "id_b", "containment"]
