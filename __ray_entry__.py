@@ -878,6 +878,8 @@ GATE_FRONT = [
     "web_domain_cap",
     "pipeline_error_by_rank_band",
     "similarity_mmr_topk",
+    # final-session additions — never gated, queue behind the overflow
+    "corpus_dsir_weights",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

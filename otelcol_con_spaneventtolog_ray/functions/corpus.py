@@ -1006,3 +1006,199 @@ FROM documents GROUP BY 1 ORDER BY 1
 """
 
 register("corpus_train_holdout_split", q_train_holdout_split, _HOLDOUT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., 2023,
+# arXiv:2302.03169): score every corpus document by how much its hashed
+# bigram features look like a TARGET domain sample relative to the raw
+# corpus. Target stand-in = the decontam benchmark set (doc_id % MOD == 0),
+# the same "eval suite living in its own table" swap point.
+#
+# 100-TB shape: pass 1 is a histogram scan whose per-block partial is at
+# most DSIR_DIM rows (no shuffle — the driver folds |blocks| x <=DSIR_DIM
+# tiny rows); pass 2 is an ACTOR-POOL scoring scan (the importance-weight
+# table is built once per actor in __init__ from the broadcast histograms,
+# the model-load pattern) with zero exchange. Two corpus scans total —
+# exactly the estimate-then-score structure of the paper.
+#
+# Parity contract: per-bucket log-ratio quantized to INTEGER micro-nats
+# (round(1e6 * (ln p - ln q)), the text_lm_score contract) so the per-doc
+# sum is exact int64 arithmetic in any order and engine; the feature hash
+# is the mirrored md5-substr contract of text_classifier_scores.
+# ---------------------------------------------------------------------------
+
+DSIR_DIM = 1024  # hashed feature buckets (paper uses 10^4 for full CC)
+
+
+def _bigram_flat(batch: pa.Table):
+    """(bigrams:StringArray, parents:int64) — consecutive same-doc token
+    pairs joined with one space (words never contain whitespace, so the
+    join is unambiguous on both engines)."""
+    import pyarrow.compute as pc
+
+    flat, parents = _textstats._words_flat(batch)
+    if len(flat) < 2:
+        return flat.slice(0, 0), np.zeros(0, np.int64)
+    same = parents[1:] == parents[:-1]
+    m = pa.array(same)
+    a = flat.slice(0, len(flat) - 1).filter(m)
+    b = flat.slice(1).filter(m)
+    return (
+        pc.binary_join_element_wise(a, b, " "),
+        parents[:-1][same],
+    )
+
+
+def _dsir_buckets(bigrams) -> np.ndarray:
+    """md5-substr bucket per bigram, hashed once per DISTINCT bigram."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    if len(bigrams) == 0:
+        return np.zeros(0, np.int64)
+    d = pc.dictionary_encode(bigrams)
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    uniq = np.array(
+        [
+            int(hashlib.md5(s.encode()).hexdigest()[:12], 16) % DSIR_DIM
+            for s in d.dictionary.to_pylist()
+        ],
+        dtype=np.int64,
+    )
+    return uniq[d.indices.to_numpy(zero_copy_only=False)]
+
+
+def dsir_histograms(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """(n_all, n_bench) int64[DSIR_DIM] bigram-bucket histograms over the
+    corpus and the benchmark subset. Per-block partials are <= DSIR_DIM
+    rows; the driver fold is O(blocks x DSIR_DIM)."""
+    from .decontam import DECON_BENCH_MOD
+
+    def partial(batch: pa.Table) -> pa.Table:
+        big, parents = _bigram_flat(batch)
+        bk = _dsir_buckets(big)
+        ids = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        bench_rows = (ids % DECON_BENCH_MOD == 0)[parents]
+        n_all = np.bincount(bk, minlength=DSIR_DIM)
+        n_bench = np.bincount(bk[bench_rows], minlength=DSIR_DIM)
+        present = np.flatnonzero(n_all)
+        return pa.table(
+            {
+                "bucket": pa.array(present, pa.int64()),
+                "n_all": pa.array(n_all[present], pa.int64()),
+                "n_bench": pa.array(n_bench[present], pa.int64()),
+            }
+        )
+
+    df = (
+        _dedup._docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    n_all = np.zeros(DSIR_DIM, np.int64)
+    n_bench = np.zeros(DSIR_DIM, np.int64)
+    if len(df):
+        g = df.groupby("bucket").sum()
+        n_all[g.index.to_numpy()] = g["n_all"].to_numpy()
+        n_bench[g.index.to_numpy()] = g["n_bench"].to_numpy()
+    return n_all, n_bench
+
+
+class DsirScorer:
+    """Actor-pool scoring stage: the per-bucket importance weight table
+    (integer micro-nats) is derived once per actor in ``__init__`` from the
+    corpus/target histograms; ``__call__`` is one gather + segment-sum."""
+
+    def __init__(self, n_all: np.ndarray, n_bench: np.ndarray):
+        s_all = float(n_all.sum())
+        s_bench = float(n_bench.sum())
+        # add-1 smoothed log-ratio, quantized BEFORE the per-doc sum (the
+        # text_lm_score micro-nat contract: int64 sums are order-exact and
+        # the 1e6 quantizer absorbs last-ulp ln() noise between engines)
+        p = (n_bench + 1) / (s_bench + DSIR_DIM)
+        q = (n_all + 1) / (s_all + DSIR_DIM)
+        self.m = np.rint((np.log(p) - np.log(q)) * 1e6).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        big, parents = _bigram_flat(batch)
+        bk = _dsir_buckets(big)
+        n = batch.num_rows
+        doc_big = np.bincount(parents, minlength=n)
+        has = doc_big > 0  # <2-word docs have no features (SQL: no bg rows)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(doc_big, out=offs[1:])
+        sums = (
+            np.add.reduceat(self.m[bk], offs[:-1][has])
+            if has.any()
+            else np.zeros(0, np.int64)
+        )
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)[has]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bigrams": pa.array(doc_big[has], pa.int64()),
+                "dsir_micro": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def q_dsir_weights(sf_dir: str):
+    """(doc_id, n_bigrams, dsir_micro) — per-doc DSIR importance weight in
+    integer micro-nats (sum over bigram occurrences of the smoothed
+    log p_target/p_corpus of the bigram's hash bucket). Docs resembling the
+    benchmark domain score high; resampling keeps the top-weight mass."""
+    n_all, n_bench = dsir_histograms(sf_dir)
+    return _dedup._docs(sf_dir).map_batches(
+        DsirScorer,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"n_all": n_all, "n_bench": n_bench},
+        **remote_kwargs(),
+    )
+
+
+def _dsir_sql() -> str:
+    from .decontam import DECON_BENCH_MOD
+
+    return f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                             x -> x != '') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM tk),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(bigram), 1, 12)) AS BIGINT)
+           % {DSIR_DIM} AS bucket
+  FROM bg),
+hist AS (
+  SELECT bucket, count(*) AS n_all,
+         count(*) FILTER (WHERE doc_id % {DECON_BENCH_MOD} = 0) AS n_bench
+  FROM b GROUP BY 1),
+tot AS (
+  SELECT CAST(sum(n_all) AS DOUBLE) AS s_all,
+         CAST(sum(n_bench) AS DOUBLE) AS s_bench
+  FROM hist),
+wt AS (
+  SELECT bucket,
+         CAST(round((ln((n_bench + 1) / (SELECT s_bench + {DSIR_DIM} FROM tot))
+                   - ln((n_all + 1) / (SELECT s_all + {DSIR_DIM} FROM tot)))
+                    * 1000000) AS BIGINT) AS m
+  FROM hist)
+SELECT b.doc_id AS doc_id, count(*) AS n_bigrams,
+       CAST(sum(wt.m) AS BIGINT) AS dsir_micro
+FROM b JOIN wt USING (bucket) GROUP BY 1
+"""
+
+
+register("corpus_dsir_weights", q_dsir_weights)
+register_lazy_sql("corpus_dsir_weights", _dsir_sql)

@@ -64,7 +64,7 @@ SQL_CHECKED = [
     "corpus_train_holdout_split", "web_link_reciprocity",
     "dedup_rate_by_length_quartile", "web_rank_weighted_sample",
     "text_classifier_scores", "web_domain_cap",
-    "text_decontaminate_fuzzy",
+    "text_decontaminate_fuzzy", "corpus_dsir_weights",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
@@ -2013,3 +2013,53 @@ def test_mmr_topk_matches_bruteforce_oracle(ray_session):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), exp, check_dtype=False
     )
+
+
+def test_dsir_weights_prefer_target_like_docs(ray_session, tmp_path):
+    """DSIR semantic pin: with benchmark docs drawn from a distinct "target"
+    vocabulary, corpus docs sharing that vocabulary out-score docs from a
+    disjoint vocabulary, and every doc with >=1 bigram gets exactly one
+    weight row (token-less and 1-word docs get none)."""
+    import pyarrow.parquet as pq
+    from otelcol_con_spaneventtolog_ray.functions.corpus import q_dsir_weights
+    from otelcol_con_spaneventtolog_ray.functions.decontam import (
+        DECON_BENCH_MOD,
+    )
+
+    rng = np.random.default_rng(11)
+    target_words = "law court judge verdict statute appeal".split()
+    other_words = "pixel render shader vertex texture buffer".split()
+    M = DECON_BENCH_MOD
+    ids, texts = [], []
+    for i in range(6 * M):
+        ids.append(i)
+        if i % M == 0:  # benchmark: pure target vocabulary
+            texts.append(" ".join(rng.choice(target_words, size=40)))
+        elif i % M == 1:  # target-like training doc
+            texts.append(" ".join(rng.choice(target_words, size=40)))
+        elif i % M == 2:  # off-domain training doc
+            texts.append(" ".join(rng.choice(other_words, size=40)))
+        else:  # mixed background
+            texts.append(
+                " ".join(rng.choice(target_words + other_words, size=40))
+            )
+    ids += [9001, 9002]  # featureless docs: empty and single-word
+    texts += ["", "solo"]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string()),
+        "source": pa.array(["s"] * len(ids), pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = _to_df(q_dsir_weights(str(d))).set_index("doc_id")
+    assert 9001 not in out.index and 9002 not in out.index
+    assert len(out) == 6 * M
+    # mean per-bigram weight, so doc length can't mask the domain signal
+    per = out["dsir_micro"] / out["n_bigrams"]
+    target_like = [i for i in range(6 * M) if i % M == 1]
+    off_domain = [i for i in range(6 * M) if i % M == 2]
+    assert per.loc[target_like].min() > per.loc[off_domain].max()
