@@ -880,6 +880,7 @@ GATE_FRONT = [
     "similarity_mmr_topk",
     # final-session additions — never gated, queue behind the overflow
     "corpus_dsir_weights",
+    "web_hits",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

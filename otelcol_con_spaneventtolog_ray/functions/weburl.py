@@ -994,3 +994,234 @@ FROM r WHERE rank <= {DOMAIN_CAP_K}
 """
 
 register("web_domain_cap", q_domain_cap, _DOMAIN_CAP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the same deterministic crawl link graph —
+# the OTHER classic link-analysis prior (Kleinberg): a page is a good HUB
+# if it links to good authorities, a good AUTHORITY if good hubs link to
+# it. Two fixed alternating iterations, PURE integer sums (HITS has no
+# outdegree division, so unlike PageRank there is no floor-div to mirror —
+# parity is exact by construction; normalization at a fixed iteration
+# count is a monotone rescale and deliberately omitted).
+#
+# 100-TB shape: each half-iteration is ONE range-bucket groupby over
+# (node, src, value) edge rows — the authority fold at dst re-emits each
+# in-edge keyed by its src, so the hub fold needs no edge inversion and no
+# rank-vector broadcast; exchange is 2 x |edges| x ~32B rows per
+# iteration, pre-reduced per block like the PageRank scatter. Zero
+# in-degree nodes survive via (self, -1, 0) keep-alive rows.
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 2
+_HITS_INIT = 1_000_000  # hub micro-units at t=0
+
+
+def _hits_scatter(batch: pa.Table, n_nodes: int) -> pa.Table:
+    """(node=dst, src, value=h_src) edge rows + (self, -1, 0) keep-alives,
+    bucketed by dst for the authority fold."""
+    ids = (
+        batch.column("doc_id").to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    h = batch.column("hub").to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ids) == 0:
+        return pa.table(
+            {"node": pa.array([], pa.int64()),
+             "src": pa.array([], pa.int64()),
+             "value": pa.array([], pa.int64()),
+             "bucket": pa.array([], pa.int64())}
+        )
+    outdeg = 1 + ids % 3
+    nodes, srcs, vals = [ids], [np.full(len(ids), -1, np.int64)], [
+        np.zeros(len(ids), np.int64)
+    ]
+    for j in range(3):
+        m = outdeg > j
+        nodes.append((ids[m] * 7 + j + 1) % n_nodes)
+        srcs.append(ids[m])
+        vals.append(h[m])
+    node = np.concatenate(nodes)
+    return pa.table(
+        {
+            "node": pa.array(node, pa.int64()),
+            "src": pa.array(np.concatenate(srcs), pa.int64()),
+            "value": pa.array(np.concatenate(vals), pa.int64()),
+            "bucket": pa.array(node * PR_BUCKETS // max(n_nodes, 1),
+                               pa.int64()),
+        }
+    )
+
+
+def _hits_auth_fold(n_nodes: int, emit_auth: bool):
+    """Authority fold at dst: a_dst = sum of incoming h. Re-emits each
+    in-edge as (node=src, a_dst) bucketed by src for the hub fold, plus —
+    on the final iteration — an (node=dst, src=-1, a_dst) carry row so the
+    finish stage sees both scores."""
+
+    def fold(t: pa.Table) -> pa.Table:
+        d = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()),
+             "src": pa.array([], pa.int64()),
+             "value": pa.array([], pa.int64()),
+             "bucket": pa.array([], pa.int64())}
+        )
+        if len(d) == 0:
+            return empty
+        order = np.argsort(d, kind="stable")
+        d, s, v = d[order], s[order], v[order]
+        first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        a = np.add.reduceat(v, first)  # per-dst authority
+        # broadcast a_dst back onto this group's edge rows
+        seg = np.zeros(len(d), np.int64)
+        seg[first] = 1
+        a_of_row = a[np.cumsum(seg) - 1]
+        real = s >= 0
+        out_node = [s[real]]
+        out_src = [np.full(int(real.sum()), -1, np.int64)]
+        out_val = [a_of_row[real]]
+        if emit_auth:  # final-iteration carry: (dst, src=-2, a_dst)
+            out_node.append(d[first])
+            out_src.append(np.full(len(first), -2, np.int64))
+            out_val.append(a)
+        node = np.concatenate(out_node)
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "src": pa.array(np.concatenate(out_src), pa.int64()),
+                "value": pa.array(np.concatenate(out_val), pa.int64()),
+                "bucket": pa.array(node * PR_BUCKETS // max(n_nodes, 1),
+                                   pa.int64()),
+            }
+        )
+
+    return fold
+
+
+def _hits_hub_fold(final: bool):
+    """Hub fold at src: h_src = sum of its out-neighbors' authorities.
+    Intermediate form returns (doc_id, hub); final form also pivots the
+    src=-2 authority carry rows into auth_micro."""
+
+    def fold(t: pa.Table) -> pa.Table:
+        d = t.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t.column("value").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(d) == 0:
+            if final:
+                return pa.table(
+                    {"doc_id": pa.array([], pa.int64()),
+                     "hub_micro": pa.array([], pa.int64()),
+                     "auth_micro": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "hub": pa.array([], pa.int64())}
+            )
+        order = np.argsort(d, kind="stable")
+        d, s, v = d[order], s[order], v[order]
+        first = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+        uniq = d[first]
+        is_edge = (s == -1).astype(np.int64)
+        hub = np.add.reduceat(v * is_edge, first)
+        if not final:
+            return pa.table(
+                {"doc_id": pa.array(uniq, pa.int64()),
+                 "hub": pa.array(hub, pa.int64())}
+            )
+        auth = np.add.reduceat(v * (s == -2).astype(np.int64), first)
+        return pa.table(
+            {"doc_id": pa.array(uniq, pa.int64()),
+             "hub_micro": pa.array(hub, pa.int64()),
+             "auth_micro": pa.array(auth, pa.int64())}
+        )
+
+    return fold
+
+
+def q_hits(sf_dir: str):
+    """(doc_id, hub_micro, auth_micro) — HITS after HITS_ITERS alternating
+    integer iterations (h0 = 1e6) over the doc_id link graph."""
+    import ray.data
+
+    from ..parquet_stats import file_num_rows
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_nodes = file_num_rows(path)
+    _assert_contiguous_ids(path, n_nodes, "web_hits")
+
+    def init_hub(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch.column("doc_id"),
+             "hub": pa.array(
+                 np.full(batch.num_rows, _HITS_INIT, np.int64), pa.int64()
+             )}
+        )
+
+    ds = ray.data.read_parquet(path, columns=["doc_id"]).map_batches(
+        init_hub, batch_format="pyarrow", **remote_kwargs()
+    )
+    for t in range(HITS_ITERS):
+        last = t == HITS_ITERS - 1
+        ds = (
+            ds.map_batches(
+                lambda b, n=n_nodes: _hits_scatter(b, n),
+                batch_format="pyarrow", **remote_kwargs(),
+            )
+            .groupby("bucket")
+            .map_groups(_hits_auth_fold(n_nodes, emit_auth=last),
+                        batch_format="pyarrow", **remote_kwargs())
+            .groupby("bucket")
+            .map_groups(_hits_hub_fold(final=last),
+                        batch_format="pyarrow", **remote_kwargs())
+        )
+    df = ds.to_pandas()
+    if len(df) == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "hub_micro": pa.array([], pa.int64()),
+             "auth_micro": pa.array([], pa.int64())}
+        )
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["doc_id", "hub_micro", "auth_micro"]], preserve_index=False
+    )
+
+
+def _hits_sql() -> str:
+    """Unrolled integer HITS mirror — shares the edges CTE shape with
+    _pagerank_cte (no division anywhere, so the two engines cannot drift)."""
+    parts = [f"""
+WITH nodes AS (
+  SELECT doc_id, 1 + doc_id % 3 AS outdeg FROM documents),
+edges AS (
+  SELECT doc_id AS src,
+         (doc_id * 7 + r.range + 1) % (SELECT count(*) FROM documents) AS dst
+  FROM nodes CROSS JOIN range(3) r WHERE r.range < outdeg),
+h0 AS (SELECT doc_id, CAST({_HITS_INIT} AS BIGINT) AS h FROM documents)"""]
+    prev = "h0"
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(f""",
+a{i} AS (
+  SELECT e.dst AS doc_id, CAST(sum({prev}.h) AS BIGINT) AS a
+  FROM edges e JOIN {prev} ON e.src = {prev}.doc_id GROUP BY 1),
+af{i} AS (
+  SELECT d.doc_id, coalesce(a{i}.a, 0) AS a
+  FROM documents d LEFT JOIN a{i} USING (doc_id)),
+h{i} AS (
+  SELECT e.src AS doc_id, CAST(sum(af{i}.a) AS BIGINT) AS h
+  FROM edges e JOIN af{i} ON e.dst = af{i}.doc_id GROUP BY 1)""")
+        prev = f"h{i}"
+    n = HITS_ITERS
+    return "".join(parts) + f"""
+SELECT d.doc_id AS doc_id, coalesce(h{n}.h, 0) AS hub_micro,
+       af{n}.a AS auth_micro
+FROM documents d LEFT JOIN h{n} USING (doc_id)
+JOIN af{n} USING (doc_id) ORDER BY 1
+"""
+
+
+register("web_hits", q_hits, _hits_sql())

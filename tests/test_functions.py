@@ -64,7 +64,7 @@ SQL_CHECKED = [
     "corpus_train_holdout_split", "web_link_reciprocity",
     "dedup_rate_by_length_quartile", "web_rank_weighted_sample",
     "text_classifier_scores", "web_domain_cap",
-    "text_decontaminate_fuzzy", "corpus_dsir_weights",
+    "text_decontaminate_fuzzy", "corpus_dsir_weights", "web_hits",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated

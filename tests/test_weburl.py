@@ -3,6 +3,7 @@ the DuckDB regex chain used in the oracle mirror (same patterns, same
 order), so the two engines cannot drift on RE2 corner cases."""
 
 import duckdb
+import numpy as np
 import pyarrow as pa
 
 from otelcol_con_spaneventtolog_ray.functions.weburl import (
@@ -250,3 +251,38 @@ def test_domain_cap_global_smallest_across_blocks(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
     # the cap must actually bind: 4000 docs -> every domain saturates
     assert got.groupby("host").size().max() == 25
+
+
+def test_hits_matches_dense_reference(ray_session, tmp_path):
+    """HITS over the functional doc_id graph equals a dense numpy
+    h/a alternation (integer, unnormalized) at every node."""
+    import pyarrow.parquet as pq
+    from otelcol_con_spaneventtolog_ray.functions.weburl import (
+        HITS_ITERS,
+        _HITS_INIT,
+        q_hits,
+    )
+
+    n = 37  # gcd(7, 37) = 1 but ANY n must agree with the dense reference
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(n)], pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array([5] * n, pa.int64()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    A = np.zeros((n, n), dtype=np.int64)  # A[i, j] = 1 iff i -> j
+    for i in range(n):
+        for j in range(1 + i % 3):
+            A[i, (i * 7 + j + 1) % n] = 1
+    h = np.full(n, _HITS_INIT, dtype=np.int64)
+    for _ in range(HITS_ITERS):
+        a = A.T @ h
+        h = A @ a
+    got = q_hits(str(d)).to_pandas().set_index("doc_id")
+    assert np.array_equal(got["hub_micro"].to_numpy(), h)
+    assert np.array_equal(got["auth_micro"].to_numpy(), a)

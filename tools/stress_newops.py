@@ -141,7 +141,8 @@ def main() -> None:
                      "corpus_temperature_mixture", "text_unigram_entropy", "web_crawl_frontier",
                      "text_js_divergence_by_source",
                      "dedup_incremental", "multimodal_phash",
-                     "text_classifier_scores", "corpus_dsir_weights"):
+                     "text_classifier_scores", "corpus_dsir_weights",
+                     "web_hits"):
             t0 = time.monotonic()
             out = qs[name](sf)
             df = out.to_pandas() if hasattr(out, "to_pandas") else out
