@@ -881,6 +881,7 @@ GATE_FRONT = [
     # final-session additions — never gated, queue behind the overflow
     "corpus_dsir_weights",
     "web_hits",
+    "similarity_ivfpq_topk",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

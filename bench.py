@@ -323,7 +323,7 @@ ANALYSIS_BASKET = [
     "web_domain_stats", "web_pagerank", "text_bm25_topk", "events_new_users_daily", "events_value_mad", "text_unigram_entropy", "web_crawl_frontier", "events_session_duration_quantiles", "rel_ship_latency_quantiles",
     "events_power_users_pareto", "text_js_divergence_by_source",
     # final-session additions
-    "corpus_dsir_weights", "web_hits",
+    "corpus_dsir_weights", "web_hits", "similarity_ivfpq_topk",
 ]
 
 

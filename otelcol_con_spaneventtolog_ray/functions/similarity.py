@@ -1115,9 +1115,77 @@ def q_pq_rerank(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_ivfpq_topk(sf_dir: str):
+    """IVF-PQ ANN top-k — the billion-scale FAISS layout, composing this
+    repo's two halves: each query probes its IVF_NPROBE nearest TRAINED
+    cells (coarse quantizer) and ADC-scores ONLY those cells' members in
+    the compressed code domain (no raw-vector math in the scan). At 100 TB
+    the codes live cell-partitioned on disk, so non-probed cells are never
+    read (the same storage note as ivf_topk/cosine_topk); here the scan
+    masks per cell, which is the same arithmetic. Rows-only; recall vs the
+    exact cosine top-k is pinned in tests between the PQ sieve's floor and
+    the IVF pruning's ceiling."""
+    import ray
+
+    cn = train_ivf_centroids(sf_dir)
+    cb = train_pq_codebooks(sf_dir)
+    q_ids, q_mat = _query_vectors(sf_dir)
+    qn = _norm_rows(q_mat)
+    q_sims = np.round(qn @ cn.T, 6)
+    probes = np.argsort(-q_sims, kind="stable", axis=1)[:, :IVF_NPROBE]
+    sub = cb.shape[2]
+    tables = np.stack([
+        ((qn[:, m * sub:(m + 1) * sub][:, None, :] - cb[m][None, :, :]) ** 2)
+        .sum(axis=2)
+        for m in range(PQ_M)
+    ], axis=1)
+    ref = ray.put((q_ids, tables, cb, probes, cn))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids, tbls, cbs, prb, cnn = ray.get(ref)
+        ids, mat = _batch_matrix(batch)
+        cell, _ = _assign_cells(mat, cnn)
+        codes = _pq_encode(_norm_rows(mat), cbs)
+        dist = np.zeros((len(qids), len(ids)))
+        for m in range(PQ_M):
+            dist += tbls[:, m, codes[:, m]]
+        dist = np.round(dist, 6)
+        out_q, out_n, out_s = [], [], []
+        for qi, qid in enumerate(qids):
+            mask = np.isin(cell, prb[qi]) & (ids != qid)
+            cids, cd = ids[mask], dist[qi, mask]
+            order = np.lexsort((cids, cd))[:TOP_K]
+            out_q += [int(qid)] * len(order)
+            out_n += cids[order].tolist()
+            out_s += cd[order].tolist()
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "nid": pa.array(out_n, pa.int64()),
+                "adc_dist": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = (
+        _emb(sf_dir)
+        .map_batches(local_topk, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    partials = partials.sort_values(
+        ["qid", "adc_dist", "nid"], ascending=[True, True, True],
+        kind="stable",
+    )
+    top = partials.groupby("qid", sort=True).head(TOP_K).reset_index(drop=True)
+    top["rank"] = top.groupby("qid").cumcount() + 1
+    return pa.Table.from_pandas(
+        top[["qid", "nid", "rank", "adc_dist"]], preserve_index=False
+    )
+
+
 register("similarity_pq_codes", q_pq_codes)  # rows-only (k-means codes)
 register("similarity_pq_topk", q_pq_topk)  # rows-only (ADC ANN)
 register("similarity_pq_rerank", q_pq_rerank)  # rows-only (ADC + exact rerank)
+register("similarity_ivfpq_topk", q_ivfpq_topk)  # rows-only (IVF-PQ ANN)
 register("similarity_knn_join", q_knn_join)  # rows-only (ANN self-join)
 register("similarity_cosine_topk", q_cosine_topk, _COSINE_SQL)
 register("similarity_lsh_buckets", q_lsh_ann)  # rows-only
