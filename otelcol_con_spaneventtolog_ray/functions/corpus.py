@@ -1051,7 +1051,16 @@ def _bigram_flat(batch: pa.Table):
 
 
 def _dsir_buckets(bigrams) -> np.ndarray:
-    """md5-substr bucket per bigram, hashed once per DISTINCT bigram."""
+    """md5-substr bucket per bigram, hashed once per DISTINCT bigram.
+
+    md5 is retained DELIBERATELY as the cross-engine feature-hash contract
+    (the mirror's substr(md5(bigram), 1, 12) — same rule as
+    text_classifier_scores / fingerprint / stratified sample). The Python
+    loop runs per distinct bigram per batch behind a dictionary_encode;
+    measured envelope: 1M docs end-to-end in 7.9 s at 32 cpus (both DSIR
+    passes included), so the hash is not the bottleneck at bench scale —
+    swap in a vectorized splitmix on the word-hash pairs if a real corpus
+    ever makes it one (at the cost of the SQL gate)."""
     import hashlib
 
     import pyarrow.compute as pc
