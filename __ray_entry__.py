@@ -882,6 +882,7 @@ GATE_FRONT = [
     "corpus_dsir_weights",
     "web_hits",
     "similarity_ivfpq_topk",
+    "web_components",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

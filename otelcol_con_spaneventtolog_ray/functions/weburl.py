@@ -1225,3 +1225,93 @@ JOIN af{n} USING (doc_id) ORDER BY 1
 
 
 register("web_hits", q_hits, _hits_sql())
+
+
+# ---------------------------------------------------------------------------
+# weakly-connected components over a deterministic intra-block link graph —
+# puts the DISTRIBUTED hash-to-min CC kernel (dedup.connected_components,
+# otherwise only reachable through the rows-only minhash keep-set) under
+# the driver's exact hash gate: the component label is exactly "minimum
+# reachable doc_id", which a DuckDB recursive CTE reproduces bit-for-bit.
+#
+# Graph: node i links to i+j (j = 1, and also 2 when i is odd) iff the
+# target stays inside i's WEB_CC_BLOCK-sized block and the corpus — so
+# components are the blocks (chains of ~97 plus a tail block), several
+# per corpus, sizes visible in the output. Isolated nodes (a 1-node tail
+# block) are their own component via the join-back.
+# ---------------------------------------------------------------------------
+
+WEB_CC_BLOCK = 97
+
+
+def q_web_components(sf_dir: str):
+    """(doc_id, component) — component = min doc_id weakly reachable over
+    the deterministic intra-block edges, computed by the distributed
+    hash-to-min CC (broadcast/sharded auto mode)."""
+    import ray.data
+
+    from ..parquet_stats import file_num_rows
+    from .dedup import connected_components
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n = file_num_rows(path)
+    _assert_contiguous_ids(path, n, "web_components")
+
+    def edges_fn(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch.column("doc_id").to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        xs, ys = [], []
+        for j in (1, 2):
+            m = (
+                (j <= 1 + ids % 2)
+                & ((ids + j) // WEB_CC_BLOCK == ids // WEB_CC_BLOCK)
+                & (ids + j < n)
+            )
+            xs.append(ids[m])
+            ys.append(ids[m] + j)
+        return pa.table(
+            {"x": pa.array(np.concatenate(xs), pa.int64()),
+             "y": pa.array(np.concatenate(ys), pa.int64())}
+        )
+
+    edges = ray.data.read_parquet(path, columns=["doc_id"]).map_batches(
+        edges_fn, batch_format="pyarrow", **remote_kwargs()
+    )
+    import pandas as pd
+
+    cc = connected_components(edges).to_pandas()
+    all_ids = (
+        ray.data.read_parquet(path, columns=["doc_id"])
+        .to_pandas()["doc_id"].astype(np.int64)
+    )
+    out = pd.DataFrame({"doc_id": all_ids}).merge(
+        cc.rename(columns={"node": "doc_id"}), on="doc_id", how="left"
+    )
+    out["component"] = (
+        out["component"].fillna(out["doc_id"]).astype(np.int64)
+    )
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        out[["doc_id", "component"]], preserve_index=False
+    )
+
+
+_WEB_CC_SQL = f"""
+WITH RECURSIVE e AS (
+  SELECT doc_id AS x, doc_id + t.j AS y
+  FROM documents, LATERAL (SELECT unnest([1, 2]) AS j) t
+  WHERE t.j <= 1 + doc_id % 2
+    AND (doc_id + t.j) // {WEB_CC_BLOCK} = doc_id // {WEB_CC_BLOCK}
+    AND doc_id + t.j < (SELECT count(*) FROM documents)),
+sym AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+r(n, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT s.x, r.l FROM sym s JOIN r ON s.y = r.n)
+SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS component
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+register("web_components", q_web_components, _WEB_CC_SQL)

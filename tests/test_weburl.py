@@ -286,3 +286,32 @@ def test_hits_matches_dense_reference(ray_session, tmp_path):
     got = q_hits(str(d)).to_pandas().set_index("doc_id")
     assert np.array_equal(got["hub_micro"].to_numpy(), h)
     assert np.array_equal(got["auth_micro"].to_numpy(), a)
+
+
+def test_web_components_blocks_and_isolated_tail(ray_session, tmp_path):
+    """Components are exactly the WEB_CC_BLOCK-sized blocks; a 1-node tail
+    block (possible when N ≡ 1 mod BLOCK) is its own component via the
+    isolated-node join-back."""
+    import pyarrow.parquet as pq
+    from otelcol_con_spaneventtolog_ray.functions.weburl import (
+        WEB_CC_BLOCK,
+        q_web_components,
+    )
+
+    n = WEB_CC_BLOCK * 2 + 1  # blocks: [0..96], [97..193], {194} isolated
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(["x"] * n, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array([1] * n, pa.int64()),
+    })
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = q_web_components(str(d)).to_pandas()
+    assert len(out) == n
+    comp = out.set_index("doc_id")["component"]
+    exp = np.array([(i // WEB_CC_BLOCK) * WEB_CC_BLOCK for i in range(n)])
+    assert np.array_equal(comp.to_numpy(), exp)
+    assert comp.loc[n - 1] == n - 1  # the isolated tail node

@@ -142,7 +142,7 @@ def main() -> None:
                      "text_js_divergence_by_source",
                      "dedup_incremental", "multimodal_phash",
                      "text_classifier_scores", "corpus_dsir_weights",
-                     "web_hits"):
+                     "web_hits", "web_components"):
             t0 = time.monotonic()
             out = qs[name](sf)
             df = out.to_pandas() if hasattr(out, "to_pandas") else out
