@@ -883,6 +883,7 @@ GATE_FRONT = [
     "web_hits",
     "similarity_ivfpq_topk",
     "web_components",
+    "corpus_dsir_select",
 ]
 GATE_TAIL = [
     # SQL-gated hash-green in r1+r2+r3; rotate out of the window this round

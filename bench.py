@@ -324,7 +324,7 @@ ANALYSIS_BASKET = [
     "events_power_users_pareto", "text_js_divergence_by_source",
     # final-session additions
     "corpus_dsir_weights", "web_hits", "similarity_ivfpq_topk",
-    "web_components",
+    "web_components", "corpus_dsir_select",
 ]
 
 

@@ -1211,3 +1211,79 @@ FROM b JOIN wt USING (bucket) GROUP BY 1
 
 register("corpus_dsir_weights", q_dsir_weights)
 register_lazy_sql("corpus_dsir_weights", _dsir_sql)
+
+
+def q_dsir_select(sf_dir: str):
+    """The DSIR selection step: documents whose importance weight clears
+    the corpus MEAN weight (floor(sum/|scored docs|) in micro-nats — an
+    exact integer threshold; the paper resamples proportionally, the
+    above-mean rule is the deterministic contract both engines can agree
+    on bit-for-bit). Two shuffle-free scoring scans: pass A folds ONE
+    (sum, count) row per block for the threshold, pass B re-scores and
+    filters — scores never materialize corpus-wide."""
+    import ray
+
+    n_all, n_bench = dsir_histograms(sf_dir)
+    kw = dict(
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"n_all": n_all, "n_bench": n_bench},
+        **remote_kwargs(),
+    )
+
+    def moment_partial(t: pa.Table) -> pa.Table:
+        w = t.column("dsir_micro").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"s": pa.array([int(w.sum())], pa.int64()),
+             "n": pa.array([len(w)], pa.int64())}
+        )
+
+    mom = (
+        _dedup._docs(sf_dir)
+        .map_batches(DsirScorer, **kw)
+        .map_batches(moment_partial, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    n = int(mom["n"].sum()) if len(mom) else 0
+    if n == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "n_bigrams": pa.array([], pa.int64()),
+             "dsir_micro": pa.array([], pa.int64())}
+        )
+    thresh = int(mom["s"].sum()) // n  # python floor div == SQL mirror's
+
+    def keep(t: pa.Table) -> pa.Table:
+        w = t.column("dsir_micro").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(w >= thresh))
+
+    df = (
+        _dedup._docs(sf_dir)
+        .map_batches(DsirScorer, **kw)
+        .map_batches(keep, batch_format="pyarrow", **remote_kwargs())
+        .to_pandas()
+    )
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(
+        df[["doc_id", "n_bigrams", "dsir_micro"]], preserve_index=False
+    )
+
+
+def _dsir_select_sql() -> str:
+    # numpy-style FLOOR division of the (possibly negative) weight sum —
+    # DuckDB // truncates toward zero (the eventops._floor_div_sql lesson),
+    # and the divisor here is a runtime scalar, so inline the same
+    # subtract-modulus form with scalar subqueries
+    base = _dsir_sql()
+    return f"""
+WITH d AS ({base}),
+t AS (SELECT ((sum(dsir_micro)) - (((sum(dsir_micro)) % count(*))
+              + count(*)) % count(*)) // count(*) AS thresh FROM d)
+SELECT d.doc_id AS doc_id, d.n_bigrams AS n_bigrams,
+       d.dsir_micro AS dsir_micro
+FROM d WHERE d.dsir_micro >= (SELECT thresh FROM t)
+"""
+
+
+register("corpus_dsir_select", q_dsir_select)
+register_lazy_sql("corpus_dsir_select", _dsir_select_sql)

@@ -65,7 +65,7 @@ SQL_CHECKED = [
     "dedup_rate_by_length_quartile", "web_rank_weighted_sample",
     "text_classifier_scores", "web_domain_cap",
     "text_decontaminate_fuzzy", "corpus_dsir_weights", "web_hits",
-    "web_components",
+    "web_components", "corpus_dsir_select",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
