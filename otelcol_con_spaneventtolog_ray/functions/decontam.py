@@ -28,7 +28,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from .entry_queries import register
+from .entry_queries import register, register_lazy_sql
 from .texthash import batch_shingles, batch_words
 from ..rayenv import remote_kwargs
 
@@ -720,30 +720,29 @@ def q_decontaminate_fuzzy(sf_dir: str):
 # and ~1e-12 at the planted j>=0.85, so exact-Jaccard IS the oracle (unlike
 # dedup's 8x8 banding at 0.8, whose ~23%-at-threshold recall curve is the
 # documented reason corpus_clean_keep/training_chunks stay rows-only).
-# Same word-split + distinct-3-gram semantics as the Ray kernels; the
+# The gram CTE is the SHARED _word_gram_cte (short non-empty docs emit ONE
+# gram over all their words — the batch_shingles convention; the parity
+# fuzz caught a first draft that dropped sub-k docs and therefore missed
+# 1-word exact copies the Ray side correctly pairs at jaccard 1.0); the
 # jaccard >= 0.5 test is pure integers (3*inter >= |a|+|b|) on both sides.
-_FUZZY_DECON_SQL = f"""
-WITH w AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
-                             x -> x != '') AS w
-  FROM documents),
-sh AS (
-  SELECT doc_id,
-         list_distinct(list_transform(range(1, len(w) - 1),
-           i -> w[i] || chr(1) || w[i+1] || chr(1) || w[i+2])) AS s
-  FROM w),
-b AS (SELECT doc_id, s FROM sh
-      WHERE doc_id % {DECON_BENCH_MOD} = 0 AND len(s) > 0),
-t AS (SELECT doc_id, s FROM sh
-      WHERE doc_id % {DECON_BENCH_MOD} != 0 AND len(s) > 0),
+def _fuzzy_decon_sql() -> str:
+    from .dedup import SHINGLE_K
+
+    return _word_gram_cte(SHINGLE_K) + f""",
+b AS (SELECT doc_id, grams FROM g
+      WHERE doc_id % {DECON_BENCH_MOD} = 0 AND len(grams) > 0),
+tr AS (SELECT doc_id, grams FROM g
+       WHERE doc_id % {DECON_BENCH_MOD} != 0 AND len(grams) > 0),
 p AS (
-  SELECT t.doc_id AS doc_id, b.doc_id AS bench_doc_id,
-         len(list_intersect(t.s, b.s)) AS inter,
-         len(t.s) AS la, len(b.s) AS lb
-  FROM t JOIN b ON TRUE)
+  SELECT tr.doc_id AS doc_id, b.doc_id AS bench_doc_id,
+         len(list_intersect(tr.grams, b.grams)) AS inter,
+         len(tr.grams) AS la, len(b.grams) AS lb
+  FROM tr JOIN b ON TRUE)
 SELECT doc_id, bench_doc_id,
        round(inter::DOUBLE / (la + lb - inter), 6) AS jaccard
 FROM p WHERE inter > 0 AND 3 * inter >= la + lb
 """
 
-register("text_decontaminate_fuzzy", q_decontaminate_fuzzy, _FUZZY_DECON_SQL)
+
+register("text_decontaminate_fuzzy", q_decontaminate_fuzzy)
+register_lazy_sql("text_decontaminate_fuzzy", _fuzzy_decon_sql)

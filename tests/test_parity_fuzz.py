@@ -1,0 +1,88 @@
+"""Randomized cross-engine parity fuzz for the final-session SQL-gated ops.
+
+The driver regenerates testdata between rounds, so the real risk to a
+hash gate is a text shape the fixed corpora never exercised. Each case
+here builds an adversarial documents table (NULL text, empty strings,
+single words, tabs/newlines/multi-space runs, unicode, benchmark-id
+collisions) from FIXED seeds (deterministic — no flaky CI) and asserts
+the Ray result equals the DuckDB oracle exactly, the same compare the
+driver runs."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.test_entry_queries import _canon, _to_df
+
+WORDS = ["alpha", "beta", "gamma", "délta", "eps", "zeta", "Ω", "x", "-",
+         "7", "the", "of", "and"]
+WS = [" ", "  ", "\t", "\n", " \t "]
+
+
+def _rand_text(rng) -> str | None:
+    r = rng.random()
+    if r < 0.08:
+        return None
+    if r < 0.16:
+        return ""
+    if r < 0.24:
+        return rng.choice(WORDS)  # single word: no bigrams/shingles
+    n = int(rng.integers(2, 40))
+    parts = []
+    for k in range(n):
+        parts.append(str(rng.choice(WORDS)))
+        if k < n - 1:
+            parts.append(str(rng.choice(WS)))
+    return "".join(parts)
+
+
+def _fuzz_corpus(tmp_path, seed: int) -> str:
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(40, 120))
+    texts = [_rand_text(rng) for _ in range(n)]
+    # plant a few benchmark near-copies so fuzzy decontam has positives
+    for i in range(0, n - 11, max(10, n // 4)):
+        if texts[i] and len(texts[i].split()) >= 6:
+            texts[i + 11] = texts[i].replace(texts[i].split()[0], "omega", 1)
+    tbl = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array(["s"] * n, pa.string()),
+        "n_chars": pa.array([len(t) if t else 0 for t in texts], pa.int64()),
+    })
+    d = tmp_path / f"fuzz{seed}"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+FUZZED_OPS = ["corpus_dsir_weights", "corpus_dsir_select",
+              "text_decontaminate_fuzzy", "web_hits", "web_components",
+              "text_decontaminate"]
+
+
+@pytest.mark.parametrize("seed", [3, 17, 59])
+def test_new_ops_parity_on_adversarial_corpora(ray_session, tmp_path, seed):
+    import __ray_entry__ as e
+
+    sf = _fuzz_corpus(tmp_path, seed)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'documents.parquet')}')"
+    )
+    qs, sqls = e.queries(), e.oracle_sql()
+    for name in FUZZED_OPS:
+        got = _canon(_to_df(qs[name](sf)))
+        exp = _canon(con.execute(sqls[name]).df())
+        assert len(got) == len(exp), f"{name}@seed{seed}: {len(got)} != {len(exp)}"
+        pd.testing.assert_frame_equal(
+            got, exp, check_dtype=False, check_exact=True,
+            obj=f"{name}@seed{seed}",
+        )
