@@ -685,10 +685,9 @@ TOKEN_BUDGET_DIV = 2
 def q_token_budget(sf_dir: str):
     """(doc_id, bpe_tokens, quality, kept) for every document: kept=True
     iff the doc's quality clears the budget threshold (whole boundary tie
-    class inclusive). NULL-text docs have no token count and are absent
-    from the output on both engines (SQL: WHERE bpe_tokens IS NOT NULL —
-    quality itself is NOT the null witness, because DuckDB's least()
-    ignores NULL operands and yields 0.7 for a NULL text)."""
+    class inclusive). NULL text counts as '' (0 tokens) on BOTH engines —
+    the repo-wide NULL≡'' convention text_stats_batch and its mirror now
+    share, replacing this op's earlier drop-NULL-rows contract."""
     from .quantiles import QUANTILE_MAX_GROUP, _distribution_fold
 
     empty = pa.table(
@@ -698,19 +697,11 @@ def q_token_budget(sf_dir: str):
          "kept": pa.array([], pa.bool_())}
     )
 
-    def stats_nonnull(batch: pa.Table) -> pa.Table:
-        # NULL text has no stats: utf8_length(NULL) -> NaN -> astype(int64)
-        # garbage would corrupt the integer distribution (the ws_token
-        # NaN hazard documented on _words_flat). SQL mirror drops the same
-        # rows via WHERE bpe_tokens IS NOT NULL (NOT quality — see the
-        # docstring: DuckDB least() makes NULL text's quality non-NULL).
-        return _textstats.text_stats_batch(
-            batch.filter(batch.column("text").is_valid())
-        )
-
     def stats():
+        # text_stats_batch fills NULL text to '' itself (NULL≡'')
         return _dedup._docs(sf_dir).map_batches(
-            stats_nonnull, batch_format="pyarrow", **remote_kwargs()
+            _textstats.text_stats_batch, batch_format="pyarrow",
+            **remote_kwargs()
         )
 
     def dist_partial(batch: pa.Table) -> pa.Table:
@@ -796,8 +787,7 @@ def _token_budget_sql() -> str:
     token_budget_sql = f"""
 WITH q AS ({_TEXT_STATS_SQL}),
 s AS (SELECT doc_id, bpe_tokens, quality,
-             CAST(round(quality * 1000000) AS BIGINT) AS qm FROM q
-      WHERE bpe_tokens IS NOT NULL),
+             CAST(round(quality * 1000000) AS BIGINT) AS qm FROM q),
 d AS (SELECT qm, sum(bpe_tokens) AS tok FROM s GROUP BY 1),
 c AS (SELECT qm, sum(tok) OVER (ORDER BY qm DESC) AS cum FROM d),
 tot AS (SELECT sum(bpe_tokens) // {TOKEN_BUDGET_DIV} AS budget FROM s),

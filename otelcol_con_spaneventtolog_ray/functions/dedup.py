@@ -300,9 +300,13 @@ def q_exact_dedup(sf_dir: str):
     )
 
 
+# coalesce(text, '') — the content hash maps NULL and '' to the same key
+# (batch_content_hash's documented contract), so the mirror must too; the
+# dedup-profiling mirrors already did this, and the parity fuzz caught that
+# this one did not (NULL docs formed their own SQL group)
 _EXACT_DEDUP_SQL = (
     "SELECT min(doc_id) AS keep_id, count(*) AS dup_count"
-    " FROM documents GROUP BY text ORDER BY 1"
+    " FROM documents GROUP BY coalesce(text, '') ORDER BY 1"
 )
 
 
@@ -364,9 +368,14 @@ def q_jaccard_pairs(sf_dir: str):
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.flatten()
+    # NULL text -> null list -> NaN length: zero it like _words_flat does,
+    # or the int cast below crashes (parity fuzz regression)
     parents = np.repeat(
         np.arange(n_docs, dtype=np.int64),
-        pc.list_value_length(toks).to_numpy(zero_copy_only=False),
+        np.nan_to_num(
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64),
     )
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
     flat, parents = flat.filter(pa.array(keep)), parents[keep]

@@ -57,9 +57,13 @@ def _doc_lines(batch: pa.Table):
     if isinstance(ls, pa.ChunkedArray):
         ls = ls.combine_chunks()
     flat = ls.flatten()
+    # NULL text -> null list -> NaN length: zero it (parity-fuzz regression)
     parents = np.repeat(
         np.arange(batch.num_rows, dtype=np.int64),
-        pc.list_value_length(ls).to_numpy(zero_copy_only=False),
+        np.nan_to_num(
+            pc.list_value_length(ls)
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64),
     )
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False).astype(bool)
     flat = flat.filter(pa.array(keep))
@@ -206,10 +210,13 @@ def q_line_dedup(sf_dir: str):
     )
 
 
+# coalesce(text, '') — NULL text has zero lines like the Ray side, not a
+# NULL list that turns every count NULL (parity-fuzz finding)
 _LINE_DEDUP_SQL = f"""
 WITH s AS (
   SELECT doc_id,
-         list_filter(string_split(text, chr(10)), x -> x != '') AS ls
+         list_filter(string_split(coalesce(text, ''), chr(10)),
+                     x -> x != '') AS ls
   FROM documents),
 d AS (SELECT DISTINCT doc_id, unnest(ls) AS line FROM s),
 c AS (SELECT line FROM d GROUP BY 1 HAVING count(*) >= {LINE_DUP_MIN_DOCS}),

@@ -63,8 +63,13 @@ def ws_token_counts(text: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def text_stats_batch(batch: pa.Table) -> pa.Table:
-    """documents(doc_id, text) -> per-doc token counts + quality score."""
-    text = batch.column("text")
+    """documents(doc_id, text) -> per-doc token counts + quality score.
+
+    NULL text counts as '' (the repo-wide NULL≡'' content convention; the
+    SQL mirror coalesces identically) — without the fill, every Arrow
+    count kernel returns null and the int64 casts turn it into garbage
+    sentinels (parity-fuzz regression)."""
+    text = pc.fill_null(batch.column("text"), "")
     doc_id = batch.column("doc_id")
     n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
     ws_tokens = _count_sub(text, " ") + 1  # single-space word salads
@@ -102,8 +107,10 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     """Marker-substring language ID; argmax with first-listed-language ties.
 
     utf8_lower (not ascii_lower) so the lowering matches the DuckDB mirror's
-    Unicode ``lower()`` on non-ASCII documents."""
-    text = pc.utf8_lower(batch.column("text"))
+    Unicode ``lower()`` on non-ASCII documents. NULL text counts as ''
+    (mirror coalesces identically; un-filled nulls turn the int casts into
+    garbage sentinels — parity-fuzz regression)."""
+    text = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
     n = batch.num_rows
     scores = np.zeros((len(LANG_MARKERS), n), dtype=np.int64)
     for li, (_lang, markers) in enumerate(LANG_MARKERS):
@@ -141,8 +148,10 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     own md5() — a faster internal hash (texthash.batch_content_hash, used
     by dedup_exact where the key stays internal) would break the mirror."""
     texts = pc.utf8_lower(batch.column("text")).to_pylist()
+    # NULL text stays NULL — the mirror's md5(NULL) IS NULL (parity fuzz)
     fps = [
         hashlib.md5(_WS_RE.sub(" ", t).encode("utf-8")).hexdigest()
+        if t is not None else None
         for t in texts
     ]
     return pa.table(
@@ -183,6 +192,9 @@ def _sub_count_sql(expr: str, sub: str) -> str:
 _PUNCT_SQL = " + ".join(_sub_count_sql("text", c) for c in PUNCT_CHARS)
 _STOP_SQL = " + ".join(_sub_count_sql("text", f" {w} ") for w in STOPWORDS)
 
+# coalesce(text, '') — NULL counts as '' like the Ray kernels (fill_null);
+# without it, DuckDB's NULL-ignoring least() yields a phantom 0.7 quality
+# for NULL docs (parity-fuzz finding)
 _TEXT_STATS_SQL = f"""
 WITH s AS (
   SELECT doc_id,
@@ -191,7 +203,7 @@ WITH s AS (
          len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS bpe_tokens,
          ({_PUNCT_SQL}) AS punct,
          ({_STOP_SQL}) AS stop_hits
-  FROM documents)
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))
 SELECT doc_id, n_chars, ws_tokens, bpe_tokens,
   round(0.4 * least(1.0, ws_tokens / 100.0)
       + 0.3 * least(1.0, 10.0 * (CASE WHEN ws_tokens > 0
@@ -211,7 +223,7 @@ WITH s AS (
   SELECT doc_id,
          {_LANG_SCORE_SQLS[0]} AS s_en, {_LANG_SCORE_SQLS[1]} AS s_de,
          {_LANG_SCORE_SQLS[2]} AS s_fr, {_LANG_SCORE_SQLS[3]} AS s_es
-  FROM documents)
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))
 SELECT doc_id,
   CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
        WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
@@ -888,7 +900,8 @@ PII_TOKEN = "<PII>"
 
 
 def pii_scrub_batch(batch: pa.Table) -> pa.Table:
-    text = batch.column("text")
+    # NULL text counts as '' (mirror coalesces identically — parity fuzz)
+    text = pc.fill_null(batch.column("text"), "")
     n_email = (
         pc.count_substring_regex(text, pattern=PII_EMAIL_RE)
         .to_numpy(zero_copy_only=False).astype(np.int64)
@@ -923,7 +936,7 @@ WITH s1 AS (
   SELECT doc_id,
          len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n1,
          regexp_replace(text, '{PII_EMAIL_RE}', '{PII_TOKEN}', 'g') AS t1
-  FROM documents)
+  FROM (SELECT doc_id, coalesce(text, '') AS text FROM documents))
 SELECT doc_id,
        CAST(n1 + len(regexp_extract_all(t1, '{PII_DIGITS_RE}')) AS BIGINT)
          AS n_pii,

@@ -1391,10 +1391,11 @@ def test_token_budget_boundary_tie_class_kept(ray_session, tmp_path):
     assert int(tok.loc[[0]].sum()) < budget
 
 
-def test_token_budget_null_text_absent_both_engines(ray_session, tmp_path):
-    """A NULL-text doc has no quality: it must be ABSENT from the output on
-    both engines (and must not corrupt the integer distribution — the
-    NaN -> astype(int64) hazard)."""
+def test_token_budget_null_text_counts_as_empty(ray_session, tmp_path):
+    """A NULL-text doc counts as '' (the repo-wide NULL≡'' convention,
+    adopted here after the parity fuzz replaced the earlier drop-NULL
+    contract): present on BOTH engines with 0 tokens, and it must not
+    corrupt the integer distribution (the NaN -> astype(int64) hazard)."""
     sf = _write_docs_sources(
         tmp_path,
         [(0, " ".join(["w"] * 80), "s"), (1, None, "s"),
@@ -1402,7 +1403,8 @@ def test_token_budget_null_text_absent_both_engines(ray_session, tmp_path):
          (4, " ".join(["w"] * 60), "s")],
     )
     got = _sql_parity(sf, "corpus_token_budget")
-    assert sorted(got["doc_id"]) == [0, 2, 3, 4]
+    assert sorted(got["doc_id"]) == [0, 1, 2, 3, 4]
+    assert int(got.set_index("doc_id").loc[1, "bpe_tokens"]) == 0
 
 
 def test_token_budget_single_tie_class_keeps_all(ray_session, tmp_path):
