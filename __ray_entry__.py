@@ -183,6 +183,9 @@ def _q_events_severity_route(sf_dir: str):
         )
 
         names = t.column("event_type").combine_chunks()
+        # NULL event_type dropped on both engines (mirror: WHERE IS NOT
+        # NULL) — Ray's sort groupby cannot order None keys (parity fuzz)
+        names = names.filter(names.is_valid())
         n = len(names)
         num = np.full(n, 9, dtype=np.int64)
         txt = np.full(n, "info", dtype=object)
@@ -201,6 +204,8 @@ def _q_events_hourly_counts(sf_dir: str):
     import ray.data
 
     def project(t: pa.Table) -> pa.Table:
+        # NULL event_type dropped on both engines (see severity_route)
+        t = t.filter(t.column("event_type").is_valid())
         return pa.table(
             {
                 "hour": pc.strftime(t.column("ts"), format="%Y-%m-%d %H"),
@@ -1230,9 +1235,10 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_error_by_rank_band": _error_band_sql(),
         "events_severity_route": "SELECT event_type,"
         f" {_EVENTS_ROUTE_CASE} AS severity_text, count(*) AS n FROM events"
-        " GROUP BY 1, 2 ORDER BY 1, 2",
+        " WHERE event_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2",
         "events_hourly_counts": "SELECT strftime(ts, '%Y-%m-%d %H') AS hour,"
-        " event_type, count(*) AS n FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+        " event_type, count(*) AS n FROM events WHERE event_type IS NOT NULL"
+        " GROUP BY 1, 2 ORDER BY 1, 2",
     }
     from otelcol_con_spaneventtolog_ray.functions import entry_queries
 

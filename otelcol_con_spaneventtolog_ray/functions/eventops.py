@@ -60,12 +60,26 @@ def _floor_div_sql(x: str, d: int) -> str:
     return f"(({x}) - ((({x}) % {d}) + {d}) % {d}) // {d}"
 
 
-def _events(sf_dir: str, columns: list[str]):
+def _events(sf_dir: str, columns: list[str], require_user: bool = False):
+    """Column-pruned events scan. ``require_user=True`` drops NULL-user
+    rows at the read — the per-user-op contract (an event without an
+    identity belongs to no user journey; mirrors add
+    ``WHERE user_id IS NOT NULL``). Without the filter, numpy's
+    null→NaN→int64 cast manufactured a garbage sentinel user while DuckDB
+    grouped NULL as its own user — parity-fuzz finding."""
     import ray.data
 
-    return ray.data.read_parquet(
+    ds = ray.data.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=columns
     )
+    if require_user:
+        def drop_null_user(t: pa.Table) -> pa.Table:
+            return t.filter(t.column("user_id").is_valid())
+
+        ds = ds.map_batches(
+            drop_null_user, batch_format="pyarrow", **remote_kwargs()
+        )
+    return ds
 
 
 def _ts_us(s: pd.Series) -> np.ndarray:
@@ -153,7 +167,7 @@ def sessionize_block(t: pa.Table) -> pa.Table:
 
 def q_sessionization(sf_dir: str):
     return (
-        _events(sf_dir, ["event_id", "ts", "user_id"])
+        _events(sf_dir, ["event_id", "ts", "user_id"], require_user=True)
         .sort("user_id")
         .map_batches(sessionize_block, batch_format="pyarrow",
                      batch_size=None, **remote_kwargs())
@@ -168,7 +182,8 @@ SESSION_CTES = f"""o AS (
          CASE WHEN lag(ts) OVER w IS NULL
                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS brk
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  FROM events WHERE user_id IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, ts,
          sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -256,7 +271,7 @@ def asof_last_error_block(t: pa.Table) -> pa.Table:
 
 def q_asof_last_error(sf_dir: str):
     return (
-        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"], require_user=True)
         .sort("user_id")
         .map_batches(asof_last_error_block, batch_format="pyarrow",
                      batch_size=None, **remote_kwargs())
@@ -268,7 +283,7 @@ SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
        coalesce((SELECT epoch_us(max(er.ts)) FROM events er
                  WHERE er.user_id = e.user_id AND er.event_type = 'error'
                    AND er.ts <= e.ts), -1) AS last_error_us
-FROM events e
+FROM events e WHERE e.user_id IS NOT NULL
 """
 
 
@@ -285,8 +300,15 @@ def topk_group(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def q_topk_per_type(sf_dir: str):
+    def drop_null_type(t: pa.Table) -> pa.Table:
+        # NULL event_type dropped on both engines (mirror filters; Ray's
+        # sort groupby cannot order None keys — parity fuzz)
+        return t.filter(t.column("event_type").is_valid())
+
     return (
         _events(sf_dir, ["event_id", "event_type", "value"])
+        .map_batches(drop_null_type, batch_format="pyarrow",
+                     **remote_kwargs())
         .groupby("event_type")
         .map_groups(topk_group, batch_format="pandas", **remote_kwargs())
     )
@@ -297,7 +319,7 @@ WITH r AS (
   SELECT event_type, event_id, value,
          row_number() OVER (PARTITION BY event_type
                             ORDER BY value DESC, event_id) AS rank
-  FROM events)
+  FROM events WHERE event_type IS NOT NULL)
 SELECT event_type, event_id, value, rank FROM r WHERE rank <= {TOPK_PER_TYPE}
 """
 
@@ -393,6 +415,8 @@ def q_sliding_window_counts(sf_dir: str):
     from ..stages.aggregate import counts_table
 
     def fan_out(batch: pa.Table) -> pa.Table:
+        # NULL event_type dropped on both engines (mirror filters)
+        batch = batch.filter(batch.column("event_type").is_valid())
         ts = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
         base = ts // SLIDE_US
         starts = np.concatenate(
@@ -419,6 +443,7 @@ SELECT ({_floor_div_sql("epoch_us(ts)", SLIDE_US)} - t.k) * {SLIDE_US}
          AS window_us,
        event_type, count(*) AS n
 FROM events, (SELECT unnest([0, 1]) AS k) t
+WHERE event_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -495,7 +520,7 @@ def range_join_block(t: pa.Table) -> pa.Table:
 
 def q_range_join_neighbors(sf_dir: str):
     return (
-        _events(sf_dir, ["event_id", "ts", "user_id"])
+        _events(sf_dir, ["event_id", "ts", "user_id"], require_user=True)
         .sort("user_id")
         .map_batches(range_join_block, batch_format="pyarrow",
                      batch_size=None, **remote_kwargs())
@@ -507,7 +532,7 @@ SELECT e.event_id, e.user_id,
        (SELECT count(*) FROM events o
         WHERE o.user_id = e.user_id AND o.event_id != e.event_id
           AND abs(epoch_us(o.ts) - epoch_us(e.ts)) <= {RANGE_US}) AS neighbors
-FROM events e
+FROM events e WHERE e.user_id IS NOT NULL
 """
 
 
@@ -605,7 +630,7 @@ def events_dedup_block(t: pa.Table) -> pa.Table:
 
 def q_events_dedup(sf_dir: str):
     return (
-        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"], require_user=True)
         .sort("user_id")
         .map_batches(events_dedup_block, batch_format="pyarrow",
                      batch_size=None, **remote_kwargs())
@@ -616,7 +641,7 @@ _EVDEDUP_SQL = """
 SELECT user_id, event_type, epoch_us(ts) AS ts_us,
        min(event_id) AS keep_event_id,
        count(*) - 1 AS n_dups
-FROM events GROUP BY 1, 2, 3
+FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2, 3
 """
 
 
@@ -693,7 +718,7 @@ def funnel_block(t: pa.Table) -> pa.Table:
 
 def q_funnel(sf_dir: str):
     return (
-        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"], require_user=True)
         .sort("user_id")
         .map_batches(funnel_block, batch_format="pyarrow",
                      batch_size=None, **remote_kwargs())
@@ -701,7 +726,7 @@ def q_funnel(sf_dir: str):
 
 
 _FUNNEL_SQL = """
-WITH u AS (SELECT DISTINCT user_id FROM events),
+WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL),
 v AS (SELECT user_id, min(epoch_us(ts)) AS view_us FROM events
       WHERE event_type = 'view' GROUP BY 1),
 c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
@@ -776,7 +801,7 @@ def q_retention_cohorts(sf_dir: str):
         )
 
     return (
-        _events(sf_dir, ["event_id", "ts", "user_id"])
+        _events(sf_dir, ["event_id", "ts", "user_id"], require_user=True)
         .sort("user_id")
         .map_batches(retention_block, batch_format="pyarrow",
                      batch_size=None, **remote_kwargs())
@@ -791,7 +816,7 @@ WITH w AS (
   SELECT user_id,
          {_floor_div_sql(_floor_div_sql("epoch_us(ts)", 86_400_000_000)
                          + " + 3", 7)} AS wk
-  FROM events),
+  FROM events WHERE user_id IS NOT NULL),
 d AS (SELECT DISTINCT user_id, wk FROM w),
 f AS (SELECT user_id, min(wk) AS cw FROM d GROUP BY 1)
 SELECT f.cw AS cohort_week, d.wk - f.cw AS week_offset,
@@ -843,7 +868,7 @@ def rate_limit_block(t: pa.Table) -> pa.Table:
 
 def q_rate_limit(sf_dir: str):
     return (
-        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"], require_user=True)
         .sort("user_id")
         .map_batches(rate_limit_block, batch_format="pyarrow",
                      batch_size=None, **remote_kwargs())
@@ -857,7 +882,7 @@ WITH r AS (
            PARTITION BY user_id, {_floor_div_sql("epoch_us(ts)",
                                                  _RATE_WINDOW_US)}
            ORDER BY ts, event_id) AS rk
-  FROM events)
+  FROM events WHERE user_id IS NOT NULL)
 SELECT event_id, user_id, ts_us, event_type FROM r
 WHERE rk <= {RATE_LIMIT_N}
 """
@@ -1025,7 +1050,7 @@ def q_active_users(sf_dir: str):
     """(day, dau, wau, stickiness) for every day with >= 1 event: daily and
     trailing-7-day distinct users (day = epoch_us // 86400e6)."""
     folded = (
-        _events(sf_dir, ["event_id", "ts", "user_id"])
+        _events(sf_dir, ["event_id", "ts", "user_id"], require_user=True)
         .sort("user_id")
         .map_batches(active_users_block, batch_format="pyarrow",
                      batch_size=None, **remote_kwargs())
@@ -1066,7 +1091,7 @@ _ACTIVE_SQL = f"""
 WITH p AS (
   SELECT DISTINCT user_id,
          {_floor_div_sql("epoch_us(ts)", 86_400_000_000)} AS day
-  FROM events),
+  FROM events WHERE user_id IS NOT NULL),
 days AS (SELECT DISTINCT day FROM p),
 dau AS (SELECT day, count(*) AS dau FROM p GROUP BY 1),
 wau AS (SELECT d.day, count(DISTINCT p.user_id) AS wau
@@ -1158,7 +1183,7 @@ def q_user_lifetime(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min, Sum
 
     per_day = (
-        _events(sf_dir, ["user_id", "ts"])
+        _events(sf_dir, ["user_id", "ts"], require_user=True)
         .map_batches(_lifetime_partials, batch_format="pyarrow",
                      **remote_kwargs())
         .groupby(["user_id", "day"])
@@ -1208,7 +1233,7 @@ SELECT user_id, count(*) AS n_events,
        min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us,
        (max(epoch_us(ts)) - min(epoch_us(ts)))
          / {float(_US_PER_DAY)} AS lifetime_days
-FROM events GROUP BY 1 ORDER BY 1
+FROM events WHERE user_id IS NOT NULL GROUP BY 1 ORDER BY 1
 """
 
 register("events_user_lifetime", q_user_lifetime, _LIFETIME_SQL)
@@ -1425,8 +1450,13 @@ def window_functions_block(t: pa.Table) -> pa.Table:
              "gap_us": pa.array([], pa.int64())}
         )
     user, ts, eid, val = _block_sorted(t, extra=("value",))
+    # NULL value contributes 0 to the running sum — exactly what the
+    # mirror's window sum does by skipping NULLs (NaN would otherwise
+    # poison the cumsum and the int cast: parity-fuzz finding)
     val_m = np.rint(
-        val.to_numpy(zero_copy_only=False).astype(np.float64) * 1000
+        np.nan_to_num(
+            val.to_numpy(zero_copy_only=False).astype(np.float64)
+        ) * 1000
     ).astype(np.int64)
     n = len(user)
     starts = np.flatnonzero(
@@ -1459,7 +1489,7 @@ def window_functions_block(t: pa.Table) -> pa.Table:
 
 def q_window_functions(sf_dir: str):
     return (
-        _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"], require_user=True)
         .sort("user_id")
         .map_batches(window_functions_block, batch_format="pyarrow",
                      batch_size=None, **remote_kwargs())
@@ -1469,11 +1499,11 @@ def q_window_functions(sf_dir: str):
 _WINDOW_SQL = """
 SELECT event_id, user_id, epoch_us(ts) AS ts_us,
        CAST(row_number() OVER w AS BIGINT) AS user_seq,
-       round(sum(CAST(round(value * 1000) AS BIGINT)) OVER
+       round(sum(coalesce(CAST(round(value * 1000) AS BIGINT), 0)) OVER
                (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING) / 1000.0, 6) AS running_value,
        COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER w, -1) AS gap_us
-FROM events
+FROM events WHERE user_id IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
@@ -1709,10 +1739,14 @@ def q_new_users_daily(sf_dir: str):
     )
 
 
+# floor (not truncating) day division — pre-1970 timestamps diverge under
+# DuckDB's toward-zero // (parity-fuzz finding; same class as the other
+# _floor_div_sql call sites). min-then-floor == floor-then-min (monotone).
 _NEW_USERS_SQL = f"""
 WITH f AS (
   SELECT user_id,
-         (min(epoch_us(ts)) // {_DAY_US}) * {_DAY_US} AS day_us
+         ({_floor_div_sql("min(epoch_us(ts))", _DAY_US)}) * {_DAY_US}
+           AS day_us
   FROM events GROUP BY 1),
 d AS (SELECT day_us, count(*) AS new_users FROM f GROUP BY 1)
 SELECT day_us, new_users,

@@ -161,6 +161,9 @@ def histogram_partial_batch(key: str, value: str, lo: float, hi: float):
         ok = pc.and_kleene(
             pc.is_valid(vcol), pc.invert(pc.is_nan(pc.cast(vcol, pa.float64())))
         )
+        # NULL keys dropped on both engines (mirror filters; pandas groupby
+        # was dropping NaN keys implicitly — now explicit, parity fuzz)
+        ok = pc.and_kleene(ok, pc.is_valid(batch.column(key)))
         okm = np.nan_to_num(
             ok.to_numpy(zero_copy_only=False), nan=False
         ).astype(bool)
@@ -516,7 +519,7 @@ hist AS (
                              0), {Q_BINS - 1}) AS BIGINT) AS bin,
          count(*) AS n
   FROM events, bounds
-  WHERE value IS NOT NULL AND NOT isnan(value)
+  WHERE value IS NOT NULL AND NOT isnan(value) AND event_type IS NOT NULL
   GROUP BY 1, 2
 ),
 cum AS (

@@ -110,3 +110,93 @@ def test_doc_ops_parity_on_adversarial_corpora(ray_session, tmp_path, seed):
         except Exception as ex:  # collect all, report together
             failures.append(f"{name}: {str(ex)[:200]}")
     assert not failures, f"seed {seed}:\n" + "\n".join(failures)
+
+
+# ---------------------------------------------------------------------------
+# events-table fuzz: NULL user/type/value/props, pre-1970 and far-future
+# timestamps (the floor-division hazard), unicode event types, duplicate
+# event_ids — against every events-only SQL-gated op.
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "view", "signup", "purchase", "error", "Ωmega",
+               "chase", "upload", None]
+
+
+def _fuzz_events(tmp_path, seed: int) -> str:
+    import datetime
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(150, 400))
+    base = datetime.datetime(2024, 1, 1)
+    ts = []
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.05:  # pre-1970: negative epoch, the floor-div hazard
+            ts.append(datetime.datetime(1969, 12, 25)
+                      + datetime.timedelta(seconds=int(rng.integers(0, 9e5))))
+        elif r < 0.1:  # far future
+            ts.append(datetime.datetime(2085, 6, 1)
+                      + datetime.timedelta(seconds=int(rng.integers(0, 9e5))))
+        else:
+            ts.append(base + datetime.timedelta(
+                seconds=int(rng.integers(0, 60 * 86400))))
+    users = [None if rng.random() < 0.06 else int(rng.integers(0, 25))
+             for _ in range(n)]
+    vals = [None if rng.random() < 0.08
+            else round(float(rng.normal(100, 60)), 2) for _ in range(n)]
+    props = [None if rng.random() < 0.1 else '{"k": %d}' % rng.integers(0, 9)
+             for _ in range(n)]
+    types = [EVENT_TYPES[int(rng.integers(0, len(EVENT_TYPES)))]
+             for _ in range(n)]
+    ids = list(range(n))
+    ids[-1] = 0 if n > 1 else 0  # one duplicate event_id
+    tbl = pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(props, pa.string()),
+    })
+    d = tmp_path / f"evfuzz{seed}"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def _events_only_gated_ops():
+    import __ray_entry__ as e
+
+    return sorted(
+        n for n in e.oracle_sql()
+        if n.startswith("events_") and n != "events_distinct_users_exact"
+        or n == "sketch_value_quantiles"
+    )
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_events_ops_parity_on_adversarial_tables(ray_session, tmp_path, seed):
+    """Every events-only SQL-gated op against the DuckDB oracle on an
+    adversarial events table (NULL user/type/value/props, pre-1970 and
+    far-future timestamps, unicode types, a duplicate event_id)."""
+    import __ray_entry__ as e
+
+    sf = _fuzz_events(tmp_path, seed)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'events.parquet')}')"
+    )
+    qs, sqls = e.queries(), e.oracle_sql()
+    failures = []
+    for name in _events_only_gated_ops():
+        try:
+            got = _canon(_to_df(qs[name](sf)))
+            exp = _canon(con.execute(sqls[name]).df())
+            assert len(got) == len(exp), f"rows {len(got)} != {len(exp)}"
+            pd.testing.assert_frame_equal(
+                got, exp, check_dtype=False, check_exact=True,
+            )
+        except Exception as ex:
+            failures.append(f"{name}: {str(ex)[:200]}")
+    assert not failures, f"seed {seed}:\n" + "\n".join(failures)
