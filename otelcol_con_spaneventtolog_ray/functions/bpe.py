@@ -175,4 +175,74 @@ def q_bpe_merges(sf_dir: str):
     return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
 
-register("text_bpe_merges", q_bpe_merges)  # rows-only (iterative)
+def _bpe_merges_sql() -> str:
+    """Exact DuckDB mirror of q_bpe_merges (SQL-gated since round 5).
+
+    The BPE loop is bounded (BPE_MERGES = 8), so the "iterative, not
+    SQL-expressible" verdict was too pessimistic: unroll the 8 rounds as
+    CTE stages. Each round re-derives per-doc symbol lists, counts adjacent
+    pairs, picks the global top by (n DESC, left, right) — DuckDB's binary
+    VARCHAR ordering == Python's codepoint ordering — and applies the merge
+    greedily left-to-right via gaps-and-islands run parity (a maximal run
+    of consecutive candidate positions merges at even offsets only),
+    mirroring _merge_once. The break condition (top count < 2) propagates
+    structurally: an empty top CTE cross-joins the state empty, so every
+    later round yields no rows, exactly like the Python break.
+    """
+    steps = []
+    outs = []
+    for i in range(1, BPE_MERGES + 1):
+        p = f"s{i}"
+        steps.append(f"""ex{i} AS MATERIALIZED (
+  SELECT doc_id, unnest(syms) AS s, unnest(range(1, len(syms) + 1)) AS pos
+  FROM st{i - 1}),
+pr{i} AS MATERIALIZED (
+  SELECT doc_id, pos, s,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM ex{i}),
+tp{i} AS MATERIALIZED (
+  SELECT s AS l, nxt AS r, count(*) AS n
+  FROM pr{i} WHERE nxt IS NOT NULL
+  GROUP BY s, nxt HAVING count(*) >= 2
+  ORDER BY n DESC, l, r LIMIT 1),
+cnd{i} AS MATERIALIZED (
+  SELECT p.doc_id, p.pos, p.s, t.l, t.r,
+         (p.s = t.l AND p.nxt = t.r) AS cand
+  FROM pr{i} p CROSS JOIN tp{i} t),
+mat{i} AS MATERIALIZED (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, min(pos) OVER (PARTITION BY doc_id, grp) AS rf
+    FROM (SELECT doc_id, pos,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM cnd{i} WHERE cand))
+  WHERE (pos - rf) % 2 = 0),
+st{i} AS MATERIALIZED (
+  SELECT c.doc_id,
+         list(CASE WHEN m.pos IS NOT NULL THEN c.l || chr(31) || c.r
+                   ELSE c.s END ORDER BY c.pos) AS syms
+  FROM cnd{i} c
+  LEFT JOIN mat{i} m ON m.doc_id = c.doc_id AND m.pos = c.pos
+  LEFT JOIN mat{i} d ON d.doc_id = c.doc_id AND d.pos = c.pos - 1
+  WHERE d.pos IS NULL
+  GROUP BY c.doc_id)""")
+        outs.append(
+            f"SELECT {i}::BIGINT AS step, "
+            f"replace(l || chr(31) || r, chr(31), ' ') AS merged, n FROM tp{i}"
+        )
+    body = ",\n".join(steps)
+    union = "\nUNION ALL\n".join(outs)
+    return f"""
+WITH
+st0 AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     x -> x <> '') AS syms
+  FROM documents),
+{body}
+SELECT step, merged, n FROM ({union}) ORDER BY step
+"""
+
+
+# SQL-gated since round 5: the bounded merge loop is unrolled into an
+# 8-stage DuckDB mirror (see _bpe_merges_sql).
+register("text_bpe_merges", q_bpe_merges, _bpe_merges_sql())

@@ -1074,7 +1074,7 @@ def dsir_histograms(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     """(n_all, n_bench) int64[DSIR_DIM] bigram-bucket histograms over the
     corpus and the benchmark subset. Per-block partials are <= DSIR_DIM
     rows; the driver fold is O(blocks x DSIR_DIM)."""
-    from .decontam import DECON_BENCH_MOD
+    from .decontam import is_bench_ids
 
     def partial(batch: pa.Table) -> pa.Table:
         big, parents = _bigram_flat(batch)
@@ -1083,7 +1083,7 @@ def dsir_histograms(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
             batch.column("doc_id").to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        bench_rows = (ids % DECON_BENCH_MOD == 0)[parents]
+        bench_rows = is_bench_ids(ids)[parents]
         n_all = np.bincount(bk, minlength=DSIR_DIM)
         n_bench = np.bincount(bk[bench_rows], minlength=DSIR_DIM)
         present = np.flatnonzero(n_all)
@@ -1119,7 +1119,18 @@ class DsirScorer:
         s_bench = float(n_bench.sum())
         # add-1 smoothed log-ratio, quantized BEFORE the per-doc sum (the
         # text_lm_score micro-nat contract: int64 sums are order-exact and
-        # the 1e6 quantizer absorbs last-ulp ln() noise between engines)
+        # the 1e6 quantizer absorbs last-ulp ln() noise between engines).
+        # Accepted tie risk (same as text_lm_score, but here the weight
+        # feeds q_dsir_select's mean-threshold FILTER, so a 1-unit drift
+        # could change a row set, not just a score column): np.rint is
+        # round-half-to-even while the DuckDB mirror's round() is
+        # half-away-from-zero — they differ only when the log-ratio lands
+        # EXACTLY on x.5 micro-nats, which requires ln(p)-ln(q) to be an
+        # exact odd multiple of 5e-7 in binary64; no such value has been
+        # observed across the parity-fuzz corpora. If this gate ever
+        # flakes, switch both sides to an exact rational compare
+        # (numerator/denominator int pairs) instead of widening the
+        # quantizer.
         p = (n_bench + 1) / (s_bench + DSIR_DIM)
         q = (n_all + 1) / (s_all + DSIR_DIM)
         self.m = np.rint((np.log(p) - np.log(q)) * 1e6).astype(np.int64)
@@ -1163,7 +1174,7 @@ def q_dsir_weights(sf_dir: str):
 
 
 def _dsir_sql() -> str:
-    from .decontam import DECON_BENCH_MOD
+    from .decontam import bench_pred_sql
 
     return f"""
 WITH tk AS (
@@ -1181,7 +1192,7 @@ b AS (
   FROM bg),
 hist AS (
   SELECT bucket, count(*) AS n_all,
-         count(*) FILTER (WHERE doc_id % {DECON_BENCH_MOD} = 0) AS n_bench
+         count(*) FILTER (WHERE {bench_pred_sql()}) AS n_bench
   FROM b GROUP BY 1),
 tot AS (
   SELECT CAST(sum(n_all) AS DOUBLE) AS s_all,
@@ -1208,9 +1219,12 @@ def q_dsir_select(sf_dir: str):
     the corpus MEAN weight (floor(sum/|scored docs|) in micro-nats — an
     exact integer threshold; the paper resamples proportionally, the
     above-mean rule is the deterministic contract both engines can agree
-    on bit-for-bit). Two shuffle-free scoring scans: pass A folds ONE
-    (sum, count) row per block for the threshold, pass B re-scores and
-    filters — scores never materialize corpus-wide."""
+    on bit-for-bit). After the histogram pass, ONE scoring scan: the tiny
+    per-doc (doc_id, n_bigrams, dsir_micro) triple table is materialized
+    (3 int64 per scored doc — ~24 GB per 10^12 docs across the whole
+    object store, never on one node), the threshold folds from it as ONE
+    (sum, count) row per block, and the filter re-reads the scored triples
+    instead of re-hashing every bigram a second time."""
     import ray
 
     n_all, n_bench = dsir_histograms(sf_dir)
@@ -1228,9 +1242,9 @@ def q_dsir_select(sf_dir: str):
              "n": pa.array([len(w)], pa.int64())}
         )
 
+    scored = _dedup._docs(sf_dir).map_batches(DsirScorer, **kw).materialize()
     mom = (
-        _dedup._docs(sf_dir)
-        .map_batches(DsirScorer, **kw)
+        scored
         .map_batches(moment_partial, batch_format="pyarrow", **remote_kwargs())
         .to_pandas()
     )
@@ -1248,8 +1262,7 @@ def q_dsir_select(sf_dir: str):
         return t.filter(pa.array(w >= thresh))
 
     df = (
-        _dedup._docs(sf_dir)
-        .map_batches(DsirScorer, **kw)
+        scored
         .map_batches(keep, batch_format="pyarrow", **remote_kwargs())
         .to_pandas()
     )

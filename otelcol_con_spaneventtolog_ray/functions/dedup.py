@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 
 from .entry_queries import register
 from .texthash import (
+    BYTE_BASE,
     U64_MAX,
     _splitmix64,
     WORD_BASE,
@@ -459,6 +460,87 @@ WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
 # ---------------------------------------------------------------------------
 # MinHash-LSH + SimHash (rows-only: not SQL-expressible)
 # ---------------------------------------------------------------------------
+
+def _minhash_buckets_sql() -> str:
+    """Exact DuckDB mirror of q_minhash_buckets (SQL-gated since round 5).
+
+    Reproduces the whole hash pipeline integer-for-integer via sqlhash.py:
+    ASCII-\\s tokenize -> byte-fold word hash -> word-3-gram shingle fold
+    (short docs: one shingle over all words) -> distinct shingles ->
+    64 splitmix64(x ^ seed) minima -> per-band polynomial fold ->
+    splitmix64 -> int64 bucket -> (band, bucket) group counts > 1.
+    See sqlhash's module docstring for the exactness argument.
+    """
+    from .sqlhash import (
+        M64,
+        SM_C0,
+        mulmod_sql,
+        splitmix64_ctes,
+        splitmix64_int,
+        uint64_to_int64_sql,
+        word_hash_ctes,
+    )
+
+    seeds = [splitmix64_int((i * SM_C0) % M64) for i in range(1, NUM_PERM + 1)]
+    seed_lit = ", ".join(f"{s}::HUGEINT" for s in seeds)
+    wb = int(WORD_BASE)
+
+    wh_frag, wh_last = word_hash_ctes(int(BYTE_BASE))
+    sh_sm, sh_last = splitmix64_ctes("sh", "sh_fold", ["doc_id"], "fold", "sh")
+    ph_sm, ph_last = splitmix64_ctes("ph", "perm_x", ["doc_id", "p"], "x", "ph")
+    bk_sm, bk_last = splitmix64_ctes("bk", "band_fold", ["doc_id", "band"], "fold", "bh")
+
+    rows = NUM_PERM // NUM_BANDS
+    fold8 = "s0"
+    for r in range(1, rows):
+        fold8 = f"(({fold8}) * {wb}::HUGEINT + s{r}) % {M64}::HUGEINT"
+    pivot = ",\n    ".join(
+        f"MAX(CASE WHEN p % {rows} = {r} THEN sig END) AS s{r}"
+        for r in range(rows)
+    )
+    fold2 = f"({mulmod_sql('wh', wb)} + wh1) % {M64}::HUGEINT"
+    fold3 = f"(({mulmod_sql(f'({fold2})', wb)}) + wh2) % {M64}::HUGEINT"
+
+    return f"""
+WITH RECURSIVE
+{wh_frag},
+win AS (
+  SELECT doc_id, c, widx, wh,
+         lead(wh, 1) OVER (PARTITION BY doc_id ORDER BY widx) AS wh1,
+         lead(wh, 2) OVER (PARTITION BY doc_id ORDER BY widx) AS wh2
+  FROM {wh_last}),
+sh_fold AS (
+  SELECT doc_id,
+         CASE WHEN c >= {SHINGLE_K} THEN ({fold3})
+              WHEN c = 2 THEN ({fold2})
+              ELSE wh END AS fold
+  FROM win
+  WHERE (c >= {SHINGLE_K} AND widx <= c - {SHINGLE_K - 1})
+     OR (c < {SHINGLE_K} AND widx = 1)),
+{sh_sm},
+shingles AS (SELECT DISTINCT doc_id, sh FROM {sh_last}),
+perm_x AS (
+  SELECT doc_id, p, xor(sh, seed) AS x
+  FROM shingles,
+       (SELECT unnest([{seed_lit}]) AS seed,
+               unnest(range(0, {NUM_PERM})) AS p)),
+{ph_sm},
+sig AS (SELECT doc_id, p, MIN(ph) AS sig FROM {ph_last} GROUP BY doc_id, p),
+band_fold AS (
+  SELECT doc_id, band, fold FROM (
+    SELECT doc_id, (p // {rows})::INTEGER AS band,
+    {pivot}
+    FROM sig GROUP BY doc_id, p // {rows}
+  ) t, LATERAL (SELECT {fold8} AS fold)),
+{bk_sm},
+flat AS (
+  SELECT band, {uint64_to_int64_sql('bh')} AS bucket
+  FROM {bk_last})
+SELECT band, bucket, count(*) AS n FROM flat
+GROUP BY band, bucket HAVING count(*) > 1
+ORDER BY band, bucket
+"""
+
 
 def q_minhash_buckets(sf_dir: str):
     """(band, bucket) groups with >1 member = near-dup candidate groups."""
@@ -1252,7 +1334,9 @@ def q_minhash_dedup_keep(sf_dir: str):
 
 register("dedup_exact", q_exact_dedup, _EXACT_DEDUP_SQL)
 register("dedup_jaccard_pairs", q_jaccard_pairs, _JACCARD_SQL)
-register("dedup_minhash_buckets", q_minhash_buckets)  # rows-only
+# SQL-gated since round 5: the full hash pipeline is mirrored
+# integer-exactly in DuckDB (see _minhash_buckets_sql / sqlhash.py).
+register("dedup_minhash_buckets", q_minhash_buckets, _minhash_buckets_sql())
 register("dedup_minhash_near_dups", q_minhash_near_dups)  # rows-only
 register("dedup_minhash_keep", q_minhash_dedup_keep)  # rows-only
 register("dedup_simhash", q_simhash)  # rows-only

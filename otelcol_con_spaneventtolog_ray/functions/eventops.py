@@ -43,6 +43,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .entry_queries import register
 from ..rayenv import remote_kwargs
@@ -1669,8 +1670,14 @@ _DAY_US = 86_400_000_000
 
 
 def _first_seen_partials(batch: pa.Table) -> pa.Table:
+    # NULL users must collapse into ONE stable group (the SQL mirror has no
+    # IS NOT NULL filter, so SQL's NULL group is a real output row). An
+    # Arrow-level fill_null to the INT64_MIN sentinel makes that explicit —
+    # the previous NaN->int64 numpy cast happened to produce INT64_MIN too,
+    # but numpy documents that cast as undefined behavior.
     uid = (
-        batch.column("user_id").to_numpy(zero_copy_only=False)
+        pc.fill_null(batch.column("user_id"), np.iinfo(np.int64).min)
+        .to_numpy(zero_copy_only=False)
         .astype(np.int64)
     )
     if len(uid) == 0:

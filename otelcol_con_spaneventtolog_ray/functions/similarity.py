@@ -169,8 +169,26 @@ ORDER BY qid, rank
 """
 
 
+#: Integer quantization scale for the LSH hyperplane dot product. Both
+#: engines compute floor(float64(x) * 1e6) — a single IEEE multiply + floor,
+#: bit-identical in numpy and DuckDB — so the per-plane sign test is EXACT
+#: integer arithmetic on both sides (|dot| <= dim * 1e6*max|x| * 9 ~ 1e8,
+#: far inside the 2^53 double-exact range DuckDB's list_inner_product uses).
+LSH_QUANT = 1_000_000
+
+
+def _lsh_planes(dim: int) -> np.ndarray:
+    """Deterministic integer-valued random hyperplanes, (dim, LSH_PLANES) in
+    [-9, 9]. Integer entries (instead of Gaussians) keep the bucket function
+    exactly expressible in the DuckDB oracle; for sign-hash LSH the entry
+    distribution only needs symmetry, not normality."""
+    return np.random.RandomState(987654321).randint(
+        -9, 10, size=(dim, LSH_PLANES)
+    ).astype(np.int64)
+
+
 def q_lsh_ann(sf_dir: str):
-    """Random-hyperplane LSH buckets (rows-only check): (vec_id, bucket).
+    """Random-hyperplane LSH buckets (SQL-gated): (vec_id, bucket).
 
     The ANN path: queries hash to a bucket and score only that bucket's
     members — at 100 TB the buckets become the partitioning key.
@@ -178,10 +196,8 @@ def q_lsh_ann(sf_dir: str):
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch)
-        planes = np.random.RandomState(987654321).standard_normal(
-            (mat.shape[1], LSH_PLANES)
-        )
-        bits = (mat @ planes) > 0
+        q = np.floor(mat * LSH_QUANT).astype(np.int64)
+        bits = (q @ _lsh_planes(mat.shape[1] if mat.size else 64)) > 0
         bucket = (bits * (1 << np.arange(LSH_PLANES))).sum(axis=1).astype(np.int64)
         return pa.table(
             {
@@ -193,6 +209,31 @@ def q_lsh_ann(sf_dir: str):
     return _emb(sf_dir).map_batches(
         bucketize, batch_format="pyarrow", **remote_kwargs()
     )
+
+
+def _lsh_bucket_sql(dim: int = 64) -> str:
+    """Exact DuckDB mirror of q_lsh_ann for dim-wide embeddings: the integer
+    plane matrix is inlined as literals, the quantization is the same
+    floor(x*1e6) both engines compute."""
+    planes = _lsh_planes(dim)
+    terms = []
+    for j in range(LSH_PLANES):
+        col = ", ".join(str(int(v)) for v in planes[:, j])
+        terms.append(
+            f"(CASE WHEN list_inner_product(q, [{col}]::BIGINT[]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    expr = "\n     + ".join(terms)
+    return f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {LSH_QUANT}) AS BIGINT)) AS q
+  FROM embeddings)
+SELECT vec_id,
+       {expr} AS bucket
+FROM qv ORDER BY vec_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1188,7 +1229,9 @@ register("similarity_pq_rerank", q_pq_rerank)  # rows-only (ADC + exact rerank)
 register("similarity_ivfpq_topk", q_ivfpq_topk)  # rows-only (IVF-PQ ANN)
 register("similarity_knn_join", q_knn_join)  # rows-only (ANN self-join)
 register("similarity_cosine_topk", q_cosine_topk, _COSINE_SQL)
-register("similarity_lsh_buckets", q_lsh_ann)  # rows-only
+# SQL-gated since round 5: integer-quantized hyperplanes make the bucket
+# function exact on both engines (see _lsh_bucket_sql).
+register("similarity_lsh_buckets", q_lsh_ann, _lsh_bucket_sql())
 register("dedup_embedding_neardup", q_embedding_neardup, _NEARDUP_SQL)
 register("dedup_embedding_neardup_lsh", q_embedding_neardup_lsh)  # rows-only
 register("similarity_ivf_cells", q_ivf_cells, _IVF_CELLS_SQL)

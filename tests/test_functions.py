@@ -9,6 +9,8 @@ import pytest
 from tests.test_entry_queries import SF_DIR, _canon, _duck, _to_df
 
 SQL_CHECKED = [
+    # round-5 oracle upgrades (integer-exact hash mirrors / unrolled BPE)
+    "similarity_lsh_buckets", "dedup_minhash_buckets", "text_bpe_merges",
     "text_stats", "text_lang_id", "text_fingerprint",
     "dedup_exact", "dedup_jaccard_pairs",
     "similarity_cosine_topk", "multimodal_features",
@@ -71,9 +73,9 @@ SQL_CHECKED = [
 # every rows-only query, each smoke-run through queries() below (dedicated
 # semantic tests exist for most; this guarantees none is dead-on-arrival)
 ROWS_ONLY_RUN = [
-    "dedup_minhash_buckets", "dedup_minhash_near_dups", "dedup_simhash",
+    "dedup_minhash_near_dups", "dedup_simhash",
     "dedup_minhash_keep",
-    "similarity_lsh_buckets", "similarity_ivf_topk",
+    "similarity_ivf_topk",
     "dedup_embedding_neardup_lsh", "similarity_knn_join",
     "dedup_simhash_near_dups", "corpus_clean_keep",
     "multimodal_audio_energy",
@@ -81,7 +83,7 @@ ROWS_ONLY_RUN = [
     "similarity_pq_codes", "similarity_pq_topk",
     "similarity_pq_rerank", "similarity_ivfpq_topk",
     "corpus_training_chunks",
-    "sketch_bloom_users", "sketch_cms_top_tokens", "text_bpe_merges",
+    "sketch_bloom_users", "sketch_cms_top_tokens",
     "sketch_mg_heavy_users",
     "multimodal_phash", "multimodal_phash_near_dups",
     "dedup_containment_pairs", "similarity_mmr_topk",
