@@ -119,10 +119,16 @@ def _exact_drop_flags(sf_dir: str):
     return hashed.map_batches(drops, batch_format="pyarrow", **remote_kwargs())
 
 
-def q_corpus_clean_keep(sf_dir: str):
-    """Kept doc_ids after the full cleaning recipe (rows-only: the near-dup
-    component is not SQL-expressible; composition pinned against the
-    component queries in pytest)."""
+#: hash-bucket count for the clean-keep-set's partitioned write — low
+#: cardinality for directory fan-out, dense-id balanced via modulo
+CLEAN_KEEP_SHARDS = 64
+
+
+def clean_keep_ds(sf_dir: str):
+    """LIBRARY form of the cleaning keep-set: a streaming Dataset of kept
+    doc_ids. Every stage stays distributed (flag-union groupby, vectorized
+    filter); nothing per-doc lands on the driver. q_corpus_clean_keep is
+    only the driver-gate adapter on top of this."""
     import ray.data
 
     near = _dedup.q_minhash_dedup_keep(sf_dir)  # small: only docs in near-dup pairs
@@ -186,8 +192,32 @@ def q_corpus_clean_keep(sf_dir: str):
             }
         )
 
-    kept = folded.map_batches(keep_filter, batch_format="pyarrow", **remote_kwargs())
-    df = kept.to_pandas()
+    return folded.map_batches(keep_filter, batch_format="pyarrow", **remote_kwargs())
+
+
+def write_clean_keep(sf_dir: str, out_dir: str) -> None:
+    """Write the cleaning keep-set as hash-sharded parquet (one directory
+    per doc_id % CLEAN_KEEP_SHARDS bucket) — the 100-TB output contract:
+    resumable per shard, no driver materialization, and downstream
+    admission filters can pushdown-read only the shards they touch."""
+
+    def shard(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array(ids % CLEAN_KEEP_SHARDS, pa.int64())
+        )
+
+    clean_keep_ds(sf_dir).map_batches(
+        shard, batch_format="pyarrow", **remote_kwargs()
+    ).write_parquet(out_dir, partition_cols=["shard"])
+
+
+def q_corpus_clean_keep(sf_dir: str):
+    """Gate adapter: kept doc_ids, sorted (rows-only: the near-dup
+    component is not SQL-expressible; composition pinned against the
+    component queries in pytest). Library path: clean_keep_ds /
+    write_clean_keep."""
+    df = clean_keep_ds(sf_dir).to_pandas()
     if len(df) == 0:  # empty corpus (or nothing survives the gates)
         return pa.table({"doc_id": pa.array([], pa.int64())})
     df = df.sort_values("doc_id").reset_index(drop=True)

@@ -1800,8 +1800,13 @@ def _semdedup_cell_group(group: pa.Table, _cap: int | None = None) -> pa.Table:
     )
 
 
-def q_semdedup_keep(sf_dir: str):
-    """Semantic-dedup keep set: (vec_id, cell, keep), sorted by vec_id."""
+def semdedup_keep_ds(sf_dir: str):
+    """LIBRARY form of the semantic-dedup keep set: a streaming Dataset of
+    (vec_id, cell, keep) — the whole computation is cell-partitioned and
+    nothing per-doc ever lands on the driver. This is the form every
+    dataset-scale consumer must use; q_semdedup_keep is only the driver-gate
+    adapter (its to_pandas is the gate's return contract, O(N) rows by
+    definition of the gate, not of the kernel)."""
     import ray
 
     cref = ray.put(_ivf_centroids(sf_dir))
@@ -1822,14 +1827,30 @@ def q_semdedup_keep(sf_dir: str):
             }
         )
 
-    ds = (
+    return (
         _emb(sf_dir)
         .map_batches(assign, batch_format="pyarrow", **remote_kwargs())
         .groupby("cell")
         .map_groups(_semdedup_cell_group, batch_format="pyarrow",
                     **remote_kwargs())
     )
-    df = ds.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def write_semdedup_keep(sf_dir: str, out_dir: str) -> None:
+    """Write the semantic-dedup keep set as CELL-partitioned parquet — the
+    100-TB output contract: one directory per cell, so a failed run can
+    skip finished cells and downstream consumers co-read with the
+    cell-partitioned corpus; the keep-set streams from the group stage to
+    storage without a driver hop."""
+    semdedup_keep_ds(sf_dir).write_parquet(out_dir, partition_cols=["cell"])
+
+
+def q_semdedup_keep(sf_dir: str):
+    """Gate adapter: (vec_id, cell, keep), sorted by vec_id (per-doc rows
+    on the driver are the GATE's contract; library path: semdedup_keep_ds /
+    write_semdedup_keep)."""
+    df = semdedup_keep_ds(sf_dir).to_pandas()
+    df = df.sort_values("vec_id").reset_index(drop=True)
     return pa.Table.from_pandas(df[["vec_id", "cell", "keep"]],
                                 preserve_index=False)
 

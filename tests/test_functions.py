@@ -2111,3 +2111,53 @@ def test_ivfpq_topk_recall_and_determinism(ray_session):
     # near-uniform embeddings because the pruned members were not ADC top
     # hits anyway
     assert hits / total >= 0.4, hits / total
+
+
+def test_write_keep_library_paths_match_query_forms(ray_session, tmp_path):
+    """Verdict item: the per-doc keep-sets must have a LIBRARY path that
+    writes partitioned parquet end-to-end (streaming, no driver to_pandas
+    of per-doc rows) whose contents equal the driver-gate query form."""
+    import glob as _glob
+    import inspect
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions import corpus, similarity
+
+    # -- semantic dedup: cell-partitioned write == query form ------------
+    out = tmp_path / "semdedup"
+    similarity.write_semdedup_keep(SF_DIR, str(out))
+    assert _glob.glob(str(out / "cell=*")), "expected cell=* partition dirs"
+    back = (
+        pq.read_table(str(out))
+        .to_pandas()
+        .astype({"vec_id": "int64", "cell": "int64", "keep": "bool"})
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = _to_df(e.queries()["dedup_semantic_keep"](SF_DIR))
+    pd.testing.assert_frame_equal(
+        back[["vec_id", "cell", "keep"]], want, check_dtype=False
+    )
+
+    # -- clean keep-set: hash-sharded write == query form ----------------
+    out2 = tmp_path / "clean"
+    corpus.write_clean_keep(SF_DIR, str(out2))
+    assert _glob.glob(str(out2 / "shard=*")), "expected shard=* partition dirs"
+    back2 = (
+        pq.read_table(str(out2))
+        .to_pandas()[["doc_id"]]
+        .astype({"doc_id": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want2 = _to_df(e.queries()["corpus_clean_keep"](SF_DIR))
+    pd.testing.assert_frame_equal(back2, want2, check_dtype=False)
+
+    # the library paths must stream: no driver materialization of per-doc
+    # rows anywhere in the ds-producing or writing functions
+    for fn in (similarity.semdedup_keep_ds, similarity.write_semdedup_keep,
+               corpus.clean_keep_ds, corpus.write_clean_keep):
+        src = inspect.getsource(fn).replace(fn.__doc__ or "", "")
+        assert "to_pandas" not in src and "take_all" not in src, fn.__name__
