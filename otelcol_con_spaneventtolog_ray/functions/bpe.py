@@ -235,7 +235,7 @@ st{i} AS MATERIALIZED (
 WITH
 st0 AS MATERIALIZED (
   SELECT doc_id,
-         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+         list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n\\r\\x0b\\x0c]+'),
                      x -> x <> '') AS syms
   FROM documents),
 {body}

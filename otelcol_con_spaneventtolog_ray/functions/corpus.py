@@ -672,7 +672,7 @@ def q_pack_sequences(sf_dir: str):
 _PACK_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+         len(list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n\\r\\x0b\\x0c]+'),
                          x -> x != '')) AS n_tokens
   FROM documents),
 c AS (
@@ -1208,7 +1208,7 @@ def _dsir_sql() -> str:
 
     return f"""
 WITH tk AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
                              x -> x != '') AS w
   FROM documents),
 bg AS (

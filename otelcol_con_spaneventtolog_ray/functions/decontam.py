@@ -164,7 +164,7 @@ def _word_gram_cte(k: int) -> str:
     _DUP_SPAN_SQL) so the window semantics cannot desynchronize."""
     return f"""
 WITH t AS (
-  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n\\r\\x0b\\x0c]+'),
                              x -> x != '') AS toks
   FROM documents),
 g AS (

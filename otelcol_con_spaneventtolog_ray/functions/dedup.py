@@ -364,8 +364,9 @@ def q_jaccard_pairs(sf_dir: str):
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
     text = docs.column("text").take(pa.array(order))
-    # ASCII whitespace split — same class as the RE2 '\s+' in the SQL mirror
-    toks = pc.split_pattern_regex(text, pattern=r"\s+")
+    # ASCII whitespace split — the explicit 6-byte class [\t\n\v\f\r ],
+    # spelled out in BOTH engines (RE2 '\s' excludes \v, Python's includes it)
+    toks = pc.split_pattern_regex(text, pattern=r"[ \t\n\r\x0b\x0c]+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.flatten()
@@ -440,13 +441,14 @@ def q_jaccard_pairs(sf_dir: str):
     return idx.map_batches(score, batch_format="pyarrow", **remote_kwargs())
 
 
-# word sets via \\s+ split with empties dropped — the exact semantics of
-# the ASCII-whitespace split used on the Ray side (plain string_split(' ')
-# would keep empty tokens on double spaces and miss tabs/newlines)
+# word sets via the explicit ASCII-whitespace-class split with empties
+# dropped — the exact semantics of the Ray side's split (plain
+# string_split(' ') would keep empty tokens on double spaces and miss
+# tabs/newlines; RE2's '\s' would miss \x0b, Python's would not)
 _JACCARD_SQL = f"""
 WITH s AS (
   SELECT doc_id, list_distinct(list_filter(
-           string_split_regex(text, '\\s+'), x -> x != '')) AS ws
+           string_split_regex(text, '[ \\t\\n\\r\\x0b\\x0c]+'), x -> x != '')) AS ws
   FROM documents)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(len(list_intersect(a.ws, b.ws))::DOUBLE
@@ -461,16 +463,16 @@ WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
 # MinHash-LSH + SimHash (rows-only: not SQL-expressible)
 # ---------------------------------------------------------------------------
 
-def _minhash_buckets_sql() -> str:
-    """Exact DuckDB mirror of q_minhash_buckets (SQL-gated since round 5).
-
-    Reproduces the whole hash pipeline integer-for-integer via sqlhash.py:
-    ASCII-\\s tokenize -> byte-fold word hash -> word-3-gram shingle fold
-    (short docs: one shingle over all words) -> distinct shingles ->
-    64 splitmix64(x ^ seed) minima -> per-band polynomial fold ->
-    splitmix64 -> int64 bucket -> (band, bucket) group counts > 1.
-    See sqlhash's module docstring for the exactness argument.
-    """
+def _minhash_core_ctes() -> str:
+    """Shared CTE prefix for every MinHash mirror (documents -> word hashes
+    -> shingles -> 64-perm signatures -> per-band buckets), reproducing the
+    numpy pipeline integer-for-integer via sqlhash.py: ASCII-ws tokenize ->
+    byte-fold word hash -> word-3-gram shingle fold (short docs: one shingle
+    over all words) -> distinct shingles -> 64 splitmix64(x ^ seed) minima
+    -> per-band polynomial fold -> splitmix64 -> int64 bucket. Exposes CTEs
+    ``shingles(doc_id, sh)`` and ``flat(doc_id, band, bucket)``; callers
+    must open with WITH RECURSIVE (the byte-fold power table recurses). See
+    sqlhash's module docstring for the exactness argument."""
     from .sqlhash import (
         M64,
         SM_C0,
@@ -501,9 +503,7 @@ def _minhash_buckets_sql() -> str:
     fold2 = f"({mulmod_sql('wh', wb)} + wh1) % {M64}::HUGEINT"
     fold3 = f"(({mulmod_sql(f'({fold2})', wb)}) + wh2) % {M64}::HUGEINT"
 
-    return f"""
-WITH RECURSIVE
-{wh_frag},
+    return f"""{wh_frag},
 win AS (
   SELECT doc_id, c, widx, wh,
          lead(wh, 1) OVER (PARTITION BY doc_id ORDER BY widx) AS wh1,
@@ -534,12 +534,72 @@ band_fold AS (
   ) t, LATERAL (SELECT {fold8} AS fold)),
 {bk_sm},
 flat AS (
-  SELECT band, {uint64_to_int64_sql('bh')} AS bucket
-  FROM {bk_last})
+  SELECT doc_id, band, {uint64_to_int64_sql('bh')} AS bucket
+  FROM {bk_last})"""
+
+
+def _minhash_buckets_sql() -> str:
+    """Exact DuckDB mirror of q_minhash_buckets (SQL-gated since round 5):
+    the shared MinHash core + (band, bucket) group counts > 1."""
+    return f"""
+WITH RECURSIVE
+{_minhash_core_ctes()}
 SELECT band, bucket, count(*) AS n FROM flat
 GROUP BY band, bucket HAVING count(*) > 1
 ORDER BY band, bucket
 """
+
+
+def _minhash_pairs_ctes() -> str:
+    """Core + the verified near-dup pair CTE ``pairs(id_a, id_b, jac)``:
+    bucket-sharing candidates (a.doc_id < b.doc_id over same (band,
+    bucket)), verified by EXACT Jaccard over the distinct shingle-hash
+    sets — the same two-stage contract as q_minhash_near_dups, so banding
+    recall is identical by construction (both engines run the SAME bands)
+    and the gate is exact, not probabilistic."""
+    return f"""{_minhash_core_ctes()},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM flat a JOIN flat b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+ssz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+pint AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT p.id_a, p.id_b,
+         round(p.i::DOUBLE / (za.sz + zb.sz - p.i), 6) AS jac
+  FROM pint p
+  JOIN ssz za ON za.doc_id = p.id_a
+  JOIN ssz zb ON zb.doc_id = p.id_b
+  WHERE p.i::DOUBLE / (za.sz + zb.sz - p.i) >= {JACCARD_THRESHOLD})"""
+
+
+def _minhash_near_dups_sql() -> str:
+    """Exact DuckDB mirror of q_minhash_near_dups (SQL-gated since r5)."""
+    return ("WITH RECURSIVE\n" + _minhash_pairs_ctes()
+            + "\nSELECT id_a, id_b, jac FROM pairs ORDER BY id_a, id_b")
+
+
+def _minhash_keep_sql() -> str:
+    """Exact DuckDB mirror of q_minhash_dedup_keep (SQL-gated since r5):
+    connected components over the verified pair edges via recursive
+    min-label reachability (the web_components mirror pattern), keep =
+    cluster minimum."""
+    return ("WITH RECURSIVE\n" + _minhash_pairs_ctes() + """,
+nodes AS (SELECT id_a AS n FROM pairs UNION SELECT id_b FROM pairs),
+sym AS (SELECT id_a AS x, id_b AS y FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+r(n, l) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT s.x, r.l FROM sym s JOIN r ON s.y = r.n)
+SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster,
+       (n = min(l)) AS keep
+FROM r GROUP BY 1 ORDER BY 1""")
 
 
 def q_minhash_buckets(sf_dir: str):
@@ -1337,8 +1397,12 @@ register("dedup_jaccard_pairs", q_jaccard_pairs, _JACCARD_SQL)
 # SQL-gated since round 5: the full hash pipeline is mirrored
 # integer-exactly in DuckDB (see _minhash_buckets_sql / sqlhash.py).
 register("dedup_minhash_buckets", q_minhash_buckets, _minhash_buckets_sql())
-register("dedup_minhash_near_dups", q_minhash_near_dups)  # rows-only
-register("dedup_minhash_keep", q_minhash_dedup_keep)  # rows-only
+# SQL-gated since round 5: bucket-sharing candidates + exact-Jaccard
+# verify, both engines running the SAME bands (see _minhash_near_dups_sql).
+register("dedup_minhash_near_dups", q_minhash_near_dups, _minhash_near_dups_sql())
+# SQL-gated since round 5: recursive min-label CC over the mirrored pair
+# edges (see _minhash_keep_sql).
+register("dedup_minhash_keep", q_minhash_dedup_keep, _minhash_keep_sql())
 register("dedup_simhash", q_simhash)  # rows-only
 register("dedup_simhash_near_dups", q_simhash_near_dups)  # rows-only
 

@@ -292,12 +292,18 @@ FROM events e WHERE e.user_id IS NOT NULL
 # top-k per group — (value desc, event_id asc) within event_type
 # ---------------------------------------------------------------------------
 
-def topk_group(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.sort_values(["value", "event_id"], ascending=[False, True],
-                        kind="stable").head(TOPK_PER_TYPE)
-    out = df[["event_type", "event_id", "value"]].copy()
-    out["rank"] = np.arange(1, len(out) + 1)
-    return out
+def topk_group(t: pa.Table) -> pa.Table:
+    """Arrow in/out: lexsort (value desc, event_id asc) via numpy, take the
+    top TOPK_PER_TYPE row indices zero-copy from the group table."""
+    vals = t.column("value").to_numpy(zero_copy_only=False)
+    eids = t.column("event_id").to_numpy(zero_copy_only=False)
+    order = np.lexsort((eids, -vals))[:TOPK_PER_TYPE]
+    top = t.select(["event_type", "event_id", "value"]).take(
+        pa.array(order, pa.int64())
+    )
+    return top.append_column(
+        "rank", pa.array(np.arange(1, len(order) + 1), pa.int64())
+    )
 
 
 def q_topk_per_type(sf_dir: str):
@@ -311,7 +317,7 @@ def q_topk_per_type(sf_dir: str):
         .map_batches(drop_null_type, batch_format="pyarrow",
                      **remote_kwargs())
         .groupby("event_type")
-        .map_groups(topk_group, batch_format="pandas", **remote_kwargs())
+        .map_groups(topk_group, batch_format="pyarrow", **remote_kwargs())
     )
 
 

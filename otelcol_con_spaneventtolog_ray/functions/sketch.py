@@ -86,17 +86,28 @@ def hll_partial_batch(key: str, value: str):
 
 
 def hll_merge_group(key: str):
-    """map_groups reducer: elementwise-max merge + estimate per key."""
+    """map_groups reducer: elementwise-max merge + estimate per key.
 
-    def _merge(df: pd.DataFrame) -> pd.DataFrame:
-        regs = np.frombuffer(b"".join(df["regs"]), dtype=np.uint8).reshape(
-            len(df), HLL_M
+    Arrow in/out (zero-copy from the object store): the fixed-width binary
+    register column's single data buffer reshapes straight into the
+    (rows, HLL_M) uint8 matrix — no pandas detour."""
+
+    def _merge(t: pa.Table) -> pa.Table:
+        regs_col = t.column("regs")
+        if isinstance(regs_col, pa.ChunkedArray):
+            regs_col = regs_col.combine_chunks()
+        regs = np.frombuffer(
+            regs_col.buffers()[1], dtype=np.uint8
+        )[regs_col.offset * HLL_M:(regs_col.offset + t.num_rows) * HLL_M].reshape(
+            t.num_rows, HLL_M
         )
         merged = regs.max(axis=0)
-        return pd.DataFrame(
+        return pa.table(
             {
-                key: [df[key].iloc[0]],
-                "approx_distinct": [int(round(hll_estimate(merged)))],
+                key: t.column(key).slice(0, 1),
+                "approx_distinct": pa.array(
+                    [int(round(hll_estimate(merged)))], pa.int64()
+                ),
             }
         )
 
@@ -109,7 +120,7 @@ def approx_distinct_by(ds, key: str, value: str):
         hll_partial_batch(key, value), batch_format="pyarrow", **remote_kwargs()
     )
     return partial.groupby(key).map_groups(
-        hll_merge_group(key), batch_format="pandas", **remote_kwargs()
+        hll_merge_group(key), batch_format="pyarrow", **remote_kwargs()
     )
 
 

@@ -14,9 +14,10 @@ Why this is exact (not approximate):
   could overflow HUGEINT, so they are computed via the 32-bit split
   ``(a*c) mod 2^64 = (a0*c + ((a1*(c mod 2^32)) mod 2^32)*2^32) mod 2^64``
   (a0/a1 the low/high 32-bit halves of a) — every intermediate < 2^97;
-* word tokenization uses ``string_split_regex(text, '\\s+')`` whose RE2
-  ``\\s`` class is byte-for-byte the ASCII-whitespace class the vectorized
-  tokenizer pins (texthash._WS_BYTES);
+* word tokenization uses ``string_split_regex`` with the explicit
+  ``[ \\t\\n\\r\\x0b\\x0c]+`` class — byte-for-byte the ASCII-whitespace
+  class the vectorized tokenizer pins (texthash._WS_BYTES; RE2's ``\\s``
+  would silently exclude ``\\x0b``);
 * word bytes are recovered from ``hex(encode(word))`` so arbitrary UTF-8
   (and arbitrary bytes) hash identically to the numpy byte-buffer fold.
 
@@ -88,7 +89,7 @@ def word_hash_ctes(byte_base: int) -> tuple[str, str]:
   SELECT doc_id, unnest(ws) AS word, unnest(range(1, len(ws) + 1)) AS widx,
          len(ws) AS c
   FROM (SELECT doc_id,
-               list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+               list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n\\r\\x0b\\x0c]+'),
                            x -> x <> '') AS ws
         FROM documents)
   WHERE len(ws) > 0),

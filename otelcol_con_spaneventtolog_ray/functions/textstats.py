@@ -127,10 +127,12 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-# ASCII whitespace class, pinned to RE2 '\s' ([\t\n\f\r\v ]) — the DuckDB
-# mirrors run RE2, where '\s' is ASCII-only, while Python's '\s' (and
-# str.split()) match Unicode spaces (\xa0, U+2028, ...). One explicit class
-# on BOTH sides keeps exotic-whitespace documents from diverging.
+# ASCII whitespace class [\t\n\v\f\r ] — Python re.ASCII '\s'. The DuckDB
+# mirrors and the Arrow kernels run RE2, whose '\s' is ALSO ASCII-only but
+# EXCLUDES \v (\x0b); since round 5 every RE2 pattern (SQL mirrors and
+# pyarrow split/replace kernels) therefore spells the class out explicitly
+# as [ \t\n\r\x0b\x0c]+ so all three surfaces agree byte-for-byte, and
+# neither matches Unicode spaces (\xa0, U+2028, ...).
 _WS_RE = re.compile(r"\s+", re.ASCII)
 
 
@@ -142,18 +144,41 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     full-mapping str.lower() would give) hash identically to the DuckDB
     mirror's lower().
 
-    md5 is retained DELIBERATELY (hashlib releases the GIL and runs C, so
-    the per-row loop is not catastrophic): the fingerprint string IS this
-    op's output contract and the DuckDB mirror must reproduce it with its
-    own md5() — a faster internal hash (texthash.batch_content_hash, used
-    by dedup_exact where the key stays internal) would break the mirror."""
-    texts = pc.utf8_lower(batch.column("text")).to_pylist()
-    # NULL text stays NULL — the mirror's md5(NULL) IS NULL (parity fuzz)
-    fps = [
-        hashlib.md5(_WS_RE.sub(" ", t).encode("utf-8")).hexdigest()
-        if t is not None else None
-        for t in texts
-    ]
+    md5 is retained DELIBERATELY: the fingerprint string IS this op's
+    output contract and the DuckDB mirror must reproduce it with its own
+    md5() — a faster internal hash (texthash.batch_content_hash, used by
+    dedup_exact where the key stays internal) would break the mirror.
+
+    Vectorization shape (round 5): lowering AND whitespace normalization
+    run as Arrow kernels (utf8_lower + replace_substring_regex with the
+    explicit 6-byte class — identical to _WS_RE), so no Python string is
+    ever built; md5 then runs over zero-copy memoryview slices of the
+    normalized column's single data buffer. The only per-row Python left
+    is the hashlib call itself, which is the contract."""
+    norm = pc.replace_substring_regex(
+        pc.utf8_lower(batch.column("text")), pattern=r"[ \t\n\r\x0b\x0c]+", replacement=" "
+    )
+    if isinstance(norm, pa.ChunkedArray):
+        norm = norm.combine_chunks()
+    from .texthash import _string_buffer_view
+
+    offsets, data = _string_buffer_view(norm)
+    mv = memoryview(data)
+    md5 = hashlib.md5
+    # NULL text stays NULL — the mirror's md5(NULL) IS NULL (parity fuzz);
+    # a null slot has a zero-length slice, so mask explicitly
+    if norm.null_count:
+        nulls = pc.is_null(norm).to_numpy(zero_copy_only=False)
+        fps = [
+            None if nulls[i]
+            else md5(mv[offsets[i]:offsets[i + 1]]).hexdigest()
+            for i in range(len(norm))
+        ]
+    else:
+        fps = [
+            md5(mv[lo:hi]).hexdigest()
+            for lo, hi in zip(offsets[:-1].tolist(), offsets[1:].tolist())
+        ]
     return pa.table(
         {"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps, pa.string())}
     )
@@ -234,7 +259,7 @@ FROM s
 """
 
 _FINGERPRINT_SQL = (
-    "SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint"
+    "SELECT doc_id, md5(lower(regexp_replace(text, '[ \\t\\n\\r\\x0b\\x0c]+', ' ', 'g'))) AS fingerprint"
     " FROM documents"
 )
 
@@ -394,7 +419,7 @@ TOP_TOKENS = 25
 
 _TOP_TOKENS_SQL = f"""
 WITH w AS (
-  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+  SELECT unnest(list_filter(string_split_regex(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
                             x -> x != '')) AS token
   FROM documents),
 c AS (SELECT token, count(*) AS n FROM w GROUP BY 1),
@@ -463,7 +488,7 @@ def q_top_bigrams(sf_dir: str):
 
 _TOP_BIGRAMS_SQL = f"""
 WITH t AS (
-  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+  SELECT list_filter(string_split_regex(text, '[ \\t\\n\\r\\x0b\\x0c]+'), x -> x != '') AS toks
   FROM documents),
 b AS (
   SELECT unnest(list_transform(range(1, len(toks)),
@@ -638,7 +663,7 @@ def _words_flat(batch: pa.Table):
     lists; the null list's NaN length must become 0 before np.repeat, or
     the float cast crashes) — matching the SQL mirrors, where
     string_split_regex(NULL) unnests to nothing."""
-    toks = pc.split_pattern_regex(batch.column("text"), pattern=r"\s+")
+    toks = pc.split_pattern_regex(batch.column("text"), pattern=r"[ \t\n\r\x0b\x0c]+")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
     flat = toks.flatten()
@@ -779,7 +804,7 @@ def q_lm_score(sf_dir: str):
 
 _VOCAB_CTE = f"""
 WITH w AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
                                     x -> x != '')) AS token
   FROM documents),
 c AS (SELECT token, count(*) AS n FROM w GROUP BY 1),
@@ -874,7 +899,7 @@ def q_repetition(sf_dir: str):
 
 _REPETITION_SQL = """
 WITH w AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
                                     x -> x != '')) AS token
   FROM documents),
 c AS (SELECT doc_id, token, count(*) AS k FROM w GROUP BY 1, 2)
@@ -1016,7 +1041,7 @@ def q_chunk_documents(sf_dir: str):
 
 _CHUNK_SQL = f"""
 WITH tk AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
                              x -> x != '') AS toks
   FROM documents),
 c AS (
@@ -1130,7 +1155,7 @@ def q_tokenize_ids(sf_dir: str):
 
 _TOKENIZE_SQL = f"""
 WITH t AS (
-  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+  SELECT doc_id, list_filter(string_split_regex(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
                              x -> x != '') AS toks
   FROM documents),
 w AS (SELECT unnest(toks) AS token FROM t),
@@ -1316,7 +1341,7 @@ _SW_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 _GOPHER_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+         list_filter(string_split_regex(coalesce(text, ''), '[ \\t\\n\\r\\x0b\\x0c]+'),
                      x -> x != '') AS toks
   FROM documents),
 m AS (
@@ -1410,7 +1435,7 @@ def q_idf_top_terms(sf_dir: str):
 _IDF_SQL = f"""
 WITH w AS (
   SELECT DISTINCT doc_id,
-         unnest(list_filter(string_split_regex(text, '\\s+'),
+         unnest(list_filter(string_split_regex(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
                             x -> x != '')) AS token
   FROM documents),
 c AS (SELECT token, count(*) AS df FROM w GROUP BY 1),
@@ -1712,7 +1737,7 @@ _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 _BM25_SQL = f"""
 WITH w AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(text, '\\s+'),
+         unnest(list_filter(string_split_regex(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
                             x -> x != '')) AS token
   FROM documents),
 nd AS (SELECT count(*) AS n FROM documents),
@@ -1811,7 +1836,7 @@ def q_unigram_entropy(sf_dir: str):
 _ENTROPY_SQL = r"""
 WITH w AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(text, '\s+'),
+         unnest(list_filter(string_split_regex(text, '[ \t\n\r\x0b\x0c]+'),
                             x -> x != '')) AS token
   FROM documents),
 c AS (SELECT doc_id, token, count(*) AS c FROM w GROUP BY 1, 2),
@@ -1942,7 +1967,7 @@ _JSD_SQL = (
     _VOCAB_CTE
     + f""",
 w2 AS (
-  SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'),
+  SELECT source, unnest(list_filter(string_split_regex(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
                                     x -> x != '')) AS token
   FROM documents),
 sc AS (
@@ -2066,7 +2091,7 @@ def q_classifier_scores(sf_dir: str):
 
 _HASH_CLS_SQL = f"""
 WITH w AS (
-  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \\t\\n\\r\\x0b\\x0c]+'),
                                     x -> x != '')) AS token
   FROM documents),
 b AS (SELECT doc_id,

@@ -11,6 +11,7 @@ from tests.test_entry_queries import SF_DIR, _canon, _duck, _to_df
 SQL_CHECKED = [
     # round-5 oracle upgrades (integer-exact hash mirrors / unrolled BPE)
     "similarity_lsh_buckets", "dedup_minhash_buckets", "text_bpe_merges",
+    "dedup_minhash_near_dups", "dedup_minhash_keep",
     "text_stats", "text_lang_id", "text_fingerprint",
     "dedup_exact", "dedup_jaccard_pairs",
     "similarity_cosine_topk", "multimodal_features",
@@ -73,8 +74,7 @@ SQL_CHECKED = [
 # every rows-only query, each smoke-run through queries() below (dedicated
 # semantic tests exist for most; this guarantees none is dead-on-arrival)
 ROWS_ONLY_RUN = [
-    "dedup_minhash_near_dups", "dedup_simhash",
-    "dedup_minhash_keep",
+    "dedup_simhash",
     "similarity_ivf_topk",
     "dedup_embedding_neardup_lsh", "similarity_knn_join",
     "dedup_simhash_near_dups", "corpus_clean_keep",
@@ -2161,3 +2161,41 @@ def test_write_keep_library_paths_match_query_forms(ray_session, tmp_path):
                corpus.clean_keep_ds, corpus.write_clean_keep):
         src = inspect.getsource(fn).replace(fn.__doc__ or "", "")
         assert "to_pandas" not in src and "take_all" not in src, fn.__name__
+
+
+def test_whitespace_class_and_fingerprint_vectorization_pins():
+    """Round-5 pins: (a) no RE2 '\\s' remains in any oracle SQL or pyarrow
+    regex pattern — RE2's '\\s' excludes \\x0b while the buffer-level
+    tokenizer (texthash._WS_BYTES) and Python re.ASCII '\\s' include it, so
+    every RE2 surface must spell the 6-byte class out explicitly; (b) the
+    fingerprint kernel has no per-row Python string loop left."""
+    import glob as _glob
+    import inspect
+    import os
+
+    import __ray_entry__ as e
+    from otelcol_con_spaneventtolog_ray.functions import textstats
+
+    # '\s+' is the tokenization pattern whose Ray counterpart is the
+    # buffer-level tokenizer / Python re.ASCII; RE2-vs-RE2 pairs (e.g. the
+    # props '"k":\s*' extraction, pyarrow extract_regex on the Ray side)
+    # are consistent by construction and stay allowed.
+    for name, sql in e.oracle_sql().items():
+        assert "'\\s+'" not in sql, f"RE2 tokenize \\s+ in oracle for {name}"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in _glob.glob(
+        os.path.join(repo, "otelcol_con_spaneventtolog_ray", "**", "*.py"),
+        recursive=True,
+    ):
+        src = open(f).read()
+        assert 'pattern=r"\\s+"' not in src and "pattern='\\\\s+'" not in src, f
+    src = inspect.getsource(textstats.fingerprint_batch)
+    assert "for t in texts" not in src and "to_pylist" not in src
+    assert "replace_substring_regex" in src and "memoryview" in src
+    # (c) zero-copy discipline: no pandas batch format anywhere in the
+    # library (the HLL merge and topk_group were the last two holdouts)
+    for f in _glob.glob(
+        os.path.join(repo, "otelcol_con_spaneventtolog_ray", "**", "*.py"),
+        recursive=True,
+    ):
+        assert 'batch_format="pandas"' not in open(f).read(), f
