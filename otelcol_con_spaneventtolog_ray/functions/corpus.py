@@ -29,7 +29,7 @@ import pyarrow as pa
 # attribute access at CALL time always sees the finished modules
 from . import dedup as _dedup
 from . import textstats as _textstats
-from .entry_queries import register
+from .entry_queries import register, register_lazy_sql
 from ..rayenv import remote_kwargs
 
 FLAG_QUALITY = "q"       # document clears the quality gate
@@ -213,15 +213,43 @@ def write_clean_keep(sf_dir: str, out_dir: str) -> None:
 
 
 def q_corpus_clean_keep(sf_dir: str):
-    """Gate adapter: kept doc_ids, sorted (rows-only: the near-dup
-    component is not SQL-expressible; composition pinned against the
-    component queries in pytest). Library path: clean_keep_ds /
-    write_clean_keep."""
+    """Gate adapter: kept doc_ids, sorted. SQL-gated since round 5: every
+    component now has an exact DuckDB mirror — the near-dup drop set runs
+    the SAME MinHash bands in SQL (dedup._minhash_cc_ctes, integer-exact
+    via sqlhash), so banding recall is identical by construction, not
+    approximated. Library path: clean_keep_ds / write_clean_keep."""
     df = clean_keep_ds(sf_dir).to_pandas()
     if len(df) == 0:  # empty corpus (or nothing survives the gates)
         return pa.table({"doc_id": pa.array([], pa.int64())})
     df = df.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def _clean_keep_ctes() -> str:
+    """CTE chain ending at ``ckeep(doc_id)`` = quality ∧ exact-dup survivor
+    ∧ near-dup survivor, mirroring clean_keep_ds component-for-component:
+    the MinHash-CC core (same bands both engines), exact-dup drops grouped
+    by raw text (the (h1, h2) content hash is collision-free by contract —
+    the same equivalence dedup_exact's green gate already rests on), and
+    the text_stats quality predicate. Callers must open WITH RECURSIVE."""
+    return f"""{_dedup._minhash_cc_ctes()},
+ndrop AS (SELECT n AS doc_id FROM r GROUP BY n HAVING n <> min(l)),
+xdrop AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY coalesce(text, '')) AS keep_id
+    FROM documents) t
+  WHERE doc_id <> keep_id),
+ckeep AS (
+  SELECT doc_id FROM ({_textstats._TEXT_STATS_SQL}) s
+  WHERE s.quality >= {_textstats.QUALITY_THRESHOLD}
+    AND doc_id NOT IN (SELECT doc_id FROM ndrop)
+    AND doc_id NOT IN (SELECT doc_id FROM xdrop))"""
+
+
+def _clean_keep_sql() -> str:
+    return ("WITH RECURSIVE\n" + _clean_keep_ctes()
+            + "\nSELECT doc_id FROM ckeep ORDER BY doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -388,15 +416,14 @@ FROM u ORDER BY source
 # ---------------------------------------------------------------------------
 
 def q_training_chunks(sf_dir: str):
-    """(doc_id, chunk_idx, n_tokens) for every chunk of every KEPT document
-    (rows-only; composition pinned against the component queries).
+    """(doc_id, chunk_idx, n_tokens) for every chunk of every KEPT document.
 
-    Deliberately NOT SQL-gated: the keep-set's near-dup component is
-    MinHash-LSH with 8 bands x 8 rows, whose detection probability at the
-    0.8 Jaccard threshold is 1-(1-j^8)^8 ~ 0.77 — an exact-Jaccard DuckDB
-    mirror is the WRONG oracle by design (it would flag every pair the
-    banding probabilistically skips). Contrast text_decontaminate_fuzzy,
-    whose 32x2 banding at threshold 0.5 misses <= 1e-4 and IS gated."""
+    SQL-gated since round 5: the keep-set's near-dup component is
+    MinHash-LSH with 8 bands x 8 rows (detection probability ~ 0.77 at the
+    0.8 Jaccard threshold), so an exact-Jaccard mirror would be the WRONG
+    oracle — but the round-5 sqlhash machinery mirrors the SAME bands
+    integer-exactly in DuckDB (dedup._minhash_cc_ctes), making banding
+    recall identical by construction and the composed gate exact."""
     import ray
 
     from . import textstats as _textstats2
@@ -542,8 +569,27 @@ FROM documents
 """
 
 
-register("corpus_clean_keep", q_corpus_clean_keep)  # rows-only
-register("corpus_training_chunks", q_training_chunks)  # rows-only (composition)
+def _training_chunks_sql() -> str:
+    """Exact mirror of q_training_chunks: the clean-keep CTE filters the
+    chunking mirror (text_chunking's gate-green _CHUNK_SQL, nested as a
+    subquery) down to kept documents."""
+    return f"""WITH RECURSIVE
+{_clean_keep_ctes()}
+SELECT ch.doc_id, ch.chunk_idx, ch.n_tokens
+FROM ({_textstats._CHUNK_SQL}) ch
+WHERE ch.doc_id IN (SELECT doc_id FROM ckeep)
+"""
+
+
+# SQL-gated since round 5 (see q_corpus_clean_keep / q_training_chunks
+# docstrings: the mirror runs the SAME MinHash bands via sqlhash). Lazy:
+# the SQL composes dedup/textstats fragments, and building it at import
+# time would touch partially-initialized sibling modules on workers (the
+# circular-import contract at the top of this file).
+register("corpus_clean_keep", q_corpus_clean_keep)
+register_lazy_sql("corpus_clean_keep", _clean_keep_sql)
+register("corpus_training_chunks", q_training_chunks)
+register_lazy_sql("corpus_training_chunks", _training_chunks_sql)
 register("corpus_source_mixture", q_source_mixture, _SOURCE_MIX_SQL)
 register("corpus_temperature_mixture", q_temperature_mixture,
          _TEMPERATURE_MIX_SQL)
@@ -827,8 +873,6 @@ FROM s, th
 """
     return token_budget_sql
 
-
-from .entry_queries import register_lazy_sql  # noqa: E402
 
 register_lazy_sql("corpus_token_budget", _token_budget_sql)
 

@@ -584,19 +584,26 @@ def _minhash_near_dups_sql() -> str:
             + "\nSELECT id_a, id_b, jac FROM pairs ORDER BY id_a, id_b")
 
 
-def _minhash_keep_sql() -> str:
-    """Exact DuckDB mirror of q_minhash_dedup_keep (SQL-gated since r5):
-    connected components over the verified pair edges via recursive
-    min-label reachability (the web_components mirror pattern), keep =
-    cluster minimum."""
-    return ("WITH RECURSIVE\n" + _minhash_pairs_ctes() + """,
+def _minhash_cc_ctes() -> str:
+    """Pair CTEs + connected components via recursive min-label
+    reachability (the web_components mirror pattern); exposes ``r(n, l)``
+    with l ranging over reachable labels (cluster id = min l per n). Shared
+    by _minhash_keep_sql and corpus._clean_keep_ctes."""
+    return _minhash_pairs_ctes() + """,
 nodes AS (SELECT id_a AS n FROM pairs UNION SELECT id_b FROM pairs),
 sym AS (SELECT id_a AS x, id_b AS y FROM pairs
         UNION ALL SELECT id_b, id_a FROM pairs),
 r(n, l) AS (
   SELECT n, n FROM nodes
   UNION
-  SELECT s.x, r.l FROM sym s JOIN r ON s.y = r.n)
+  SELECT s.x, r.l FROM sym s JOIN r ON s.y = r.n)"""
+
+
+def _minhash_keep_sql() -> str:
+    """Exact DuckDB mirror of q_minhash_dedup_keep (SQL-gated since r5):
+    connected components over the verified pair edges, keep = cluster
+    minimum."""
+    return ("WITH RECURSIVE\n" + _minhash_cc_ctes() + """
 SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster,
        (n = min(l)) AS keep
 FROM r GROUP BY 1 ORDER BY 1""")
@@ -958,6 +965,79 @@ def q_simhash_near_dups(sf_dir: str):
     return pa.Table.from_pandas(
         df.reset_index(drop=True)[["id_a", "id_b", "hamming"]], preserve_index=False
     )
+
+
+def _simhash_core_ctes() -> str:
+    """Shared DuckDB CTE core for the SimHash mirrors (SQL-gated since
+    round 5): word-OCCURRENCE hashes (sqlhash.word_hash_ctes — same
+    splitmix64-of-byte-fold as batch_words) -> signed votes per bit
+    (repeated words vote with multiplicity, matching simhash_batch's
+    per-occurrence reduceat) -> ``sims(doc_id, sim)`` with sim the uint64
+    SimHash carried as HUGEINT in [0, 2^64). Word-less (empty / NULL-text)
+    documents produce no sims row — callers LEFT JOIN + coalesce to 0,
+    matching simhash_batch's all-zero accumulator. Callers must open with
+    WITH RECURSIVE (the byte-fold power table recurses). Exactness: every
+    step is integer arithmetic; a tie vote (v = 0) sets the bit to 0 in
+    both engines (numpy ``acc > 0`` / SQL ``v > 0``)."""
+    from .sqlhash import word_hash_ctes
+
+    wh_frag, wh_last = word_hash_ctes(int(BYTE_BASE))
+    return f"""{wh_frag},
+wcnt AS (SELECT doc_id, wh, count(*)::HUGEINT AS m FROM {wh_last} GROUP BY 1, 2),
+votes AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN ((wh >> b) & 1::HUGEINT) = 1::HUGEINT THEN m ELSE -m END) AS v
+  FROM wcnt, (SELECT unnest(range(0, 64)) AS b)
+  GROUP BY 1, 2),
+sims AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS sim
+  FROM votes GROUP BY 1)"""
+
+
+def _simhash_sql() -> str:
+    """Exact DuckDB mirror of q_simhash: per-doc signature + the four
+    16-bit Hamming-banding chunks."""
+    from .sqlhash import uint64_to_int64_sql
+
+    s = "coalesce(s.sim, 0::HUGEINT)"
+    chunks = ",\n       ".join(
+        f"(({s} >> {16 * c}) & 65535::HUGEINT)::INTEGER AS chunk{c}"
+        for c in range(4)
+    )
+    return f"""
+WITH RECURSIVE
+{_simhash_core_ctes()}
+SELECT d.doc_id,
+       {uint64_to_int64_sql(s)} AS simhash,
+       {chunks}
+FROM documents d LEFT JOIN sims s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def _simhash_near_dups_sql() -> str:
+    """Exact DuckDB mirror of q_simhash_near_dups. The mirror skips the
+    chunk-banding and applies the Hamming predicate directly: at
+    SIMHASH_HAMMING_MAX = 3 < 4 chunks, pigeonhole guarantees every
+    qualifying pair shares at least one aligned 16-bit chunk, so the Ray
+    side's bucket-candidate recall is EXACTLY 1.0 and the two result sets
+    coincide by construction (the banding is a pure pruning device, not an
+    approximation). bit_count over the int64 two's-complement views equals
+    the uint64 XOR popcount (verified: bit_count(-1::BIGINT) = 64)."""
+    from .sqlhash import uint64_to_int64_sql
+
+    assert SIMHASH_HAMMING_MAX < 4, "pigeonhole exactness needs max < chunks"
+    return f"""
+WITH RECURSIVE
+{_simhash_core_ctes()},
+si AS (SELECT doc_id, {uint64_to_int64_sql('sim')} AS s FROM sims)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM si a JOIN si b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {SIMHASH_HAMMING_MAX}
+ORDER BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1403,8 +1483,11 @@ register("dedup_minhash_near_dups", q_minhash_near_dups, _minhash_near_dups_sql(
 # SQL-gated since round 5: recursive min-label CC over the mirrored pair
 # edges (see _minhash_keep_sql).
 register("dedup_minhash_keep", q_minhash_dedup_keep, _minhash_keep_sql())
-register("dedup_simhash", q_simhash)  # rows-only
-register("dedup_simhash_near_dups", q_simhash_near_dups)  # rows-only
+# SQL-gated since round 5: per-occurrence bit votes mirrored
+# integer-exactly; near-dups via the direct Hamming predicate (pigeonhole
+# makes the chunk banding lossless at max 3 — see _simhash_near_dups_sql).
+register("dedup_simhash", q_simhash, _simhash_sql())
+register("dedup_simhash_near_dups", q_simhash_near_dups, _simhash_near_dups_sql())
 
 
 # ---------------------------------------------------------------------------
@@ -1676,9 +1759,11 @@ register("dedup_incremental", q_incremental_dedup, _INCR_SQL)
 # here: a contained doc of W words still shares ~W/2^bits sampled shingles
 # with its container, so recall loss only bites for very short docs.
 # Common shingles (df > cap) emit nothing — boilerplate can't go quadratic.
-# Rows-only: the sampling/df-cap candidate rule lives in the internal hash
-# domain, so there is no DuckDB mirror; recall and exactness are pinned by
-# the planted-containment and scalar-oracle tests.
+# SQL-gated since round 5: sqlhash mirrors the internal hash domain
+# integer-exactly, so the sampling/df-cap candidate rule is replicated AS
+# IS in DuckDB (same sampled shingles, same posting lists, same pairs) and
+# the gate is exact rather than probabilistic; recall of the rule itself is
+# still pinned by the planted-containment and scalar-oracle tests.
 # ---------------------------------------------------------------------------
 
 CONTAINMENT_THRESHOLD = 0.9
@@ -1825,7 +1910,44 @@ def q_containment_pairs(sf_dir: str):
     )
 
 
-register("dedup_containment_pairs", q_containment_pairs)  # rows-only
+def _containment_sql() -> str:
+    """Exact DuckDB mirror of q_containment_pairs: the SAME candidate rule
+    (sampled distinct shingles, posting lists with 2 <= df <= cap, all
+    pairs) — not a relaxation — then exact containment |A∩B| / min(|A|,|B|)
+    over the full distinct shingle sets. Only the ``shingles`` CTE of the
+    MinHash core is referenced; DuckDB prunes the unreferenced
+    signature/banding CTEs, so the mirror costs O(shingles), not O(64x)."""
+    samp_mask = (1 << CONTAINMENT_SAMPLE_BITS) - 1
+    return f"""
+WITH RECURSIVE
+{_minhash_core_ctes()},
+samp AS (SELECT doc_id, sh FROM shingles
+         WHERE (sh & {samp_mask}::HUGEINT) = 0::HUGEINT),
+plist AS (SELECT sh FROM samp GROUP BY sh
+          HAVING count(*) BETWEEN 2 AND {CONTAINMENT_DF_CAP}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM plist p
+  JOIN samp a ON a.sh = p.sh
+  JOIN samp b ON b.sh = p.sh AND a.doc_id < b.doc_id),
+ssz AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+pint AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.id_a
+  JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY 1, 2)
+SELECT p.id_a, p.id_b,
+       round(p.i::DOUBLE / least(za.sz, zb.sz), 6) AS containment
+FROM pint p
+JOIN ssz za ON za.doc_id = p.id_a
+JOIN ssz zb ON zb.doc_id = p.id_b
+WHERE p.i::DOUBLE / least(za.sz, zb.sz) >= {CONTAINMENT_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
+register("dedup_containment_pairs", q_containment_pairs, _containment_sql())
 
 
 # ---------------------------------------------------------------------------

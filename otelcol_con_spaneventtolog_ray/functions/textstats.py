@@ -342,6 +342,58 @@ def q_rolling_fingerprint(sf_dir: str):
     )
 
 
+def _rolling_fingerprint_sql() -> str:
+    """Exact DuckDB mirror of q_rolling_fingerprint (SQL-gated since
+    round 5). Byte-for-byte the same Rabin-Karp fold: document bytes are
+    recovered from hex(encode(text)), every complete K-byte window folds as
+    SUM(byte * B^(K-1-r)) mod 2^64 (terms < 2^72, K = 16 of them — fits
+    HUGEINT with one final mod), a document's fingerprint is the unsigned
+    MIN over its window folds; documents shorter than K fold their whole
+    byte string; empty/NULL docs are 0. The B^k power table is K literals
+    inlined from Python (no recursion), so unlike the word-hash mirrors
+    this one needs no WITH RECURSIVE. The mirror's weight join replaces the
+    numpy prefix-hash trick (same values, O(bytes x K) instead of O(bytes)
+    — irrelevant at gate scale)."""
+    from .sqlhash import M64, uint64_to_int64_sql
+
+    B, K = int(ROLL_BASE), ROLL_K
+    pw = [pow(B, k, M64) for k in range(K)]
+    # wts: weight of the byte at window offset r (r = 0 is the window head)
+    wts = ", ".join(f"({r}, {pw[K - 1 - r]}::HUGEINT)" for r in range(K))
+    # pws: B^k for the short-doc whole-string fold (k = L-1-pos <= K-2)
+    pws = ", ".join(f"({k}, {pw[k]}::HUGEINT)" for k in range(K - 1))
+    return f"""
+WITH
+docs AS (
+  SELECT doc_id, hex(encode(coalesce(text, ''))) AS hx,
+         octet_length(encode(coalesce(text, ''))) AS L
+  FROM documents),
+bval AS (
+  SELECT doc_id, L, pos,
+         ((strpos('0123456789ABCDEF', substring(hx, 2*pos + 1, 1)) - 1) * 16
+          + strpos('0123456789ABCDEF', substring(hx, 2*pos + 2, 1)) - 1)::HUGEINT AS v
+  FROM (SELECT doc_id, L, hx, unnest(range(0, L)) AS pos FROM docs WHERE L > 0)),
+long_fp AS (
+  SELECT doc_id, MIN(h) AS fp FROM (
+    SELECT doc_id, pos - r AS w, SUM(v * wt) % {M64}::HUGEINT AS h
+    FROM bval JOIN (VALUES {wts}) wts(r, wt) ON TRUE
+    WHERE L >= {K} AND pos - r BETWEEN 0 AND L - {K}
+    GROUP BY doc_id, pos - r)
+  GROUP BY doc_id),
+short_fp AS (
+  SELECT doc_id, SUM(v * pw) % {M64}::HUGEINT AS fp
+  FROM bval JOIN (VALUES {pws}) pws(k, pw) ON k = L - 1 - pos
+  WHERE L < {K}
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       {uint64_to_int64_sql("coalesce(f.fp, 0::HUGEINT)")} AS roll_fp
+FROM documents d
+LEFT JOIN (SELECT * FROM long_fp UNION ALL SELECT * FROM short_fp) f
+  USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_quality_filter(sf_dir: str):
     """Training-data quality gate: doc_ids whose quality score clears the
     threshold (the keep-set of a corpus filter), computed in the same pass
@@ -1267,7 +1319,10 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 register("text_lang_source_matrix", q_lang_source_matrix, _LANG_SOURCE_SQL)
-register("text_rolling_fingerprint", q_rolling_fingerprint)  # rows-only
+# SQL-gated since round 5: the Rabin-Karp window fold mirrored
+# integer-exactly (see _rolling_fingerprint_sql).
+register("text_rolling_fingerprint", q_rolling_fingerprint,
+         _rolling_fingerprint_sql())
 
 
 # ---------------------------------------------------------------------------

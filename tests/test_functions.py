@@ -69,24 +69,26 @@ SQL_CHECKED = [
     "text_classifier_scores", "web_domain_cap",
     "text_decontaminate_fuzzy", "corpus_dsir_weights", "web_hits",
     "web_components", "corpus_dsir_select",
+    # round-5 second upgrade wave: simhash votes / Rabin-Karp windows /
+    # containment candidates mirrored integer-exactly; clean-keep and
+    # training-chunks compose the band-exact minhash CC mirror
+    "dedup_simhash", "dedup_simhash_near_dups", "text_rolling_fingerprint",
+    "dedup_containment_pairs", "corpus_clean_keep", "corpus_training_chunks",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
 # semantic tests exist for most; this guarantees none is dead-on-arrival)
 ROWS_ONLY_RUN = [
-    "dedup_simhash",
     "similarity_ivf_topk",
     "dedup_embedding_neardup_lsh", "similarity_knn_join",
-    "dedup_simhash_near_dups", "corpus_clean_keep",
     "multimodal_audio_energy",
-    "text_rolling_fingerprint", "sketch_hll_distinct_users",
+    "sketch_hll_distinct_users",
     "similarity_pq_codes", "similarity_pq_topk",
     "similarity_pq_rerank", "similarity_ivfpq_topk",
-    "corpus_training_chunks",
     "sketch_bloom_users", "sketch_cms_top_tokens",
     "sketch_mg_heavy_users",
     "multimodal_phash", "multimodal_phash_near_dups",
-    "dedup_containment_pairs", "similarity_mmr_topk",
+    "similarity_mmr_topk",
 ]
 
 
@@ -95,12 +97,7 @@ def test_rows_only_query_runs_nonempty(ray_session, name):
     import __ray_entry__ as e
 
     out = _to_df(e.queries()[name](SF_DIR))
-    if name == "dedup_containment_pairs":
-        # the driver corpus has no >=0.9-containment embeddings; empty is
-        # correct — recall/exactness pinned by the planted fixture
-        assert list(out.columns) == ["id_a", "id_b", "containment"]
-    else:
-        assert len(out) > 0, name
+    assert len(out) > 0, name
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
