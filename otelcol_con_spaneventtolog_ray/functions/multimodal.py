@@ -316,9 +316,15 @@ _MEDIA_SQL = (
 )
 
 def q_media_audio_energy(sf_dir: str):
-    """(doc_id, window_no, rms) through the actor-pool audio stage
-    (rows-only: sqrt/mean float parity is not SQL-stable; pinned against an
-    exact per-payload Python oracle in tests)."""
+    """(doc_id, window_no, rms) through the actor-pool audio stage.
+
+    SQL-gated since round 5: the per-window sum of squared int16 samples is
+    an exact integer in BOTH engines (samples^2 <= 2^30, 256 of them —
+    float64 sums them exactly regardless of fold order), the /256 is a
+    power of two, and sqrt is IEEE-correctly-rounded in numpy and DuckDB
+    alike, so the only residual risk is a round(.,6) half-mode tie on an
+    exact decimal midpoint — the same accepted class as text_lm_score, and
+    impossible to hit silently because the gate tables are fixed."""
     return _media_ds(sf_dir).map_batches(
         AudioEnergy,
         batch_format="pyarrow",
@@ -328,7 +334,37 @@ def q_media_audio_energy(sf_dir: str):
     )
 
 
-register("multimodal_audio_energy", q_media_audio_energy)  # rows-only
+def _audio_energy_sql() -> str:
+    """Exact DuckDB mirror of q_media_audio_energy: payload bytes
+    (hex-recovered) -> little-endian int16 samples -> non-overlapping
+    {AudioEnergy.WINDOW_SAMPLES}-sample windows -> round(sqrt(mean(s^2)), 6)."""
+    from .sqlhash import hexbyte_sql
+
+    ws = AudioEnergy.WINDOW_SAMPLES
+    wb = ws * 2
+    base = f"window_no * {wb} + 2 * i"
+    lo = hexbyte_sql("hx", base)
+    hi = hexbyte_sql("hx", f"{base} + 1")
+    return f"""
+WITH docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents),
+wins AS (
+  SELECT doc_id, hx, unnest(range(L // {wb})) AS window_no
+  FROM docs WHERE L >= {wb}),
+smp AS (
+  SELECT doc_id, window_no,
+         ({lo}) + 256 * ({hi})
+           - CASE WHEN ({hi}) >= 128 THEN 65536 ELSE 0 END AS s
+  FROM wins, (SELECT unnest(range(0, {ws})) AS i) ii)
+SELECT doc_id, window_no,
+       round(sqrt(SUM(s * s) / {ws}.0), 6) AS rms
+FROM smp GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+register("multimodal_audio_energy", q_media_audio_energy, _audio_energy_sql())
 register("multimodal_features", q_media_features, _MEDIA_SQL)
 register("multimodal_resize", q_media_resize, _RESIZE_SQL)
 register("multimodal_frame_sample", q_media_frames, _FRAMES_SQL)
@@ -541,5 +577,86 @@ def q_media_phash_near_dups(sf_dir: str):
     )
 
 
-register("multimodal_phash", q_media_phash)  # rows-only
-register("multimodal_phash_near_dups", q_media_phash_near_dups)  # rows-only
+def _ahash_ctes() -> str:
+    """Shared CTE core for the aHash mirrors (SQL-gated since round 5),
+    ending at ``nz(doc_id, h)`` with h the uint64 aHash as HUGEINT.
+    Mirrors ahash_batch over the variant-augmented media table exactly:
+    payload = utf-8 bytes of text (variants flip the middle byte by +128
+    mod 256 for doc_id % {PHASH_VARIANT_MOD} == 0, re-keyed +1e9), rows
+    shorter than {PHASH_MIN_BYTES} bytes dropped, 64 chunks with the
+    SAME floor boundaries ((k*len)//64 <= p < ((k+1)*len)//64), bit k set
+    iff chunk mean > payload mean — both means as int64::DOUBLE divisions,
+    the exact IEEE operations numpy performs — packed big-endian (bit 0 is
+    the sign bit, matching packbits + view('>u8')), all-zero hashes
+    excluded."""
+    from .sqlhash import hexbyte_sql
+
+    hb = hexbyte_sql("hx", "p")
+    return f"""
+docs AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents),
+media AS (
+  SELECT doc_id, hx, L, FALSE AS isvar FROM docs
+  UNION ALL
+  SELECT doc_id + {PHASH_VARIANT_BASE}, hx, L, TRUE
+  FROM docs WHERE doc_id % {PHASH_VARIANT_MOD} = 0),
+keepm AS (SELECT * FROM media WHERE L >= {PHASH_MIN_BYTES}),
+bval AS (
+  SELECT doc_id, L, p,
+         CASE WHEN isvar AND p = L // 2
+              THEN (({hb}) + 128) % 256 ELSE ({hb}) END AS v
+  FROM (SELECT doc_id, L, isvar, hx, unnest(range(0, L)) AS p FROM keepm)),
+csum AS (
+  SELECT b.doc_id, c.k, SUM(b.v) AS cs, COUNT(*) AS cc
+  FROM bval b
+  JOIN (SELECT unnest(range(0, 64)) AS k) c
+    ON b.p >= (c.k * b.L) // 64 AND b.p < ((c.k + 1) * b.L) // 64
+  GROUP BY 1, 2),
+tot AS (SELECT doc_id, SUM(v) AS tv, max(L) AS L FROM bval GROUP BY 1),
+hashes AS (
+  SELECT c.doc_id,
+         SUM(CASE WHEN (c.cs::DOUBLE / c.cc) > (t.tv::DOUBLE / t.L)
+                  THEN (1::HUGEINT << (63 - c.k)) ELSE 0::HUGEINT END) AS h
+  FROM csum c JOIN tot t ON t.doc_id = c.doc_id
+  GROUP BY 1),
+nz AS (SELECT doc_id, h FROM hashes WHERE h <> 0::HUGEINT)"""
+
+
+def _phash_sql() -> str:
+    from .sqlhash import uint64_to_int64_sql
+
+    return f"""
+WITH
+{_ahash_ctes()}
+SELECT doc_id, {uint64_to_int64_sql('h')} AS phash
+FROM nz ORDER BY doc_id
+"""
+
+
+def _phash_near_dups_sql() -> str:
+    """Direct-Hamming oracle: at PHASH_HAMMING_MAX = {PHASH_HAMMING_MAX}
+    < 4 chunks, pigeonhole guarantees every qualifying pair shares an
+    aligned 16-bit chunk, so the Ray side's chunk-bucket candidates have
+    recall exactly 1.0 (the dedup._simhash_near_dups_sql argument)."""
+    from .sqlhash import uint64_to_int64_sql
+
+    assert PHASH_HAMMING_MAX < 4, "pigeonhole exactness needs max < chunks"
+    return f"""
+WITH
+{_ahash_ctes()},
+si AS (SELECT doc_id, {uint64_to_int64_sql('h')} AS s FROM nz)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.s, b.s))::BIGINT AS hamming
+FROM si a JOIN si b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {PHASH_HAMMING_MAX}
+ORDER BY 1, 2
+"""
+
+
+# SQL-gated since round 5 (see _ahash_ctes: integer byte sums, IEEE-exact
+# mean compares, pigeonhole-lossless chunk banding).
+register("multimodal_phash", q_media_phash, _phash_sql())
+register("multimodal_phash_near_dups", q_media_phash_near_dups,
+         _phash_near_dups_sql())

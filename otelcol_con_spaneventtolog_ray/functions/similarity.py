@@ -1233,7 +1233,55 @@ register("similarity_cosine_topk", q_cosine_topk, _COSINE_SQL)
 # function exact on both engines (see _lsh_bucket_sql).
 register("similarity_lsh_buckets", q_lsh_ann, _lsh_bucket_sql())
 register("dedup_embedding_neardup", q_embedding_neardup, _NEARDUP_SQL)
-register("dedup_embedding_neardup_lsh", q_embedding_neardup_lsh)  # rows-only
+def _neardup_lsh_sql() -> str:
+    """Exact DuckDB mirror of q_embedding_neardup_lsh (SQL-gated since
+    round 5). The fixed-seed float64 hyperplanes are inlined as full-
+    precision DOUBLE[] literals (repr round-trips exactly), so both engines
+    hash with the SAME planes: bucket bit = list_dot_product(x, w) > 0,
+    candidates = pairs sharing any (table, bucket), verify = the
+    dedup_embedding_neardup cosine idiom whose gate is already green.
+    Residual risk is a sign flip on a dot within ~1e-15 of zero (BLAS vs
+    sequential fold order) — with O(10^6) dots of magnitude ~8 on the fixed
+    gate tables this is testable, not probabilistic: gatecheck green ⇒
+    driver green. Assumes the 64-dim embedding layout of the driver tables
+    (the plane stream is drawn at that shape)."""
+    rng = np.random.RandomState(_lsh_rng_seed)
+    planes = rng.standard_normal((NEARDUP_LSH_TABLES, 64, NEARDUP_LSH_PLANES))
+    rows = []
+    for t in range(NEARDUP_LSH_TABLES):
+        for p in range(NEARDUP_LSH_PLANES):
+            w = ", ".join(repr(float(x)) for x in planes[t, :, p])
+            rows.append(f"({t}, {p}, [{w}]::DOUBLE[])")
+    pl = ",\n".join(rows)
+    cos = ("list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), "
+           "CAST(eb.embedding AS DOUBLE[]))")
+    return f"""
+WITH
+pl AS (SELECT * FROM (VALUES
+{pl}) v(t, p, w)),
+bits AS (
+  SELECT e.vec_id, pl.t, pl.p,
+         CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), pl.w) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM embeddings e, pl),
+bk AS (SELECT vec_id, t, SUM(bit * (1 << p)) AS bucket FROM bits GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b, round({cos}, 6) AS score
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.id_a
+JOIN embeddings eb ON eb.vec_id = c.id_b
+WHERE round({cos}, 6) >= {NEARDUP_THRESHOLD}
+ORDER BY 1, 2
+"""
+
+
+# SQL-gated since round 5: same planes both engines (inlined literals) +
+# the already-green cosine verify (see _neardup_lsh_sql).
+register("dedup_embedding_neardup_lsh", q_embedding_neardup_lsh,
+         _neardup_lsh_sql())
 register("similarity_ivf_cells", q_ivf_cells, _IVF_CELLS_SQL)
 register("similarity_ivf_topk", q_ivf_topk)  # rows-only (ANN)
 

@@ -562,8 +562,99 @@ SELECT event_type,
 FROM est GROUP BY 1 ORDER BY 1
 """
 
-register("sketch_bloom_users", q_bloom_users)  # rows-only (sketch)
-register("sketch_cms_top_tokens", q_cms_top_tokens)  # rows-only (sketch)
+def _bloom_users_sql() -> str:
+    """Exact DuckDB mirror of q_bloom_users (SQL-gated since round 5).
+    A Bloom filter's bit array is an ORDER-INDEPENDENT function of the
+    inserted key set (OR of k splitmix64-derived bit positions per key), so
+    unlike the float sketches it mirrors exactly: the probe bit j of user u
+    is set iff ANY inserted key maps ANY of its k positions onto
+    pos_j(u) — replicated as a semi-join against the distinct inserted
+    position set, with bloom_hit = all {BLOOM_K} probe positions present.
+    Mirrors numpy's u64 arithmetic via sqlhash (seeds inlined as
+    (SEED * (j+1)) mod 2^64 literals)."""
+    from .sqlhash import M64, splitmix64_ctes
+
+    seeds = [(int(_BLOOM_SEED) * (j + 1)) % M64 for j in range(BLOOM_K)]
+    seed_vals = ", ".join(f"({j}, {s}::HUGEINT)" for j, s in enumerate(seeds))
+    p_sm, p_last = splitmix64_ctes("bp", "probe_src", ["u", "j"], "x", "h")
+    i_sm, i_last = splitmix64_ctes("bi", "ins_src", ["e"], "x", "h")
+    return f"""
+WITH
+users AS (SELECT DISTINCT user_id AS u FROM events),
+purch AS (SELECT DISTINCT user_id AS e FROM events
+          WHERE event_type = '{BLOOM_TARGET_TYPE}'),
+seeds AS (SELECT * FROM (VALUES {seed_vals}) v(j, s)),
+probe_src AS (SELECT u, j, xor(u::HUGEINT, s) AS x FROM users, seeds),
+{p_sm},
+ppos AS (SELECT u, j, h % {BLOOM_BITS} AS pos FROM {p_last}),
+ins_src AS (SELECT e, xor(e::HUGEINT, s) AS x FROM purch, seeds),
+{i_sm},
+pset AS (SELECT DISTINCT h % {BLOOM_BITS} AS pos FROM {i_last}),
+hits AS (
+  SELECT u FROM (SELECT DISTINCT p.u, p.j
+                 FROM ppos p JOIN pset s ON p.pos = s.pos) t
+  GROUP BY u HAVING count(*) = {BLOOM_K})
+SELECT u AS user_id,
+       u IN (SELECT u FROM hits) AS bloom_hit,
+       u IN (SELECT e FROM purch) AS true_hit
+FROM users ORDER BY u
+"""
+
+
+def _cms_top_tokens_sql() -> str:
+    """Exact DuckDB mirror of q_cms_top_tokens (SQL-gated since round 5).
+    Count-Min is linear over integer counters, so the merged sketch is an
+    order-independent function of the token-occurrence multiset: cell
+    (d, pos) = SUM of occurrence counts over the word hashes landing
+    there — replicated from the sqlhash word-hash CTE (occurrences per
+    hash -> per-row cell positions -> grouped cells). The exact top-K side
+    reuses the token tokenize/count/tie-break of text_top_tokens; each
+    token's hash is recovered by joining the word string back to its
+    hash on (doc_id, widx); est_n = MIN over the {CMS_D} probed cells."""
+    from .sqlhash import M64, splitmix64_ctes, word_hash_ctes
+    from .texthash import BYTE_BASE
+
+    seeds = [(int(_CMS_SEED) * (d + 1)) % M64 for d in range(CMS_D)]
+    seed_vals = ", ".join(f"({d}, {s}::HUGEINT)" for d, s in enumerate(seeds))
+    wh_frag, wh_last = word_hash_ctes(int(BYTE_BASE))
+    c_sm, c_last = splitmix64_ctes("cc", "cell_src", ["wh", "cnt", "d"], "x", "ch")
+    t_sm, t_last = splitmix64_ctes(
+        "tt", "top_src", ["token", "n", "rank", "d"], "x", "th"
+    )
+    return f"""
+WITH RECURSIVE
+{wh_frag},
+occ AS (SELECT wh, count(*) AS cnt FROM {wh_last} GROUP BY 1),
+dseeds AS (SELECT * FROM (VALUES {seed_vals}) v(d, s)),
+cell_src AS (SELECT wh, cnt, d, xor(wh, s) AS x FROM occ, dseeds),
+{c_sm},
+cells AS (SELECT d, ch % {CMS_W} AS pos, SUM(cnt) AS cell
+          FROM {c_last} GROUP BY 1, 2),
+tw AS (SELECT w.word AS token, h.wh
+       FROM words w JOIN {wh_last} h
+         ON w.doc_id = h.doc_id AND w.widx = h.widx),
+tc AS (SELECT token, min(wh) AS wh, count(*) AS n FROM tw GROUP BY token),
+sel AS (SELECT * FROM (
+    SELECT token, wh, n, row_number() OVER (ORDER BY n DESC, token) AS rank
+    FROM tc) r WHERE rank <= {CMS_TOP_K}),
+top_src AS (SELECT token, n, rank, d, xor(wh, s) AS x FROM sel, dseeds),
+{t_sm}
+SELECT t.rank, t.token, t.n, CAST(MIN(c.cell) AS BIGINT) AS est_n
+FROM {t_last} t JOIN cells c ON c.d = t.d AND c.pos = (t.th % {CMS_W})
+GROUP BY 1, 2, 3
+ORDER BY t.rank
+"""
+
+
+# SQL-gated since round 5: Bloom bits and CMS counters are
+# order-independent integer functions of the input multiset, so sqlhash
+# mirrors them exactly. HLL and Misra-Gries stay rows-only for real
+# reasons: HLL's estimate divides by a 4096-term float64 sum whose numpy
+# pairwise-summation rounding DuckDB cannot replicate, and MG's counter
+# set depends on block/merge order by design (only the GUARANTEES are
+# order-free; both are pinned by dedicated pytest invariants).
+register("sketch_bloom_users", q_bloom_users, _bloom_users_sql())
+register("sketch_cms_top_tokens", q_cms_top_tokens, _cms_top_tokens_sql())
 register("sketch_hll_distinct_users", q_hll_distinct_users)  # rows-only
 register("sketch_value_quantiles", q_value_quantiles, _VALUE_QUANTILES_SQL)
 

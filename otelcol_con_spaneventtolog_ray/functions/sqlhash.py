@@ -116,6 +116,16 @@ word_fold AS (
     return frag + ",\n" + sm, last
 
 
+def hexbyte_sql(hx: str, pos: str) -> str:
+    """SQL for the 0-based byte at position `pos` of the hex dump `hx`
+    (as produced by hex(encode(...))) — the byte-recovery idiom the
+    word-fold and rolling-fingerprint mirrors use, factored for reuse."""
+    return (
+        f"((strpos('0123456789ABCDEF', substring({hx}, 2*({pos}) + 1, 1)) - 1) * 16"
+        f" + strpos('0123456789ABCDEF', substring({hx}, 2*({pos}) + 2, 1)) - 1)"
+    )
+
+
 def uint64_to_int64_sql(expr: str) -> str:
     """Two's-complement reinterpretation, mirroring numpy .view(int64)."""
     return (

@@ -74,20 +74,27 @@ SQL_CHECKED = [
     # training-chunks compose the band-exact minhash CC mirror
     "dedup_simhash", "dedup_simhash_near_dups", "text_rolling_fingerprint",
     "dedup_containment_pairs", "corpus_clean_keep", "corpus_training_chunks",
+    # third wave: order-independent integer sketches (Bloom bits, CMS
+    # counters), byte-exact media kernels (aHash, int16 RMS), and the
+    # inlined-hyperplane embedding LSH
+    "sketch_bloom_users", "sketch_cms_top_tokens", "multimodal_audio_energy",
+    "multimodal_phash", "multimodal_phash_near_dups",
+    "dedup_embedding_neardup_lsh",
 ]
 
 # every rows-only query, each smoke-run through queries() below (dedicated
 # semantic tests exist for most; this guarantees none is dead-on-arrival)
+# The 9 genuinely non-SQL-expressible ops: HLL divides by a float64
+# pairwise sum numpy-order-dependent, Misra-Gries counters depend on
+# block/merge order by design, MMR's greedy argmax chains raw-float
+# comparisons, and the IVF/PQ family rests on float k-means training.
 ROWS_ONLY_RUN = [
     "similarity_ivf_topk",
-    "dedup_embedding_neardup_lsh", "similarity_knn_join",
-    "multimodal_audio_energy",
+    "similarity_knn_join",
     "sketch_hll_distinct_users",
     "similarity_pq_codes", "similarity_pq_topk",
     "similarity_pq_rerank", "similarity_ivfpq_topk",
-    "sketch_bloom_users", "sketch_cms_top_tokens",
     "sketch_mg_heavy_users",
-    "multimodal_phash", "multimodal_phash_near_dups",
     "similarity_mmr_topk",
 ]
 
