@@ -790,11 +790,12 @@ def entry() -> Any:
 # SQL-oracled queries plus the 9 relational shapes exercising the most
 # distinctive join/aggregate machinery. The 16-query overflow
 # (10 relational variants whose machinery is pinned by the 9 in-window
-# siblings + already-r4-green rel_* rows, and the 6 no-oracle queries whose
-# driver row would be rows-only anyway — each carries a pytest
-# guarantee/recall pin instead) sits at positions 50-65 so it is gated first
+# siblings + already-r4-green rel_* rows, and 6 queries that were
+# no-oracle when the window was frozen — each carries a pytest
+# guarantee/recall pin, and 3 of them have since gained SQL oracles in the
+# round-5 upgrade waves) sits at positions 50-65 so it is gated first
 # if the driver ever widens the window; all 66 are locally verified green by
-# tools/gatecheck.py at sf0.01 (see COVERAGE.md rotation ledger). The three
+# tools/gatecheck.py at sf0.01 (see COVERAGE.md rotation ledger). The
 # round-5 no_oracle->SQL oracle upgrades queue right behind. Query
 # registration is FROZEN at 166 — no new queries this round, so the window
 # arithmetic cannot regress. A drift test
@@ -865,8 +866,9 @@ GATE_FRONT = [
     "rel_part_type_suppliers",
     "rel_returned_item_losses",
     "rel_heavy_shippers",
-    # --- never-gated no-oracle queries (driver row would be rows-only;
-    # each is pinned by pytest guarantee/recall tests instead) ---
+    # --- never-gated queries that were no-oracle at window-freeze time
+    # (each pinned by pytest guarantee/recall tests; containment and the
+    # phash pair have since gained SQL oracles in the upgrade waves) ---
     "sketch_mg_heavy_users",
     "similarity_mmr_topk",
     "similarity_ivfpq_topk",

@@ -69,7 +69,10 @@ def _fuzz_corpus(tmp_path, seed: int) -> str:
 _NON_DOC_PREFIXES = ("events_", "rel_", "pipeline_", "similarity_",
                      "multimodal_")
 _NON_DOC_NAMES = {"dedup_embedding_neardup", "dedup_semantic_keep",
-                  "sketch_value_quantiles"}
+                  "sketch_value_quantiles",
+                  # round-5 upgrades over non-document tables (the fuzz
+                  # corpus writes documents.parquet only)
+                  "dedup_embedding_neardup_lsh", "sketch_bloom_users"}
 
 
 def _doc_only_gated_ops():
