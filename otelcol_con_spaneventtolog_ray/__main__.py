@@ -6,7 +6,8 @@ a YAML config using the connector's exact key vocabulary, get routed
 partitioned Parquet plus per-sink counts.
 
     python -m otelcol_con_spaneventtolog_ray INPUT OUT [--config cfg.yaml]
-        [--resumable] [--shard-size N] [--num-cpus N]
+        [--resumable] [--shard-size N] [--max-concurrent-shards C]
+        [--num-cpus N]
 
 Any registered analysis pipeline (the functions/ registry — dedup,
 similarity, text, multimodal, events, sketches, corpus; full inventory in
@@ -68,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
                          "committed shards")
     ap.add_argument("--shard-size", type=int, default=16,
                     help="input files per resumable shard")
+    ap.add_argument("--max-concurrent-shards", type=int, default=1,
+                    help="overlap this many resumable shard executions "
+                         "(driver threads; commit/resume semantics "
+                         "unchanged)")
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--deadletter", action="store_true",
                     help="also write malformed OTEL1 lines to OUT/_deadletter/")
@@ -99,6 +104,7 @@ def main(argv: list[str] | None = None) -> int:
                 ("--resumable", args.resumable),
                 ("--deadletter", args.deadletter),
                 ("--shard-size", args.shard_size != 16),
+                ("--max-concurrent-shards", args.max_concurrent_shards != 1),
             ) if on
         ]
         if conflicting:
@@ -136,6 +142,7 @@ def main(argv: list[str] | None = None) -> int:
             result = run_resumable(
                 args.input, args.output, cfg, shard_size=args.shard_size,
                 deadletter=args.deadletter,
+                max_concurrent_shards=args.max_concurrent_shards,
             )
         else:
             counts = run_pipeline(

@@ -163,3 +163,42 @@ def test_resumable_deadletter_committed_with_shard(ray_session, tmp_path):
     assert sorted(dead.column("raw").to_pylist()) == [
         f"OTEL1 broken {i}" for i in range(4)
     ]
+
+
+def test_concurrent_shards_match_serial(ray_session, sharded_input, tmp_path):
+    """max_concurrent_shards overlaps independent shard DAGs without
+    changing ANY output: per-shard manifests (counts, lineage) and the
+    aggregate equal the serial run's, and a resume on top of a partially
+    completed concurrent out_root reprocesses exactly the missing shards."""
+    import shutil
+
+    src, _tbl = sharded_input
+    cfg = dataclasses.replace(PipelineConfig.default(), observed_timestamp_ns=OBS)
+    out_s = str(tmp_path / "serial")
+    out_c = str(tmp_path / "conc")
+
+    serial = run_resumable(src, out_s, cfg, shard_size=2)
+    conc = run_resumable(src, out_c, cfg, shard_size=2, max_concurrent_shards=3)
+    assert serial == conc
+
+    ms, mc = committed_shards(out_s), committed_shards(out_c)
+    assert set(ms) == set(mc) == {0, 1, 2}
+    for sid in ms:
+        for key in ("input_files", "pages_in", "records_out", "counts_by_sink"):
+            assert ms[sid][key] == mc[sid][key], (sid, key)
+
+    # knock out one committed shard (manifest + data), resume concurrently:
+    # only the missing shard is reprocessed, totals unchanged
+    os.remove(os.path.join(out_c, "_manifests", "shard-1.json"))
+    shutil.rmtree(os.path.join(out_c, "shard=1"))
+    mdir = os.path.join(out_c, "_manifests")
+    before = {f: os.path.getmtime(os.path.join(mdir, f)) for f in os.listdir(mdir)}
+    again = run_resumable(src, out_c, cfg, shard_size=2, max_concurrent_shards=3)
+    assert again == serial
+    after = {f: os.path.getmtime(os.path.join(mdir, f)) for f in before}
+    assert before == after  # surviving manifests untouched
+
+    # the crash-injection hook is serial-only by contract
+    with pytest.raises(ValueError, match="serial"):
+        run_resumable(src, str(tmp_path / "x"), cfg, shard_size=2,
+                      fail_after_shards=1, max_concurrent_shards=2)
