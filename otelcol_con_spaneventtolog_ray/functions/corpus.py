@@ -569,6 +569,68 @@ FROM documents
 """
 
 
+#: hash partitions for the chunks semi-join (scale knob: ~cluster cores)
+CHUNK_JOIN_PARTITIONS = 8
+
+
+def training_chunks_ds(sf_dir: str, *, with_text: bool = False):
+    """LIBRARY form of the training-chunk extraction: documents
+    ``left_semi``-joined against the STREAMING keep-set dataset, then
+    chunked — no driver keep-table and no ray.put broadcast anywhere, so
+    the shape survives a keep-set of 10^12 ids (the gate adapter
+    q_training_chunks broadcasts instead because at gate SF one ray.put
+    beats a hash shuffle; both paths are pinned equal in pytest).
+
+    Sentinel mechanics (the relational ops' pattern, relutil.py): Ray
+    2.49's hash join crashes on partitions that receive no rows, so one
+    impossible (negative) doc_id per partition is planted on BOTH sides —
+    the semi join keeps them, and their empty text yields zero chunks, so
+    they vanish without a filter pass; a defensive >= 0 filter guards the
+    with_text=False projection anyway."""
+    import ray.data
+
+    from .relutil import _q3_join_sentinels
+
+    sent = _q3_join_sentinels(CHUNK_JOIN_PARTITIONS)
+    docs = _dedup._docs(sf_dir).union(ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(sent, pa.int64()),
+         "text": pa.array([""] * len(sent), pa.string())}
+    )))
+    keep = clean_keep_ds(sf_dir).union(ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(sent, pa.int64())}
+    )))
+    kept = docs.join(
+        keep, join_type="left_semi",
+        num_partitions=CHUNK_JOIN_PARTITIONS, on=("doc_id",),
+    )
+    cols = ["doc_id", "chunk_idx", "n_tokens"] + (
+        ["chunk_text"] if with_text else []
+    )
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        out = _textstats.chunk_documents_batch(batch)
+        ids = out.column("doc_id").to_numpy(zero_copy_only=False)
+        return out.filter(pa.array(ids >= 0)).select(cols)
+
+    return kept.map_batches(chunk, batch_format="pyarrow", **remote_kwargs())
+
+
+def write_training_chunks(sf_dir: str, out_dir: str) -> None:
+    """Write the cleaned corpus's training chunks (WITH chunk_text — the
+    actual tokenizer input) as hash-sharded parquet, same resumable layout
+    contract as write_clean_keep."""
+
+    def shard(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "shard", pa.array(ids % CLEAN_KEEP_SHARDS, pa.int64())
+        )
+
+    training_chunks_ds(sf_dir, with_text=True).map_batches(
+        shard, batch_format="pyarrow", **remote_kwargs()
+    ).write_parquet(out_dir, partition_cols=["shard"])
+
+
 def _training_chunks_sql() -> str:
     """Exact mirror of q_training_chunks: the clean-keep CTE filters the
     chunking mirror (text_chunking's gate-green _CHUNK_SQL, nested as a

@@ -2159,12 +2159,36 @@ def test_write_keep_library_paths_match_query_forms(ray_session, tmp_path):
     want2 = _to_df(e.queries()["corpus_clean_keep"](SF_DIR))
     pd.testing.assert_frame_equal(back2, want2, check_dtype=False)
 
+    # -- training chunks: semi-join library form == broadcast query form -
+    chunks_ds = corpus.training_chunks_ds(SF_DIR)
+    got3 = (
+        _to_df(chunks_ds)
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    want3 = (
+        _to_df(e.queries()["corpus_training_chunks"](SF_DIR))
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got3, want3, check_dtype=False)
+    out3 = tmp_path / "chunks"
+    corpus.write_training_chunks(SF_DIR, str(out3))
+    assert _glob.glob(str(out3 / "shard=*")), "expected shard=* partition dirs"
+    back3 = pq.read_table(str(out3))
+    assert "chunk_text" in back3.column_names  # the actual tokenizer input
+    assert back3.num_rows == len(want3)
+
     # the library paths must stream: no driver materialization of per-doc
-    # rows anywhere in the ds-producing or writing functions
+    # rows anywhere in the ds-producing or writing functions (ray.put of a
+    # per-doc table is the same antipattern for the chunks path)
     for fn in (similarity.semdedup_keep_ds, similarity.write_semdedup_keep,
-               corpus.clean_keep_ds, corpus.write_clean_keep):
+               corpus.clean_keep_ds, corpus.write_clean_keep,
+               corpus.training_chunks_ds, corpus.write_training_chunks):
         src = inspect.getsource(fn).replace(fn.__doc__ or "", "")
         assert "to_pandas" not in src and "take_all" not in src, fn.__name__
+        if fn in (corpus.training_chunks_ds, corpus.write_training_chunks):
+            assert "ray.put" not in src, fn.__name__
 
 
 def test_whitespace_class_and_fingerprint_vectorization_pins():
