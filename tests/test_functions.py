@@ -364,6 +364,57 @@ def test_hll_sketch_accuracy_and_merge():
         assert np.array_equal(np.maximum(a, b), hll_fold(stream))
 
 
+def test_hll_registers_match_duckdb_oracle():
+    """The DETERMINISTIC part of HLL — splitmix64 → bucket → rho → max —
+    has an exact integer DuckDB oracle even though the final float
+    estimate does not (its 4096-term pairwise float64 sum keeps the query
+    rows-only). Pinning the merged registers register-for-register means a
+    future hash or bucketing drift cannot hide inside the estimate's
+    tolerance band. Folds run in three chunks and max-merge, exercising
+    the same partial/merge shape as the distributed path."""
+    import duckdb
+
+    from otelcol_con_spaneventtolog_ray.functions.sketch import (
+        HLL_M,
+        HLL_P,
+        hll_fold,
+    )
+    from otelcol_con_spaneventtolog_ray.functions.sqlhash import (
+        splitmix64_ctes,
+    )
+
+    tail_mod = 1 << (64 - HLL_P)
+    sm, last = splitmix64_ctes("hq", "src", ["u"], "x", "h")
+    sql = f"""
+WITH
+src AS (SELECT DISTINCT user_id AS u,
+               user_id::HUGEINT AS x
+        FROM read_parquet('{SF_DIR}/events.parquet')
+        WHERE event_type = ?),
+{sm}
+SELECT (h >> {64 - HLL_P})::BIGINT AS idx,
+       MAX(CASE WHEN (h % {tail_mod}::HUGEINT) = 0::HUGEINT
+                THEN {64 - HLL_P + 1}
+                ELSE {64 - HLL_P}
+                     - length(ltrim(bin((h % {tail_mod}::HUGEINT)::BIGINT),
+                                    '0')) + 1 END) AS rho
+FROM {last} GROUP BY 1 ORDER BY 1
+"""
+    con = duckdb.connect()
+    ev = pd.read_parquet(
+        f"{SF_DIR}/events.parquet", columns=["event_type", "user_id"]
+    ).dropna(subset=["event_type"])
+    assert len(ev), "fixture must be non-empty"
+    for et, grp in ev.groupby("event_type"):
+        vals = grp["user_id"].to_numpy().astype(np.int64)
+        parts = [hll_fold(c) for c in np.array_split(vals, 3)]
+        regs = np.maximum.reduce(parts)
+        exp = con.execute(sql, [et]).df()
+        want = np.zeros(HLL_M, dtype=np.uint8)
+        want[exp["idx"].to_numpy()] = exp["rho"].to_numpy().astype(np.uint8)
+        assert np.array_equal(regs, want), et
+
+
 def test_hll_query_close_to_exact(ray_session):
     import duckdb
 
